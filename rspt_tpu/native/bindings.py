@@ -1,0 +1,279 @@
+"""ctypes bindings for librspt_native (the host-side native runtime).
+
+The library is built on demand by tools/build_native.py. Everything here
+mirrors the Python spec implementations in rspt_tpu/hzr/pyref.py and
+rspt_tpu/ops/numpy_ops.py, byte-for-byte, but at native speed (and with
+optional plane-level multithreading).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+from typing import Optional, Tuple
+
+import numpy as np
+
+_LIB = None
+
+
+def _load():
+    global _LIB
+    if _LIB is not None:
+        return _LIB
+    here = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    lib_path = os.path.join(here, "build", "librspt_native.so")
+    if not os.path.exists(lib_path):
+        import sys
+        sys.path.insert(0, here)
+        from tools.build_native import build
+        lib_path = build()
+    lib = ctypes.CDLL(lib_path)
+    c_u8p = ctypes.POINTER(ctypes.c_uint8)
+    c_i32p = ctypes.POINTER(ctypes.c_int32)
+    c_f32p = ctypes.POINTER(ctypes.c_float)
+    sz = ctypes.c_size_t
+    szp = ctypes.POINTER(ctypes.c_size_t)
+
+    lib.rn_crc32c.restype = ctypes.c_uint32
+    lib.rn_crc32c.argtypes = [c_u8p, sz]
+    lib.rn_hzr_max_size.restype = sz
+    lib.rn_hzr_max_size.argtypes = [sz]
+    lib.rn_hzr_encode.restype = ctypes.c_int
+    lib.rn_hzr_encode.argtypes = [c_u8p, sz, c_u8p, sz, szp]
+    lib.rn_hzr_decode.restype = ctypes.c_int
+    lib.rn_hzr_decode.argtypes = [c_u8p, sz, c_u8p, sz, szp]
+    lib.rn_hzr_verify.restype = ctypes.c_int
+    lib.rn_hzr_verify.argtypes = [c_u8p, sz, szp]
+    for name in ("rn_delta_encode", "rn_xor_encode", "rn_xor_decode"):
+        fn = getattr(lib, name)
+        fn.restype = None
+        fn.argtypes = [c_i32p, sz]
+    lib.rn_delta_decode.restype = None
+    lib.rn_delta_decode.argtypes = [c_i32p, sz, ctypes.c_int32]
+    lib.rn_offset32.restype = None
+    lib.rn_offset32.argtypes = [c_i32p, sz, ctypes.c_int32]
+    lib.rn_native_to_i32.restype = None
+    lib.rn_native_to_i32.argtypes = [c_i32p, c_u8p, sz, sz, sz, ctypes.c_int]
+    lib.rn_i32_to_native.restype = None
+    lib.rn_i32_to_native.argtypes = [c_u8p, c_i32p, sz, sz, sz, ctypes.c_int]
+    lib.rn_plane_split.restype = None
+    lib.rn_plane_split.argtypes = [c_i32p, sz, ctypes.c_int, c_u8p]
+    lib.rn_plane_merge.restype = None
+    lib.rn_plane_merge.argtypes = [c_u8p, sz, ctypes.c_int, c_i32p]
+    lib.rn_dct_forward.restype = None
+    lib.rn_dct_forward.argtypes = [c_i32p, c_i32p, c_f32p, c_f32p,
+                                   ctypes.c_int, ctypes.c_double]
+    lib.rn_dct_inverse.restype = None
+    lib.rn_dct_inverse.argtypes = [c_i32p, c_i32p, c_f32p, c_f32p,
+                                   ctypes.c_int, ctypes.c_double]
+    lib.rn_fwht.restype = None
+    lib.rn_fwht.argtypes = [c_i32p, c_i32p, ctypes.c_int]
+    lib.rn_fwht_normalize.restype = None
+    lib.rn_fwht_normalize.argtypes = [c_i32p, ctypes.c_int, ctypes.c_double]
+    lib.rn_fwht_normalize2.restype = None
+    lib.rn_fwht_normalize2.argtypes = [c_i32p, ctypes.c_int, ctypes.c_double]
+    lib.rn_encode_planes_mt.restype = ctypes.c_int
+    lib.rn_encode_planes_mt.argtypes = [c_u8p, sz, ctypes.c_int, c_u8p, sz,
+                                        szp, ctypes.c_int]
+    lib.rn_decode_planes_mt.restype = ctypes.c_int
+    lib.rn_decode_planes_mt.argtypes = [c_u8p, sz, ctypes.c_int, sz, c_u8p,
+                                        szp, ctypes.c_int]
+    _LIB = lib
+    return lib
+
+
+def _u8(a) -> np.ndarray:
+    if isinstance(a, np.ndarray):
+        return np.ascontiguousarray(a, dtype=np.uint8)
+    return np.frombuffer(memoryview(a).cast("B"), dtype=np.uint8)
+
+
+def _p8(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
+def _p32(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+
+def _pf32(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+
+
+def crc32c(data) -> int:
+    buf = _u8(data)
+    return int(_load().rn_crc32c(_p8(buf), buf.size))
+
+
+def hzr_encode(data) -> bytes:
+    lib = _load()
+    buf = _u8(data)
+    cap = int(lib.rn_hzr_max_size(buf.size))
+    out = np.empty(cap, dtype=np.uint8)
+    out_len = ctypes.c_size_t(0)
+    rc = lib.rn_hzr_encode(_p8(buf), buf.size, _p8(out), cap,
+                           ctypes.byref(out_len))
+    if rc:
+        raise ValueError("hzr encode failed")
+    return out[:out_len.value].tobytes()
+
+
+def hzr_decode(data) -> bytes:
+    lib = _load()
+    buf = _u8(data)
+    if buf.size < 4:
+        raise ValueError("hzr: input too small")
+    total = int.from_bytes(buf[:4].tobytes(), "little")
+    out = np.empty(max(total, 1), dtype=np.uint8)
+    rc = lib.rn_hzr_decode(_p8(buf), buf.size, _p8(out), total, None)
+    if rc:
+        raise ValueError("hzr decode failed")
+    return out[:total].tobytes()
+
+
+def hzr_verify(data) -> int:
+    lib = _load()
+    buf = _u8(data)
+    dec = ctypes.c_size_t(0)
+    rc = lib.rn_hzr_verify(_p8(buf), buf.size, ctypes.byref(dec))
+    if rc:
+        raise ValueError("hzr verify failed")
+    return dec.value
+
+
+def delta_encode(a: np.ndarray) -> np.ndarray:
+    out = np.ascontiguousarray(a, dtype=np.int32).copy()
+    _load().rn_delta_encode(_p32(out), out.size)
+    return out
+
+
+def delta_decode(a: np.ndarray, min_val: int = 0) -> np.ndarray:
+    out = np.ascontiguousarray(a, dtype=np.int32).copy()
+    _load().rn_delta_decode(_p32(out), out.size, min_val)
+    return out
+
+
+def offset32(a: np.ndarray, val: int) -> np.ndarray:
+    out = np.ascontiguousarray(a, dtype=np.int32).copy()
+    _load().rn_offset32(_p32(out), out.size, val)
+    return out
+
+
+def xor_encode(a: np.ndarray) -> np.ndarray:
+    out = np.ascontiguousarray(a, dtype=np.int32).copy()
+    _load().rn_xor_encode(_p32(out), out.size)
+    return out
+
+
+def xor_decode(a: np.ndarray) -> np.ndarray:
+    out = np.ascontiguousarray(a, dtype=np.int32).copy()
+    _load().rn_xor_decode(_p32(out), out.size)
+    return out
+
+
+def native_to_i32(native, nr_samples, nr_channels, bps,
+                  reverse=False) -> np.ndarray:
+    buf = _u8(native)
+    out = np.empty((nr_channels, nr_samples), dtype=np.int32)
+    _load().rn_native_to_i32(_p32(out), _p8(buf), nr_samples, nr_channels,
+                             bps, 1 if reverse else 0)
+    return out
+
+
+def i32_to_native(arr: np.ndarray, bps: int, reverse=False) -> bytes:
+    a = np.ascontiguousarray(arr, dtype=np.int32)
+    ch, n = a.shape
+    out = np.empty(n * ch * bps, dtype=np.uint8)
+    _load().rn_i32_to_native(_p8(out), _p32(a), n, ch, bps,
+                             1 if reverse else 0)
+    return out.tobytes()
+
+
+def plane_split(flat: np.ndarray, planes: int) -> np.ndarray:
+    a = np.ascontiguousarray(flat, dtype=np.int32)
+    out = np.empty((planes, a.size), dtype=np.uint8)
+    _load().rn_plane_split(_p32(a), a.size, planes, _p8(out))
+    return out
+
+
+def plane_merge(planes: np.ndarray) -> np.ndarray:
+    p = np.ascontiguousarray(planes, dtype=np.uint8)
+    out = np.empty(p.shape[1], dtype=np.int32)
+    _load().rn_plane_merge(_p8(p), p.shape[1], p.shape[0], _p32(out))
+    return out
+
+
+def dct_forward(src: np.ndarray, cos_table: np.ndarray, cs: np.ndarray,
+                quality: float) -> np.ndarray:
+    a = np.ascontiguousarray(src, dtype=np.int32)
+    ct = np.ascontiguousarray(cos_table, dtype=np.float32)
+    c = np.ascontiguousarray(cs, dtype=np.float32)
+    out = np.empty(a.size, dtype=np.int32)
+    _load().rn_dct_forward(_p32(a), _p32(out), _pf32(ct), _pf32(c),
+                           a.size, quality)
+    return out
+
+
+def dct_inverse(dct: np.ndarray, cos_table: np.ndarray, cs: np.ndarray,
+                quality: float) -> np.ndarray:
+    a = np.ascontiguousarray(dct, dtype=np.int32)
+    ct = np.ascontiguousarray(cos_table, dtype=np.float32)
+    c = np.ascontiguousarray(cs, dtype=np.float32)
+    out = np.empty(a.size, dtype=np.int32)
+    _load().rn_dct_inverse(_p32(a), _p32(out), _pf32(ct), _pf32(c),
+                           a.size, quality)
+    return out
+
+
+def fwht(src: np.ndarray) -> np.ndarray:
+    a = np.ascontiguousarray(src, dtype=np.int32)
+    out = np.empty(a.size, dtype=np.int32)
+    _load().rn_fwht(_p32(a), _p32(out), a.size)
+    return out
+
+
+def fwht_normalize(a: np.ndarray, n: int, ratio: float) -> np.ndarray:
+    out = np.ascontiguousarray(a, dtype=np.int32).copy()
+    _load().rn_fwht_normalize(_p32(out), n, ratio)
+    return out
+
+
+def fwht_normalize2(a: np.ndarray, ratio: float) -> np.ndarray:
+    out = np.ascontiguousarray(a, dtype=np.int32).copy()
+    _load().rn_fwht_normalize2(_p32(out), out.size, ratio)
+    return out
+
+
+def encode_planes_mt(planes: np.ndarray, nthreads: int = 0) -> bytes:
+    """Encode all byte planes concurrently; returns the concatenated
+    per-plane [u32 len][hzr stream] container section."""
+    lib = _load()
+    p = np.ascontiguousarray(planes, dtype=np.uint8)
+    nplanes, plane_len = p.shape
+    stride = int(lib.rn_hzr_max_size(plane_len)) + 4
+    out = np.empty(nplanes * stride, dtype=np.uint8)
+    lens = (ctypes.c_size_t * nplanes)()
+    rc = lib.rn_encode_planes_mt(_p8(p), plane_len, nplanes, _p8(out),
+                                 stride, lens, nthreads)
+    if rc:
+        raise ValueError("plane encode failed")
+    parts = []
+    for k in range(nplanes):
+        chunk = out[k * stride: k * stride + 4 + lens[k]]
+        parts.append(chunk.tobytes())
+    return b"".join(parts)
+
+
+def decode_planes_mt(src, nplanes: int, plane_len: int,
+                     nthreads: int = 0) -> Tuple[np.ndarray, int]:
+    lib = _load()
+    buf = _u8(src)
+    planes = np.empty((nplanes, plane_len), dtype=np.uint8)
+    consumed = ctypes.c_size_t(0)
+    rc = lib.rn_decode_planes_mt(_p8(buf), buf.size, nplanes, plane_len,
+                                 _p8(planes), ctypes.byref(consumed), nthreads)
+    if rc:
+        raise ValueError("plane decode failed")
+    return planes, consumed.value

@@ -1,0 +1,858 @@
+// rspt_native — host-side native runtime for the rspt_tpu framework.
+//
+// Implements the hot host paths that surround the TPU compute pipeline:
+//   * CRC32C (Castagnoli) via slice-by-8
+//   * the hzr block entropy codec (RLE + Huffman), byte-identical to the
+//     format described in rspt_tpu/formats/hzr_constants.py
+//   * serial-order-exact DCT-II / IDCT kernels (the C++ reference
+//     accumulates serially in double; summation order changes the
+//     truncated int output, so parity requires the same order —
+//     see signal_packer_dct.cpp:76-100 in the reference)
+//   * int32 wraparound scan kernels (delta/xor/offset) and the
+//     interleaved-native <-> channel-major-i32 layout swizzles
+//   * FWHT with int32 wraparound butterflies
+//
+// This is a from-scratch implementation written to the format spec; the
+// structure (flat index-based trees, explicit-stack traversal, 64-bit
+// bit cache, tokenized two-pass encode) is unlike the reference's
+// pointer-based bit-serial code on purpose: it is faster and it mirrors
+// the array-parallel TPU formulation.
+//
+// Build: tools/build_native.py (g++ -O3 -march=native -shared -fPIC)
+
+#include <cstdint>
+#include <cstddef>
+#include <cstring>
+#include <thread>
+#include <vector>
+
+namespace {
+
+// ---------------------------------------------------------------------------
+// CRC32C, slice-by-8
+// ---------------------------------------------------------------------------
+
+uint32_t g_crc_tab[8][256];
+
+struct CrcInit {
+    CrcInit() {
+        const uint32_t poly = 0x82F63B78u;
+        for (uint32_t i = 0; i < 256; ++i) {
+            uint32_t c = i;
+            for (int k = 0; k < 8; ++k) c = (c >> 1) ^ ((c & 1) ? poly : 0);
+            g_crc_tab[0][i] = c;
+        }
+        for (int j = 1; j < 8; ++j)
+            for (uint32_t i = 0; i < 256; ++i)
+                g_crc_tab[j][i] = g_crc_tab[0][g_crc_tab[j - 1][i] & 0xFF] ^
+                                  (g_crc_tab[j - 1][i] >> 8);
+    }
+} g_crc_init;
+
+uint32_t crc32c(const uint8_t* p, size_t n) {
+    uint32_t c = ~0u;
+    while (n >= 8) {
+        uint32_t lo, hi;
+        memcpy(&lo, p, 4);
+        memcpy(&hi, p + 4, 4);
+        lo ^= c;
+        c = g_crc_tab[7][lo & 0xFF] ^ g_crc_tab[6][(lo >> 8) & 0xFF] ^
+            g_crc_tab[5][(lo >> 16) & 0xFF] ^ g_crc_tab[4][lo >> 24] ^
+            g_crc_tab[3][hi & 0xFF] ^ g_crc_tab[2][(hi >> 8) & 0xFF] ^
+            g_crc_tab[1][(hi >> 16) & 0xFF] ^ g_crc_tab[0][hi >> 24];
+        p += 8;
+        n -= 8;
+    }
+    while (n--) c = g_crc_tab[0][(c ^ *p++) & 0xFF] ^ (c >> 8);
+    return ~c;
+}
+
+// ---------------------------------------------------------------------------
+// hzr format constants (see rspt_tpu/formats/hzr_constants.py)
+// ---------------------------------------------------------------------------
+
+constexpr size_t kHeaderSize = 4;
+constexpr size_t kBlockHeaderSize = 7;
+constexpr size_t kMaxBlockSize = 65536;
+constexpr int kModeCopy = 0;
+constexpr int kModeHuffRle = 1;
+constexpr int kModeFill = 2;
+constexpr int kNumSyms = 261;
+constexpr int kMaxNodes = kNumSyms * 2 - 1;  // 521
+constexpr int kSymBits = 9;
+constexpr uint32_t kMaxZeroRun = 16662;
+
+// RLE classification: run length -> (symbol, extra value, extra bits)
+inline void classify_run(uint32_t len, uint16_t& sym, uint16_t& extra,
+                         uint8_t& ebits) {
+    if (len == 1)       { sym = 0;   extra = 0;          ebits = 0; }
+    else if (len == 2)  { sym = 256; extra = 0;          ebits = 0; }
+    else if (len <= 6)  { sym = 257; extra = len - 3;    ebits = 2; }
+    else if (len <= 22) { sym = 258; extra = len - 7;    ebits = 4; }
+    else if (len <= 278){ sym = 259; extra = len - 23;   ebits = 8; }
+    else                { sym = 260; extra = len - 279;  ebits = 14; }
+}
+
+// ---------------------------------------------------------------------------
+// LSB-first bit writer with 64-bit cache
+// ---------------------------------------------------------------------------
+
+struct BitWriter {
+    uint8_t* base;
+    uint8_t* p;
+    uint8_t* end;
+    uint64_t cache = 0;
+    int nbits = 0;
+    bool failed = false;
+
+    BitWriter(uint8_t* buf, size_t cap) : base(buf), p(buf), end(buf + cap) {}
+
+    inline void put(uint32_t value, int bits) {  // bits <= 32, high bits of value zero
+        cache |= (uint64_t)value << nbits;
+        nbits += bits;
+        while (nbits >= 8) {
+            if (p >= end) { failed = true; nbits = 0; return; }
+            *p++ = (uint8_t)cache;
+            cache >>= 8;
+            nbits -= 8;
+        }
+    }
+    inline void put64(uint64_t value, int bits) {  // bits <= 56
+        cache |= value << nbits;
+        nbits += bits;
+        while (nbits >= 8) {
+            if (p >= end) { failed = true; nbits = 0; return; }
+            *p++ = (uint8_t)cache;
+            cache >>= 8;
+            nbits -= 8;
+        }
+    }
+    inline void flush_partial() {
+        if (nbits > 0) {
+            if (p >= end) { failed = true; return; }
+            *p++ = (uint8_t)(cache & (0xFF >> (8 - nbits)));
+            cache = 0;
+            nbits = 0;
+        }
+    }
+    size_t bytes_written() const { return (size_t)(p - base); }
+};
+
+// LSB-first bit reader
+struct BitReader {
+    const uint8_t* p;
+    const uint8_t* end;
+    uint64_t cache = 0;
+    int nbits = 0;
+    bool failed = false;
+
+    BitReader(const uint8_t* buf, size_t n) : p(buf), end(buf + n) {}
+
+    inline void fill() {
+        while (nbits <= 56 && p < end) {
+            cache |= (uint64_t)(*p++) << nbits;
+            nbits += 8;
+        }
+    }
+    inline uint32_t get(int bits) {
+        if (nbits < bits) {
+            fill();
+            if (nbits < bits) { failed = true; return 0; }
+        }
+        uint32_t v = (uint32_t)(cache & ((bits == 32) ? 0xFFFFFFFFu
+                                                      : ((1u << bits) - 1)));
+        cache >>= bits;
+        nbits -= bits;
+        return v;
+    }
+    inline int get1() {
+        if (nbits < 1) {
+            fill();
+            if (nbits < 1) { failed = true; return 0; }
+        }
+        int v = (int)(cache & 1);
+        cache >>= 1;
+        nbits -= 1;
+        return v;
+    }
+    // Bytes consumed, rounding the current partial byte up.
+    size_t consumed(const uint8_t* start) const {
+        return (size_t)(p - start) - (size_t)(nbits >> 3);
+    }
+};
+
+// ---------------------------------------------------------------------------
+// Tokenizer + histogram (single fused pass)
+// ---------------------------------------------------------------------------
+
+struct Token {
+    uint16_t sym;
+    uint16_t extra;
+};
+
+// Tokenize a block. Returns token count; fills hist[261].
+size_t tokenize(const uint8_t* in, size_t n, Token* toks, uint32_t* hist) {
+    memset(hist, 0, kNumSyms * sizeof(uint32_t));
+    size_t t = 0;
+    size_t k = 0;
+    while (k < n) {
+        uint8_t b = in[k];
+        if (b != 0) {
+            toks[t].sym = b;
+            toks[t].extra = 0;
+            hist[b]++;
+            ++t;
+            ++k;
+            continue;
+        }
+        // zero run, greedy, capped (runs never cross the block edge)
+        size_t z = 1;
+        size_t lim = n - k;
+        if (lim > kMaxZeroRun) lim = kMaxZeroRun;
+        while (z < lim && in[k + z] == 0) ++z;
+        uint16_t sym, extra;
+        uint8_t ebits;
+        classify_run((uint32_t)z, sym, extra, ebits);
+        toks[t].sym = sym;
+        toks[t].extra = extra;
+        hist[sym]++;
+        ++t;
+        k += z;
+    }
+    return t;
+}
+
+inline uint8_t extra_bits_of(uint16_t sym) {
+    switch (sym) {
+        case 257: return 2;
+        case 258: return 4;
+        case 259: return 8;
+        case 260: return 14;
+        default: return 0;
+    }
+}
+
+// ---------------------------------------------------------------------------
+// Huffman tree, replicating the reference's greedy build + tie-breaking
+// (hzr_encode.c:222-283): scan nodes[0..next) each round, `<=` means the
+// latest minimal node wins; internal nodes append after leaves.
+// ---------------------------------------------------------------------------
+
+struct TreeCtx {
+    int16_t sym[kMaxNodes];     // >=0 leaf symbol, -1 branch
+    int16_t child_a[kMaxNodes];
+    int16_t child_b[kMaxNodes];
+    uint32_t count[kMaxNodes];
+    int next = 0;
+    int root = -1;
+    bool single = false;
+};
+
+void build_tree(const uint32_t* hist, TreeCtx& t) {
+    t.next = 0;
+    for (int s = 0; s < kNumSyms; ++s) {
+        if (hist[s] > 0) {
+            t.sym[t.next] = (int16_t)s;
+            t.count[t.next] = hist[s];
+            t.child_a[t.next] = t.child_b[t.next] = -1;
+            ++t.next;
+        }
+    }
+    int num_symbols = t.next;
+    t.root = -1;
+    t.single = false;
+    if (num_symbols == 0) return;
+    if (num_symbols == 1) {
+        t.root = 0;
+        t.single = true;
+        return;
+    }
+    int left = num_symbols;
+    while (left > 1) {
+        int n1 = -1, n2 = -1;
+        for (int k = 0; k < t.next; ++k) {
+            uint32_t c = t.count[k];
+            if (c > 0) {
+                if (n1 < 0 || c <= t.count[n1]) { n2 = n1; n1 = k; }
+                else if (n2 < 0 || c <= t.count[n2]) { n2 = k; }
+            }
+        }
+        int r = t.next++;
+        t.sym[r] = -1;
+        t.child_a[r] = (int16_t)n1;
+        t.child_b[r] = (int16_t)n2;
+        t.count[r] = t.count[n1] + t.count[n2];
+        t.count[n1] = 0;
+        t.count[n2] = 0;
+        t.root = r;
+        --left;
+    }
+}
+
+// Preorder serialization: leaf = 1 + 9-bit symbol; branch = 0 then A (code
+// unchanged) and B (bit `bits` set). Explicit stack; pushing B before A
+// reproduces the recursive A-then-B order (hzr_encode.c:177-219).
+void store_tree(const TreeCtx& t, BitWriter& bw, uint32_t* codes,
+                uint8_t* code_bits) {
+    struct Item { int16_t node; uint32_t code; uint8_t bits; };
+    Item stack[kMaxNodes + 1];
+    int sp = 0;
+    stack[sp++] = {(int16_t)t.root, 0u, (uint8_t)(t.single ? 1 : 0)};
+    while (sp > 0) {
+        Item it = stack[--sp];
+        if (t.sym[it.node] >= 0) {
+            bw.put(1, 1);
+            bw.put((uint32_t)t.sym[it.node], kSymBits);
+            codes[t.sym[it.node]] = it.code;
+            code_bits[t.sym[it.node]] = it.bits;
+            if (bw.failed) return;
+            continue;
+        }
+        bw.put(0, 1);
+        if (bw.failed) return;
+        stack[sp++] = {t.child_b[it.node],
+                       it.code | (1u << it.bits), (uint8_t)(it.bits + 1)};
+        stack[sp++] = {t.child_a[it.node], it.code, (uint8_t)(it.bits + 1)};
+    }
+}
+
+// true if all tokens are in one code class; zeros (sym 0 / RLE) are one
+// class (hzr_encode.c:285-305)
+bool only_single_code(const uint32_t* hist) {
+    int has_zeros = (hist[0] > 0) ? 1 : 0;
+    for (int s = 256; s < kNumSyms; ++s)
+        if (hist[s] > 0) { has_zeros = 1; break; }
+    int nonzero = 0;
+    for (int s = 1; s < 256; ++s)
+        if (hist[s] > 0 && ++nonzero + has_zeros > 1) return false;
+    return (nonzero + has_zeros) == 1;
+}
+
+// ---------------------------------------------------------------------------
+// Block encode
+// ---------------------------------------------------------------------------
+
+inline void write_block_header(uint8_t* hdr, uint16_t size_minus_1,
+                               uint32_t crc, uint8_t mode) {
+    hdr[0] = (uint8_t)size_minus_1;
+    hdr[1] = (uint8_t)(size_minus_1 >> 8);
+    memcpy(hdr + 2, &crc, 4);
+    hdr[6] = mode;
+}
+
+// Returns encoded size incl. header, or 0 on buffer overflow.
+size_t encode_block(const uint8_t* in, size_t in_size, uint8_t* out,
+                    size_t cap, Token* toks) {
+    uint32_t hist[kNumSyms];
+    size_t ntok = tokenize(in, in_size, toks, hist);
+
+    if (only_single_code(hist)) {  // FILL
+        if (cap < kBlockHeaderSize + 1) return 0;
+        write_block_header(out, 0, crc32c(in, 1), kModeFill);
+        out[kBlockHeaderSize] = in[0];
+        return kBlockHeaderSize + 1;
+    }
+
+    // The payload region is limited to in_size bytes (copy fallback
+    // beyond that), also bounded by the caller's remaining capacity.
+    size_t payload_cap = in_size;
+    if (cap < kBlockHeaderSize) return 0;
+    if (cap - kBlockHeaderSize < payload_cap) payload_cap = cap - kBlockHeaderSize;
+
+    TreeCtx tree;
+    build_tree(hist, tree);
+    uint32_t codes[kNumSyms];
+    uint8_t code_bits[kNumSyms];
+    BitWriter bw(out + kBlockHeaderSize, payload_cap);
+    store_tree(tree, bw, codes, code_bits);
+
+    if (!bw.failed) {
+        for (size_t i = 0; i < ntok; ++i) {
+            uint16_t s = toks[i].sym;
+            int eb = extra_bits_of(s);
+            // code then extra bits as one LSB-first field
+            bw.put64((uint64_t)codes[s] |
+                         ((uint64_t)toks[i].extra << code_bits[s]),
+                     code_bits[s] + eb);
+            if (bw.failed) break;
+        }
+    }
+    if (!bw.failed) bw.flush_partial();
+
+    size_t payload = bw.bytes_written();
+    if (bw.failed || payload >= kMaxBlockSize) {  // COPY fallback
+        if (cap < kBlockHeaderSize + in_size) return 0;
+        write_block_header(out, (uint16_t)(in_size - 1), crc32c(in, in_size),
+                           kModeCopy);
+        memcpy(out + kBlockHeaderSize, in, in_size);
+        return kBlockHeaderSize + in_size;
+    }
+    write_block_header(out, (uint16_t)(payload - 1),
+                       crc32c(out + kBlockHeaderSize, payload), kModeHuffRle);
+    return kBlockHeaderSize + payload;
+}
+
+// ---------------------------------------------------------------------------
+// Block decode
+// ---------------------------------------------------------------------------
+
+struct DecTree {
+    int16_t child_a[kMaxNodes];
+    int16_t child_b[kMaxNodes];
+    int16_t sym[kMaxNodes];
+    int count = 0;
+    // 8-bit peek LUT: node >= 0 means continue walking from node; else
+    // terminal with symbol/bits.
+    int16_t lut_node[256];
+    uint16_t lut_sym[256];
+    uint8_t lut_bits[256];
+};
+
+// Iterative preorder tree recovery mirroring RecoverTree
+// (hzr_decode.c:263-333) including the node-count limit.
+int recover_tree(BitReader& br, DecTree& t) {
+    struct Item { int16_t parent; uint32_t code; uint8_t bits; bool is_b; };
+    Item stack[kMaxNodes + 1];
+    int sp = 0;
+    t.count = 0;
+    // seed: the root
+    stack[sp++] = {-1, 0u, 0, false};
+    int root = -1;
+    while (sp > 0) {
+        Item it = stack[--sp];
+        int idx = t.count++;
+        if (t.count >= kMaxNodes) return -1;
+        if (it.parent >= 0) {
+            if (it.is_b) t.child_b[it.parent] = (int16_t)idx;
+            else t.child_a[it.parent] = (int16_t)idx;
+        } else {
+            root = idx;
+        }
+        t.sym[idx] = -1;
+        t.child_a[idx] = t.child_b[idx] = -1;
+        int is_leaf = br.get1();
+        if (br.failed) return -1;
+        if (is_leaf) {
+            int sym = (int)br.get(kSymBits);
+            if (br.failed) return -1;
+            t.sym[idx] = (int16_t)sym;
+            if (it.bits <= 8) {
+                uint32_t dups = 256u >> it.bits;
+                uint8_t b = it.bits > 1 ? it.bits : 1;  // single-symbol case
+                for (uint32_t i = 0; i < dups; ++i) {
+                    uint32_t slot = (i << it.bits) | it.code;
+                    t.lut_node[slot] = -1;
+                    t.lut_sym[slot] = (uint16_t)sym;
+                    t.lut_bits[slot] = b;
+                }
+            }
+            continue;
+        }
+        if (it.bits == 8) {
+            t.lut_node[it.code] = (int16_t)idx;
+            t.lut_sym[it.code] = 0;
+            t.lut_bits[it.code] = 8;
+        }
+        // push B then A so A is processed first (preorder)
+        stack[sp++] = {(int16_t)idx, it.code | (1u << it.bits),
+                       (uint8_t)(it.bits + 1), true};
+        stack[sp++] = {(int16_t)idx, it.code, (uint8_t)(it.bits + 1), false};
+    }
+    return root;
+}
+
+// Decode one block's payload into out[0..out_size). Returns 0 on success.
+int decode_block_payload(const uint8_t* payload, size_t payload_len,
+                         uint8_t* out, size_t out_size) {
+    BitReader br(payload, payload_len);
+    DecTree tree;
+    int root = recover_tree(br, tree);
+    if (root < 0) return 1;
+    bool single = tree.sym[root] >= 0;
+
+    uint8_t* op = out;
+    uint8_t* oend = out + out_size;
+    while (op < oend) {
+        int sym;
+        if (single) {
+            br.get1();
+            if (br.failed) return 1;
+            sym = tree.sym[root];
+        } else {
+            br.fill();
+            if (br.nbits >= 8) {
+                uint32_t peek = (uint32_t)(br.cache & 0xFF);
+                int16_t node = tree.lut_node[peek];
+                uint8_t bits = tree.lut_bits[peek];
+                br.cache >>= bits;
+                br.nbits -= bits;
+                if (node < 0) {
+                    sym = tree.lut_sym[peek];
+                } else {
+                    while (tree.sym[node] < 0) {
+                        int b = br.get1();
+                        if (br.failed) return 1;
+                        node = b ? tree.child_b[node] : tree.child_a[node];
+                    }
+                    sym = tree.sym[node];
+                }
+            } else {
+                // tail: plain tree walk
+                int16_t node = (int16_t)root;
+                while (tree.sym[node] < 0) {
+                    int b = br.get1();
+                    if (br.failed) return 1;
+                    node = b ? tree.child_b[node] : tree.child_a[node];
+                }
+                sym = tree.sym[node];
+            }
+        }
+        if (sym <= 255) {
+            *op++ = (uint8_t)sym;
+        } else {
+            size_t zeros;
+            switch (sym) {
+                case 256: zeros = 2; break;
+                case 257: zeros = (size_t)br.get(2) + 3; break;
+                case 258: zeros = (size_t)br.get(4) + 7; break;
+                case 259: zeros = (size_t)br.get(8) + 23; break;
+                case 260: zeros = (size_t)br.get(14) + 279; break;
+                default: return 1;
+            }
+            if (br.failed || op + zeros > oend) return 1;
+            memset(op, 0, zeros);
+            op += zeros;
+        }
+    }
+    return 0;
+}
+
+}  // namespace
+
+// ===========================================================================
+// C API
+// ===========================================================================
+
+extern "C" {
+
+uint32_t rn_crc32c(const uint8_t* data, size_t n) { return crc32c(data, n); }
+
+size_t rn_hzr_max_size(size_t n) {
+    if (n == 0) return kHeaderSize;
+    size_t blocks = (n + kMaxBlockSize - 1) / kMaxBlockSize;
+    return kHeaderSize + blocks * kBlockHeaderSize + n;
+}
+
+int rn_hzr_encode(const uint8_t* in, size_t in_size, uint8_t* out,
+                  size_t cap, size_t* out_len) {
+    if (cap < kHeaderSize) return 1;
+    uint32_t sz = (uint32_t)in_size;
+    memcpy(out, &sz, 4);
+    size_t pos = kHeaderSize;
+    std::vector<Token> toks(kMaxBlockSize);
+    for (size_t start = 0; start < in_size; start += kMaxBlockSize) {
+        size_t bs = in_size - start;
+        if (bs > kMaxBlockSize) bs = kMaxBlockSize;
+        size_t e = encode_block(in + start, bs, out + pos, cap - pos,
+                                toks.data());
+        if (e == 0) return 1;
+        pos += e;
+    }
+    *out_len = pos;
+    return 0;
+}
+
+int rn_hzr_decode(const uint8_t* in, size_t in_size, uint8_t* out,
+                  size_t out_cap, size_t* consumed) {
+    if (in_size < kHeaderSize) return 1;
+    uint32_t total;
+    memcpy(&total, in, 4);
+    if (out_cap < total) return 1;
+    size_t pos = kHeaderSize;
+    size_t done = 0;
+    while (done < total) {
+        size_t bs = total - done;
+        if (bs > kMaxBlockSize) bs = kMaxBlockSize;
+        if (pos + kBlockHeaderSize > in_size) return 1;
+        uint16_t esz_m1;
+        memcpy(&esz_m1, in + pos, 2);
+        size_t esz = (size_t)esz_m1 + 1;
+        uint8_t mode = in[pos + 6];
+        pos += kBlockHeaderSize;
+        if (mode == kModeCopy) {
+            if (esz != bs || pos + bs > in_size) return 1;
+            memcpy(out + done, in + pos, bs);
+            pos += bs;
+        } else if (mode == kModeFill) {
+            if (pos + 1 > in_size) return 1;
+            memset(out + done, in[pos], bs);
+            pos += 1;
+        } else if (mode == kModeHuffRle) {
+            if (pos + esz > in_size) return 1;
+            if (decode_block_payload(in + pos, esz, out + done, bs)) return 1;
+            pos += esz;
+        } else {
+            return 1;
+        }
+        done += bs;
+    }
+    if (consumed) *consumed = pos;
+    return 0;
+}
+
+int rn_hzr_verify(const uint8_t* in, size_t in_size, size_t* decoded_size) {
+    if (in_size < kHeaderSize) return 1;
+    uint32_t total;
+    memcpy(&total, in, 4);
+    *decoded_size = total;
+    size_t pos = kHeaderSize;
+    size_t done = 0;
+    while (done < total) {
+        size_t bs = total - done;
+        if (bs > kMaxBlockSize) bs = kMaxBlockSize;
+        if (pos + kBlockHeaderSize > in_size) return 1;
+        uint16_t esz_m1;
+        memcpy(&esz_m1, in + pos, 2);
+        size_t esz = (size_t)esz_m1 + 1;
+        uint32_t want;
+        memcpy(&want, in + pos + 2, 4);
+        uint8_t mode = in[pos + 6];
+        if (mode > kModeFill) return 1;
+        pos += kBlockHeaderSize;
+        size_t adv = (mode == kModeFill) ? 1 : esz;
+        if (pos + adv > in_size) return 1;
+        if (crc32c(in + pos, mode == kModeFill ? 1 : esz) != want) return 1;
+        pos += adv;
+        done += bs;
+    }
+    return 0;
+}
+
+// --- scans (int32 wraparound; reference: utils.cpp:193-236) ---------------
+
+void rn_delta_encode(int32_t* a, size_t n) {
+    int32_t last = 0;
+    for (size_t i = 0; i < n; ++i) {
+        int32_t cur = a[i];
+        a[i] = (int32_t)((uint32_t)cur - (uint32_t)last);
+        last = cur;
+    }
+}
+
+void rn_delta_decode(int32_t* a, size_t n, int32_t min_val) {
+    uint32_t last = 0;
+    for (size_t i = 0; i < n; ++i) {
+        last = last + (uint32_t)a[i] + (uint32_t)min_val;
+        a[i] = (int32_t)last;
+    }
+}
+
+void rn_offset32(int32_t* a, size_t n, int32_t v) {
+    for (size_t i = 0; i < n; ++i) a[i] = (int32_t)((uint32_t)a[i] + (uint32_t)v);
+}
+
+void rn_xor_encode(int32_t* a, size_t n) {
+    int32_t last = 0;
+    for (size_t i = 0; i < n; ++i) {
+        int32_t d = last ^ a[i];
+        last = a[i];
+        a[i] = d;
+    }
+}
+
+void rn_xor_decode(int32_t* a, size_t n) {
+    for (size_t i = 1; i < n; ++i) a[i] = a[i - 1] ^ a[i];
+}
+
+// --- layout swizzles (reference: utils.cpp:51-191) -------------------------
+
+void rn_native_to_i32(int32_t* dst, const uint8_t* native, size_t nr_samples,
+                      size_t ch, size_t bps, int reverse) {
+    for (size_t s = 0; s < nr_samples; ++s) {
+        for (size_t c = 0; c < ch; ++c) {
+            const uint8_t* p = native + (s * ch + c) * bps;
+            uint32_t v = 0;
+            if (reverse)
+                for (size_t k = 0; k < bps; ++k)
+                    v |= (uint32_t)p[k] << (8 * (bps - 1 - k));
+            else
+                for (size_t k = 0; k < bps; ++k) v |= (uint32_t)p[k] << (8 * k);
+            int sh = 32 - 8 * (int)bps;
+            dst[c * nr_samples + s] = (int32_t)(v << sh) >> sh;
+        }
+    }
+}
+
+void rn_i32_to_native(uint8_t* native, const int32_t* src, size_t nr_samples,
+                      size_t ch, size_t bps, int reverse) {
+    for (size_t s = 0; s < nr_samples; ++s) {
+        for (size_t c = 0; c < ch; ++c) {
+            uint32_t v = (uint32_t)src[c * nr_samples + s];
+            uint8_t* p = native + (s * ch + c) * bps;
+            if (reverse)
+                for (size_t k = 0; k < bps; ++k)
+                    p[k] = (uint8_t)(v >> (8 * (bps - 1 - k)));
+            else
+                for (size_t k = 0; k < bps; ++k) p[k] = (uint8_t)(v >> (8 * k));
+        }
+    }
+}
+
+// --- byte planes ------------------------------------------------------------
+
+void rn_plane_split(const int32_t* flat, size_t n, int planes, uint8_t* out) {
+    for (int k = 0; k < planes; ++k) {
+        uint8_t* o = out + (size_t)k * n;
+        for (size_t i = 0; i < n; ++i) o[i] = (uint8_t)((uint32_t)flat[i] >> (8 * k));
+    }
+}
+
+void rn_plane_merge(const uint8_t* planes, size_t n, int p, int32_t* out) {
+    for (size_t i = 0; i < n; ++i) {
+        uint32_t v = 0;
+        for (int k = 0; k < p; ++k)
+            v |= (uint32_t)planes[(size_t)k * n + i] << (8 * k);
+        if (p < 4) {
+            int sh = 32 - 8 * p;
+            out[i] = ((int32_t)(v << sh)) >> sh;
+        } else {
+            out[i] = (int32_t)v;
+        }
+    }
+}
+
+// --- transforms -------------------------------------------------------------
+
+// Serial-order-exact DCT-II with folded quantization
+// (reference: signal_packer_dct.cpp:76-87). C usual arithmetic
+// conversions make `src[x] * COSINES[x][i]` a FLOAT product (int
+// promotes to float); only the accumulator is double — replicated here
+// exactly, including the truncating double->int conversion.
+void rn_dct_forward(const int32_t* src, int32_t* dst, const float* cosines,
+                    const float* cs, int n, double quality) {
+    double ratio1 = __builtin_sqrt(2.0 / n);
+    for (int i = 0; i < n; ++i) {
+        double sum = 0;
+        for (int x = 0; x < n; ++x) {
+            float p = (float)src[x] * cosines[(size_t)x * n + i];
+            sum += (double)p;
+        }
+        sum *= cs[i] * ratio1 / quality;
+        dst[i] = (int32_t)sum;
+    }
+}
+
+// IDCT (signal_packer_dct.cpp:89-100). `Cs[x] * dct[x] * COSINES[i][x]`
+// evaluates left-to-right entirely in float before the double accumulate.
+void rn_dct_inverse(const int32_t* dct, int32_t* out, const float* cosines,
+                    const float* cs, int n, double quality) {
+    double ratio1 = __builtin_sqrt(2.0 / n);
+    for (int i = 0; i < n; ++i) {
+        double sum = 0;
+        for (int x = 0; x < n; ++x) {
+            float p = cs[x] * (float)dct[x];
+            p = p * cosines[(size_t)i * n + x];
+            sum += (double)p;
+        }
+        sum *= ratio1 * quality;
+        out[i] = (int32_t)sum;
+    }
+}
+
+// FWHT, int32 wraparound butterflies (reference: lib_fwht/fwht.c:4-28).
+void rn_fwht(const int32_t* src, int32_t* dst, int n) {
+    std::vector<int32_t> buf(n);
+    const int32_t* a = src;
+    int32_t* b = dst;
+    int32_t* other = buf.data();
+    for (int i = n >> 1; i > 0; i >>= 1) {
+        for (int base = 0; base < n; base += 2 * i) {
+            for (int j = 0; j < i; ++j) {
+                uint32_t u = (uint32_t)a[base + j];
+                uint32_t v = (uint32_t)a[base + i + j];
+                b[base + j] = (int32_t)(u + v);
+                b[base + i + j] = (int32_t)(u - v);
+            }
+        }
+        if (a == src) { a = b; b = other; }
+        else { int32_t* t = (int32_t*)a; a = b; b = t; }
+    }
+    if (a != dst) memcpy(dst, a, sizeof(int32_t) * n);
+}
+
+void rn_fwht_normalize(int32_t* a, int n, double ratio) {
+    double d = n / ratio;
+    for (int i = 0; i < n; ++i) a[i] = (int32_t)(a[i] / d);
+}
+
+void rn_fwht_normalize2(int32_t* a, int n, double ratio) {
+    for (int i = 0; i < n; ++i) a[i] = (int32_t)(a[i] / ratio);
+}
+
+// --- multi-threaded helpers -------------------------------------------------
+
+// Encode P independent byte planes concurrently; each output chunk is
+// [u32 len][hzr stream] at out + k*stride. Returns 0 on success.
+int rn_encode_planes_mt(const uint8_t* planes, size_t plane_len, int nplanes,
+                        uint8_t* out, size_t stride, size_t* lens,
+                        int nthreads) {
+    if (nthreads <= 0) nthreads = (int)std::thread::hardware_concurrency();
+    std::vector<int> rcs(nplanes, 0);
+    auto work = [&](int k) {
+        size_t olen = 0;
+        rcs[k] = rn_hzr_encode(planes + (size_t)k * plane_len, plane_len,
+                               out + (size_t)k * stride + 4, stride - 4, &olen);
+        uint32_t l32 = (uint32_t)olen;
+        memcpy(out + (size_t)k * stride, &l32, 4);
+        lens[k] = olen;
+    };
+    if (nthreads <= 1 || nplanes <= 1) {
+        for (int k = 0; k < nplanes; ++k) work(k);
+    } else {
+        std::vector<std::thread> ts;
+        for (int k = 0; k < nplanes; ++k) ts.emplace_back(work, k);
+        for (auto& t : ts) t.join();
+    }
+    for (int k = 0; k < nplanes; ++k)
+        if (rcs[k]) return 1;
+    return 0;
+}
+
+int rn_decode_planes_mt(const uint8_t* in, size_t in_len, int nplanes,
+                        size_t plane_len, uint8_t* planes, size_t* consumed,
+                        int nthreads) {
+    // Parse chunk offsets serially (they're length-prefixed), decode
+    // concurrently.
+    std::vector<const uint8_t*> starts(nplanes);
+    std::vector<size_t> lens(nplanes);
+    size_t pos = 0;
+    for (int k = 0; k < nplanes; ++k) {
+        if (pos + 4 > in_len) return 1;
+        uint32_t l32;
+        memcpy(&l32, in + pos, 4);
+        pos += 4;
+        if (pos + l32 > in_len) return 1;
+        starts[k] = in + pos;
+        lens[k] = l32;
+        pos += l32;
+    }
+    *consumed = pos;
+    std::vector<int> rcs(nplanes, 0);
+    auto work = [&](int k) {
+        rcs[k] = rn_hzr_decode(starts[k], lens[k],
+                               planes + (size_t)k * plane_len, plane_len,
+                               nullptr);
+    };
+    if (nthreads == 1 || nplanes <= 1) {
+        for (int k = 0; k < nplanes; ++k) work(k);
+    } else {
+        std::vector<std::thread> ts;
+        for (int k = 0; k < nplanes; ++k) ts.emplace_back(work, k);
+        for (auto& t : ts) t.join();
+    }
+    for (int k = 0; k < nplanes; ++k)
+        if (rcs[k]) return 1;
+    return 0;
+}
+
+}  // extern "C"

@@ -1,0 +1,69 @@
+"""Signal-packer container format.
+
+Layout (reference: lib_rspt/lib_signalpacker/signal_packer_base.cpp):
+    [method: 1 byte]
+    [optional packer header (e.g. per-channel means)]
+    per plane k in 0..nr_planes-1:
+        [u32le length of hzr stream] [hzr stream]
+
+Plane k holds byte k (LSB first) of every value of the channel-major
+int32 workspace, flattened channel-by-channel (base.cpp:40-68).
+Each plane is hzr-encoded independently — that independence is what the
+TPU data-parallel path exploits (planes × 64KiB blocks = shard grid).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from ..hzr import pyref as hzr
+from ..ops import numpy_ops as nops
+
+_LEN_BYTES = 4  # CHUNK_MAX_SIZE_TYPE = uint32 (base.cpp:36)
+
+
+def compress_i32(enc: np.ndarray, method: int, nr_planes: int,
+                 header: bytes = b"",
+                 encode_plane=None) -> bytes:
+    """Container-encode a (channels, samples) int32 workspace.
+
+    ``encode_plane`` lets callers swap the plane entropy coder (pyref,
+    native, or the JAX two-pass encoder); defaults to the Python spec
+    implementation.
+    """
+    encode_plane = encode_plane or hzr.encode
+    flat = enc.reshape(-1)
+    planes = nops.plane_split(flat, nr_planes)
+    parts = [bytes([method]), header]
+    for k in range(nr_planes):
+        stream = encode_plane(planes[k])
+        parts.append(len(stream).to_bytes(_LEN_BYTES, "little"))
+        parts.append(stream)
+    return b"".join(parts)
+
+
+def decompress_i32(src, nr_planes: int, plane_len: int,
+                   header_size: int = 0,
+                   decode_plane=None) -> Tuple[int, bytes, np.ndarray, int]:
+    """Returns (method, header, (N,) int32 merged values, consumed_bytes).
+
+    Mirrors signal_packer_base.cpp:98-139 including per-plane-count sign
+    extension on merge.
+    """
+    decode_plane = decode_plane or (lambda b: hzr.decode(b))
+    src = memoryview(bytes(src) if isinstance(src, np.ndarray) else src).cast("B")
+    method = src[0]
+    pos = 1
+    header = bytes(src[pos:pos + header_size])
+    pos += header_size
+    planes = np.zeros((nr_planes, plane_len), dtype=np.uint8)
+    for k in range(nr_planes):
+        comp_len = int.from_bytes(src[pos:pos + _LEN_BYTES], "little")
+        pos += _LEN_BYTES
+        decoded = decode_plane(src[pos:pos + comp_len])
+        planes[k] = np.frombuffer(decoded, np.uint8, count=plane_len)
+        pos += comp_len
+    merged = nops.plane_merge(planes)
+    return method, header, merged, pos

@@ -1,0 +1,66 @@
+import os
+import sys
+
+# Multi-chip tests run on a virtual 8-device CPU mesh; set this before
+# any jax import.
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(1234)
+
+
+@pytest.fixture(scope="session")
+def ref():
+    """Compiled C++ reference oracle (skips if unavailable)."""
+    try:
+        from tools.build_reference import get_ref
+        return get_ref()
+    except Exception as e:  # pragma: no cover
+        pytest.skip(f"reference oracle unavailable: {e}")
+
+
+def make_ecg_like(rng, channels, samples, scale=300.0, bits=24):
+    """Synthetic ECG-ish random-walk signal, channel-major int32."""
+    walk = np.cumsum(rng.normal(0, scale, (channels, samples)), axis=1)
+    beat = 0.4 * scale * np.sin(np.arange(samples) / 37.0) ** 63
+    x = (walk + beat * 2 ** (bits - 12)).astype(np.int64)
+    lim = 2 ** (bits - 1) - 1
+    return np.clip(x, -lim, lim).astype(np.int32)
+
+
+def to_native(arr: np.ndarray, bps: int) -> bytes:
+    """Channel-major int32 → interleaved native little-endian bytes."""
+    v = np.ascontiguousarray(arr.T).astype(np.uint32)
+    b = np.zeros((*v.shape, bps), dtype=np.uint8)
+    for k in range(bps):
+        b[..., k] = (v >> np.uint32(8 * k)) & np.uint32(0xFF)
+    return b.tobytes()
+
+
+@pytest.fixture(scope="session")
+def ecg3(rng):
+    sig = make_ecg_like(rng, 3, 20000, 300.0, 24)
+    return sig, to_native(sig, 3)
+
+
+@pytest.fixture(scope="session")
+def ecg12(rng):
+    sig = make_ecg_like(rng, 12, 34199, 50000.0, 32)
+    return sig, to_native(sig, 4)
+
+
+@pytest.fixture(scope="session")
+def sine32():
+    sig = (np.sin(np.arange(8192) / 100.0) * 1000.0).astype(np.int32)
+    return sig.reshape(1, -1), sig.tobytes()
