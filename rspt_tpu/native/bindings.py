@@ -74,6 +74,18 @@ def _load():
     lib.rn_fwht_normalize.argtypes = [c_i32p, ctypes.c_int, ctypes.c_double]
     lib.rn_fwht_normalize2.restype = None
     lib.rn_fwht_normalize2.argtypes = [c_i32p, ctypes.c_int, ctypes.c_double]
+    lib.rn_build_tables.restype = ctypes.c_int
+    lib.rn_build_tables.argtypes = [
+        ctypes.POINTER(ctypes.c_uint32), ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint32), c_i32p, c_u8p, sz, c_i32p,
+        c_u8p, ctypes.c_int]
+    lib.rn_iir_filter_array.restype = None
+    lib.rn_iir_filter_array.argtypes = [
+        ctypes.POINTER(ctypes.c_double), sz,
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+        ctypes.c_int, ctypes.POINTER(ctypes.c_double),
+        ctypes.POINTER(ctypes.c_double), ctypes.c_int,
+        ctypes.POINTER(ctypes.c_double)]
     lib.rn_encode_planes_mt.restype = ctypes.c_int
     lib.rn_encode_planes_mt.argtypes = [c_u8p, sz, ctypes.c_int, c_u8p, sz,
                                         szp, ctypes.c_int]
@@ -244,6 +256,50 @@ def fwht_normalize2(a: np.ndarray, ratio: float) -> np.ndarray:
     out = np.ascontiguousarray(a, dtype=np.int32).copy()
     _load().rn_fwht_normalize2(_p32(out), out.size, ratio)
     return out
+
+
+def build_tables(hists: np.ndarray, desc_stride: int, nthreads: int = 0):
+    """Batched per-block Huffman table build (reference tie-breaking).
+
+    hists: (nb, 261) uint32. Returns (codes u32 (nb,261),
+    cbits i32 (nb,261), desc_bytes u8 (nb,desc_stride),
+    desc_bits i32 (nb,), is_fill bool (nb,)).
+    """
+    lib = _load()
+    h = np.ascontiguousarray(hists, dtype=np.uint32)
+    nb = h.shape[0]
+    codes = np.zeros((nb, 261), np.uint32)
+    cbits = np.zeros((nb, 261), np.int32)
+    desc_bytes = np.zeros((nb, desc_stride), np.uint8)
+    desc_bits = np.zeros(nb, np.int32)
+    is_fill = np.zeros(nb, np.uint8)
+    rc = lib.rn_build_tables(
+        h.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)), nb,
+        codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        _p32(cbits), _p8(desc_bytes), desc_stride, _p32(desc_bits),
+        _p8(is_fill), nthreads)
+    if rc:
+        raise ValueError("table build failed")
+    return codes, cbits, desc_bytes, desc_bits, is_fill.astype(bool)
+
+
+def iir_filter_array(x: np.ndarray, n, d, xz, yz, opt: int):
+    """Serial IIR over an array with reference accumulation order;
+    returns (y, (xz', yz'))."""
+    lib = _load()
+    xa = np.ascontiguousarray(x, np.float64)
+    p = len(n)
+    na = np.asarray(n, np.float64)
+    da = np.asarray(d, np.float64)
+    xza = np.asarray(list(xz) + [0.0] * (p - len(list(xz))), np.float64)[:p]
+    yza = np.asarray(list(yz) + [0.0] * (p - len(list(yz))), np.float64)[:p]
+    y = np.empty_like(xa)
+    dp = ctypes.POINTER(ctypes.c_double)
+    lib.rn_iir_filter_array(
+        xa.ctypes.data_as(dp), xa.size, na.ctypes.data_as(dp),
+        da.ctypes.data_as(dp), p, xza.ctypes.data_as(dp),
+        yza.ctypes.data_as(dp), int(opt), y.ctypes.data_as(dp))
+    return y, (xza.tolist(), yza.tolist())
 
 
 def encode_planes_mt(planes: np.ndarray, nthreads: int = 0) -> bytes:

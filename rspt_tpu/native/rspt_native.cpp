@@ -136,6 +136,7 @@ struct BitWriter {
         }
     }
     size_t bytes_written() const { return (size_t)(p - base); }
+    size_t bit_count() const { return 8 * (size_t)(p - base) + nbits; }
 };
 
 // LSB-first bit reader
@@ -853,6 +854,96 @@ int rn_decode_planes_mt(const uint8_t* in, size_t in_len, int nplanes,
     for (int k = 0; k < nplanes; ++k)
         if (rcs[k]) return 1;
     return 0;
+}
+
+// Batched Huffman table build for the JAX two-pass encoder
+// (rspt_tpu/hzr/jax_coder.py): per block, build the reference-exact
+// greedy tree (hzr_encode.c:222-283) from a 261-bin histogram and emit
+// the code LUT + host-packed preorder tree description.
+//   hists:      (nb, 261) u32
+//   codes:      (nb, 261) u32 out
+//   cbits:      (nb, 261) i32 out
+//   desc_bytes: (nb, desc_stride) u8 out (zero-padded)
+//   desc_bits:  (nb,) i32 out — description length in bits
+//   is_fill:    (nb,) u8 out — 1 when the block is single-code FILL
+int rn_build_tables(const uint32_t* hists, int nb,
+                    uint32_t* codes, int32_t* cbits,
+                    uint8_t* desc_bytes, size_t desc_stride,
+                    int32_t* desc_bits, uint8_t* is_fill, int nthreads) {
+    if (nthreads <= 0) nthreads = (int)std::thread::hardware_concurrency();
+    std::vector<int> rcs(nb, 0);
+    auto work = [&](int lo, int hi) {
+        for (int i = lo; i < hi; ++i) {
+            const uint32_t* hist = hists + (size_t)i * kNumSyms;
+            uint32_t* cod = codes + (size_t)i * kNumSyms;
+            int32_t* cbt = cbits + (size_t)i * kNumSyms;
+            uint8_t* db = desc_bytes + (size_t)i * desc_stride;
+            memset(cod, 0, kNumSyms * sizeof(uint32_t));
+            memset(cbt, 0, kNumSyms * sizeof(int32_t));
+            memset(db, 0, desc_stride);
+            desc_bits[i] = 0;
+            if (only_single_code(hist)) { is_fill[i] = 1; continue; }
+            is_fill[i] = 0;
+            TreeCtx tree;
+            build_tree(hist, tree);
+            if (tree.root < 0) { is_fill[i] = 1; continue; }
+            uint32_t c32[kNumSyms];
+            uint8_t cb8[kNumSyms];
+            memset(c32, 0, sizeof(c32));
+            memset(cb8, 0, sizeof(cb8));
+            BitWriter bw(db, desc_stride);
+            store_tree(tree, bw, c32, cb8);
+            if (bw.failed) { rcs[i] = 1; continue; }
+            int nbits_partial = (int)(bw.bit_count());
+            bw.flush_partial();
+            desc_bits[i] = nbits_partial;
+            for (int s = 0; s < kNumSyms; ++s) {
+                cod[s] = c32[s];
+                cbt[s] = cb8[s];
+            }
+        }
+    };
+    if (nthreads <= 1 || nb <= 1) {
+        work(0, nb);
+    } else {
+        int nt = nthreads < nb ? nthreads : nb;
+        std::vector<std::thread> ts;
+        for (int t = 0; t < nt; ++t)
+            ts.emplace_back(work, nb * t / nt, nb * (t + 1) / nt);
+        for (auto& t : ts) t.join();
+    }
+    for (int i = 0; i < nb; ++i)
+        if (rcs[i]) return 1;
+    return 0;
+}
+
+// Serial IIR array filter with the reference's exact accumulation
+// orders (iir_filter.cpp:64-107). State rings xz/yz length p
+// (index 0 = current slot), updated in place.
+void rn_iir_filter_array(const double* x, size_t n, const double* nc,
+                         const double* dc, int p, double* xz, double* yz,
+                         int opt, double* y) {
+    for (size_t t = 0; t < n; ++t) {
+        for (int i = p - 1; i > 0; --i) {
+            xz[i] = xz[i - 1];
+            yz[i] = yz[i - 1];
+        }
+        xz[0] = x[t];
+        double acc;
+        if (opt) {
+            acc = dc[0] * xz[0];
+            for (int i = 1; i < p; ++i) acc = acc + dc[i] * xz[i];
+            for (int i = 1; i < p; ++i) acc = acc - nc[i] * yz[i];
+        } else {
+            acc = dc[0] * xz[0];
+            for (int i = 1; i < p; ++i) {
+                acc += dc[i] * xz[i];
+                acc -= nc[i] * yz[i];
+            }
+        }
+        yz[0] = acc;
+        y[t] = acc;
+    }
 }
 
 }  // extern "C"

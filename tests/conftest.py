@@ -2,12 +2,20 @@ import os
 import sys
 
 # Multi-chip tests run on a virtual 8-device CPU mesh; set this before
-# any jax import.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# any jax import. The environment may pin JAX_PLATFORMS to the real TPU
+# ('axon'); tests force CPU unless RSPT_TEST_TPU=1 is set — the env var
+# alone is not reliably honored, so also use jax.config.
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+if not os.environ.get("RSPT_TEST_TPU"):
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    try:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 

@@ -176,10 +176,22 @@ class RefLib:
         L.ref_init_history.argtypes = [ctypes.c_void_p, ctypes.c_double,
                                        ctypes.c_int]
         L.ref_design_iir.restype = ctypes.c_int
+        L.ref_design_iir.argtypes = [
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_int), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_double, ctypes.c_double, ctypes.c_double]
+        L.ref_new_iir.argtypes = [ctypes.POINTER(ctypes.c_double),
+                                  ctypes.POINTER(ctypes.c_double),
+                                  ctypes.c_size_t]
+        L.ref_new_fir.argtypes = [ctypes.POINTER(ctypes.c_double),
+                                  ctypes.c_size_t]
         L.ref_new_peak_detector.restype = ctypes.c_void_p
         L.ref_new_peak_detector.argtypes = [ctypes.c_double, ctypes.c_double]
         L.ref_peak_detect.restype = ctypes.c_double
         L.ref_peak_detect.argtypes = [ctypes.c_void_p, ctypes.c_double]
+        dp = ctypes.POINTER(ctypes.c_double)
+        L.ref_peak_offline.argtypes = [ctypes.c_double, ctypes.c_double,
+                                       dp, ctypes.c_uint, dp, dp, dp]
         L.ref_new_rwm.restype = ctypes.c_void_p
         L.ref_new_rwm.argtypes = [ctypes.c_size_t]
         L.ref_rwm_insert.restype = ctypes.c_double
