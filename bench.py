@@ -18,17 +18,41 @@ import time
 import numpy as np
 
 
+def _enable_compile_cache():
+    """Persistent XLA compilation cache — compiles through the TPU
+    tunnel take minutes; cache them across processes."""
+    try:
+        import jax
+        cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 "build", "jax_cache")
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    except Exception as e:  # pragma: no cover
+        print(f"compile cache unavailable: {e}", file=sys.stderr)
+
+
+_enable_compile_cache()
+
+
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
 def make_ecg(channels=12, samples=34199, seed=1234):
+    """ECG-like 32-bit data: smooth baseline wander + beat spikes +
+    sample noise, with sample-to-sample deltas that fit ~2 bytes (the
+    regime the reference's 12-ch fixture lives in)."""
     rng = np.random.default_rng(seed)
-    walk = np.cumsum(rng.normal(0, 50000.0, (channels, samples)), axis=1)
-    beat = 0.4 * 50000.0 * np.sin(np.arange(samples) / 37.0) ** 63
-    x = (walk + beat * 2 ** 20).astype(np.int64)
+    t = np.arange(samples)
+    wander = 200000.0 * np.sin(t / 700.0)[None, :] \
+        + 150000.0 * np.sin(t / 1300.0 + np.arange(channels)[:, None])
+    beat = 800000.0 * (np.sin(t / 37.0) ** 63)[None, :]
+    noise = np.cumsum(rng.normal(0, 800.0, (channels, samples)), axis=1)
+    sig = (wander + beat + noise).astype(np.int64)
     lim = 2 ** 31 - 1
-    sig = np.clip(x, -lim, lim).astype(np.int32)
+    sig = np.clip(sig, -lim, lim).astype(np.int32)
     native = np.ascontiguousarray(sig.T).astype("<i4").tobytes()
     return sig, native
 

@@ -13,10 +13,11 @@ parallel entropy coder"):
       ≤261-entry histogram; preorder tree-description fields; FILL /
       COPY fallback decisions (hzr_encode.c:285-305, 399-407, 462-469).
   pass 2 (device, jit):  per-token code lookup, exclusive bit-offset
-      prefix sum, and GATHER-based bit packing: for every output byte,
-      binary-search the field list (searchsorted over cumulative bit
-      ends) and OR together the ≤17 fields that can overlap one byte.
-      No scatters — TPU-friendly memory access.
+      prefix sum, and scatter-add bit packing: disjoint bit positions
+      make OR == ADD, so each variable-width field becomes ≤2
+      word-aligned uint32 contributions accumulated by one scatter-add
+      per block (measured ~100× faster on TPU than byte-centric
+      searchsorted+gather formulations).
   host assembly:         7-byte block headers + CRC32C + concatenation.
 
 Blocks are the data-parallel axis: all blocks of all byte-planes are
@@ -56,11 +57,7 @@ except Exception:  # pragma: no cover
 
 B = MAX_BLOCK_SIZE  # 65536
 MAX_DESC_BITS = (2 * NUM_SYMBOLS - 1) + SYMBOL_SIZE * NUM_SYMBOLS
-MAX_OUT = B + 512                # payload cap before COPY fallback + slack
-_WINDOW = 19                     # max fields overlapping one output byte:
-#   8 one-bit token code fields can start in a byte, each with a
-#   zero-width extra-bits companion (16), plus one field straddling in,
-#   plus ≤2 eight-bit tail-padding dummies.
+MAX_OUT = B + 512  # packed payload width (cap before COPY fallback + slack)
 
 
 # ---------------------------------------------------------------------------
@@ -124,9 +121,22 @@ def tokenize_blocks(blocks: jnp.ndarray, lengths: jnp.ndarray):
     extras = jnp.where(is_chunk_start, run_extra, 0)
     ebits = jnp.where(is_chunk_start, run_ebits, 0)
 
-    hist = jax.vmap(
-        lambda s, v: jnp.zeros(NUM_SYMBOLS, jnp.int32).at[s].add(
-            v.astype(jnp.int32)))(syms, tvalid)
+    # Histogram without scatter (TPU scatters serialize): literals via a
+    # compare-reduce over the 256-lane axis — reshape positions to
+    # (chunks, 256) and compare against lane ids broadcast on the VPU —
+    # and the 5 RLE symbols via masked popcounts.
+    lit_syms = jnp.where(is_lit, x, jnp.int32(-1))
+    lanes = jnp.arange(256, dtype=jnp.int32)[None, None, :]
+    lit_m = lit_syms.reshape(nb, -1, 1)
+    hist_lit = jnp.sum((lit_m == lanes), axis=1, dtype=jnp.int32)
+    run_hist = [
+        jnp.sum(is_chunk_start & (run_sym == s), axis=1, dtype=jnp.int32)
+        for s in (256, 257, 258, 259, 260)]
+    # symbol 0 tokens (single zeros) live in run_sym == 0
+    hist0 = jnp.sum(is_chunk_start & (run_sym == 0), axis=1,
+                    dtype=jnp.int32)
+    hist_lit = hist_lit.at[:, 0].set(hist0)
+    hist = jnp.concatenate([hist_lit, jnp.stack(run_hist, axis=1)], axis=1)
     return syms, extras, ebits, tvalid, hist
 
 
@@ -168,39 +178,31 @@ def pack_blocks(syms, extras, ebits, tvalid, codes, code_bits, desc_bits):
     ``desc_bits`` (the host-packed tree description is OR-merged in by
     the caller).
 
+    Formulation: every bit position is written by exactly one field, so
+    OR-packing equals ADD-packing — each field becomes at most two
+    word-aligned uint32 contributions (value shifted into its 32-bit
+    word plus the spill into the next word), accumulated with one
+    scatter-add per block. No compaction, no searchsorted, no per-byte
+    gather windows — scatter-add and elementwise shifts only, all fast
+    on TPU (searchsorted's XLA lowering measured ~100x slower than the
+    whole scatter formulation).
+
     codes/code_bits: (nb, 261); desc_bits: (nb,) int32.
-    Returns packed (nb, MAX_OUT) uint8 and total_bits (nb,) int32
+    Returns packed (nb, n+512) uint8 and total_bits (nb,) int32
     (description + tokens).
     """
     nb, n = syms.shape
 
-    # ---- compact valid tokens to the front (stream order preserved) --
-    # sorted+unique scatter: dst position = exclusive cumsum of validity;
-    # invalid positions scatter out of bounds and are dropped
-    tv = tvalid.astype(jnp.int32)
-    dst = jnp.where(tvalid, jnp.cumsum(tv, axis=1) - tv, n)
-    ntok = jnp.sum(tv, axis=1)
-
-    def compact(a):
-        return jax.vmap(lambda d, v: jnp.zeros(n, a.dtype).at[d].set(
-            v, mode="drop", unique_indices=True))(dst, a)
-
-    csyms = compact(syms)
-    cextras = compact(extras)
-    cebits = compact(ebits)
-    pos = jnp.arange(n, dtype=jnp.int32)[None, :]
-    cvalid = pos < ntok[:, None]
-
-    tok_codes = jnp.take_along_axis(codes, csyms, axis=1).astype(jnp.uint32)
-    tok_cbits = jnp.take_along_axis(code_bits, csyms, axis=1)
+    tok_codes = jnp.take_along_axis(codes, syms, axis=1).astype(jnp.uint32)
+    tok_cbits = jnp.take_along_axis(code_bits, syms, axis=1)
     # combined value: code | extra << code_bits (≤ 23 + 14 = 37 bits),
     # carried as an 18/19-bit split in two uint32 lanes
-    ex = cextras.astype(jnp.uint32)
+    ex = extras.astype(jnp.uint32)
     cb = jnp.minimum(tok_cbits, 31).astype(jnp.uint32)
     val_lo32 = tok_codes | (ex << cb)
     val_hi32 = jnp.where(tok_cbits > 0, ex >> (jnp.uint32(32) - cb),
                          jnp.uint32(0))
-    nbits = jnp.where(cvalid, tok_cbits + cebits, 0)
+    nbits = jnp.where(tvalid, tok_cbits + ebits, 0)
 
     lo_mask = jnp.uint32((1 << _LO_BITS) - 1)
     f1_val = val_lo32 & lo_mask
@@ -209,55 +211,46 @@ def pack_blocks(syms, extras, ebits, tvalid, codes, code_bits, desc_bits):
         val_hi32 << jnp.uint32(32 - _LO_BITS))
     f2_bits = jnp.maximum(nbits - _LO_BITS, 0)
 
-    # interleave (f1, f2) per token in stream order
+    # interleave (f1, f2) per token in stream order; invalid positions
+    # have zero width and zero value — they contribute nothing
     vals = jnp.stack([f1_val, f2_val], axis=2).reshape(nb, 2 * n)
     bits = jnp.stack([f1_bits, f2_bits], axis=2).reshape(nb, 2 * n)
 
     ends = desc_bits[:, None] + jnp.cumsum(bits, axis=1)
     offs = ends - bits
-    total_bits = desc_bits + jnp.sum(bits, axis=1)
-    # Tail padding: the two zero-width fields of every *invalid* token
-    # slot all share one bit position (the stream end) and would blow
-    # the per-byte field window there; turn them into consecutive 8-bit
-    # zero dummies past the stream end instead. Mid-stream zero-width
-    # extra-fields stay as-is — the window bound accounts for them.
-    fpos = jnp.arange(2 * n, dtype=jnp.int32)[None, :]
-    tailpad = fpos >= 2 * ntok[:, None]
-    pad_extra = jnp.cumsum(tailpad.astype(jnp.int32), axis=1) * 8
-    ends = jnp.where(tailpad, ends + pad_extra, ends)
-    offs = jnp.where(tailpad, ends - 8, offs)
-    bits = jnp.where(tailpad, 8, bits)
-    vals = jnp.where(tailpad, jnp.uint32(0), vals)
+    total_bits = ends[:, -1]
 
     # payloads beyond the block length fall back to COPY, so the packed
-    # buffer only needs block-width + slack (also keeps dryrun compiles
-    # on tiny block widths fast)
+    # buffer only needs block-width + slack (keeps dryrun compiles on
+    # tiny block widths fast); width in 32-bit words + 1 spill word
     max_out = n + 512
+    nwords = max_out // 4 + 1
 
-    qbits = jnp.arange(max_out, dtype=jnp.int32) * 8
+    word = jnp.right_shift(offs, 5)
+    sh = (offs & 31).astype(jnp.uint32)
+    lo = (vals << sh).astype(jnp.int32)
+    hi = jnp.where(sh > 0, vals >> (jnp.uint32(32) - sh),
+                   jnp.uint32(0)).astype(jnp.int32)
+    # zero-width fields must not write (their value is zero already,
+    # but keep the invariant explicit)
+    live = bits > 0
+    lo = jnp.where(live, lo, 0)
+    hi = jnp.where(live, hi, 0)
 
-    def pack_one(vals_b, bits_b, ends_b, offs_b):
-        first = jnp.searchsorted(ends_b, qbits, side="right")
-        nf = vals_b.shape[0]
-        out = jnp.zeros(max_out, jnp.uint32)
-        for k in range(_WINDOW):
-            fidx = jnp.minimum(first + k, nf - 1)
-            v = vals_b[fidx]
-            o = offs_b[fidx]
-            w = bits_b[fidx]
-            rel = o - qbits
-            use = (first + k < nf) & (rel < 8) & (o + w > qbits)
-            sh_l = jnp.where(rel >= 0, rel, 0).astype(jnp.uint32)
-            sh_r = jnp.where((rel < 0) & (rel > -32), -rel, 31).astype(
-                jnp.uint32)
-            contrib = jnp.where(rel >= 0, v << sh_l, v >> sh_r) \
-                & jnp.uint32(0xFF)
-            out = out | jnp.where(use, contrib, jnp.uint32(0))
-        return out.astype(jnp.uint8)
+    def accum(word_b, lo_b, hi_b):
+        out = jnp.zeros(nwords, jnp.int32)
+        out = out.at[word_b].add(lo_b, mode="drop")
+        out = out.at[word_b + 1].add(hi_b, mode="drop")
+        return out
 
-    packed = jax.vmap(pack_one)(vals, bits, ends, offs)
+    words = jax.vmap(accum)(word, lo, hi)
+    # words → little-endian bytes (stream bit k = bit k%32 of word k//32,
+    # LSB-first — the hzr bit order, hzr_encode.c:32-113)
+    w = words.astype(jnp.uint32)
+    packed = jnp.stack(
+        [((w >> np.uint32(8 * j)) & np.uint32(0xFF)).astype(jnp.uint8)
+         for j in range(4)], axis=2).reshape(nb, nwords * 4)[:, :max_out]
     return packed, total_bits
-
 
 # ---------------------------------------------------------------------------
 # Orchestrator — bit-exact hzr_encode over batched blocks

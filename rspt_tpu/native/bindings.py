@@ -92,6 +92,12 @@ def _load():
     lib.rn_decode_planes_mt.restype = ctypes.c_int
     lib.rn_decode_planes_mt.argtypes = [c_u8p, sz, ctypes.c_int, sz, c_u8p,
                                         szp, ctypes.c_int]
+    lib.rn_hzr_decode_blocks_mt.restype = ctypes.c_int
+    lib.rn_hzr_decode_blocks_mt.argtypes = [c_u8p, sz, c_u8p, sz,
+                                            ctypes.c_int]
+    lib.rn_decode_planes_blocks_mt.restype = ctypes.c_int
+    lib.rn_decode_planes_blocks_mt.argtypes = [c_u8p, sz, ctypes.c_int, sz,
+                                               c_u8p, szp, ctypes.c_int]
     _LIB = lib
     return lib
 
@@ -320,6 +326,36 @@ def encode_planes_mt(planes: np.ndarray, nthreads: int = 0) -> bytes:
         chunk = out[k * stride: k * stride + 4 + lens[k]]
         parts.append(chunk.tobytes())
     return b"".join(parts)
+
+
+def hzr_decode_blocks_mt(data, nthreads: int = 0) -> bytes:
+    """Block-parallel hzr decode (header hop + per-block threads)."""
+    lib = _load()
+    buf = _u8(data)
+    if buf.size < 4:
+        raise ValueError("hzr: input too small")
+    total = int.from_bytes(buf[:4].tobytes(), "little")
+    out = np.empty(max(total, 1), dtype=np.uint8)
+    rc = lib.rn_hzr_decode_blocks_mt(_p8(buf), buf.size, _p8(out), total,
+                                     nthreads)
+    if rc:
+        raise ValueError("hzr decode failed")
+    return out[:total].tobytes()
+
+
+def decode_planes_blocks_mt(src, nplanes: int, plane_len: int,
+                            nthreads: int = 0) -> Tuple[np.ndarray, int]:
+    """All planes × all blocks decoded in one thread pool."""
+    lib = _load()
+    buf = _u8(src)
+    planes = np.empty((nplanes, plane_len), dtype=np.uint8)
+    consumed = ctypes.c_size_t(0)
+    rc = lib.rn_decode_planes_blocks_mt(
+        _p8(buf), buf.size, nplanes, plane_len, _p8(planes),
+        ctypes.byref(consumed), nthreads)
+    if rc:
+        raise ValueError("plane decode failed")
+    return planes, consumed.value
 
 
 def decode_planes_mt(src, nplanes: int, plane_len: int,

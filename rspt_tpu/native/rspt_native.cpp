@@ -819,6 +819,100 @@ int rn_encode_planes_mt(const uint8_t* planes, size_t plane_len, int nplanes,
     return 0;
 }
 
+// Block-parallel hzr decode: hop the 7-byte headers to find each
+// 64 KiB block's offset (cheap, serial), then decode all blocks
+// concurrently — the block independence the format guarantees
+// (hzr_encode.c:528-539 re-derives the tree per block).
+int rn_hzr_decode_blocks_mt(const uint8_t* in, size_t in_len, uint8_t* out,
+                            size_t out_cap, int nthreads) {
+    if (in_len < kHeaderSize) return 1;
+    uint32_t total;
+    memcpy(&total, in, 4);
+    if (total > out_cap) return 1;
+    if (nthreads <= 0) nthreads = (int)std::thread::hardware_concurrency();
+    // header hop
+    std::vector<size_t> in_off, out_off, blens;
+    size_t pos = kHeaderSize, left = total, opos = 0;
+    while (left > 0) {
+        size_t blen = left < kMaxBlockSize ? left : kMaxBlockSize;
+        if (pos + kBlockHeaderSize > in_len) return 1;
+        uint16_t sz;
+        memcpy(&sz, in + pos, 2);
+        uint8_t mode = in[pos + 6];
+        in_off.push_back(pos);
+        out_off.push_back(opos);
+        blens.push_back(blen);
+        size_t payload = (mode == kModeFill) ? 1 : (size_t)sz + 1;
+        pos += kBlockHeaderSize + payload;
+        opos += blen;
+        left -= blen;
+    }
+    int nb = (int)in_off.size();
+    std::vector<int> rcs(nb, 0);
+    auto work = [&](int lo_i, int hi_i) {
+        for (int i = lo_i; i < hi_i; ++i) {
+            size_t p = in_off[i];
+            uint16_t sz;
+            memcpy(&sz, in + p, 2);
+            uint8_t mode = in[p + 6];
+            const uint8_t* payload = in + p + kBlockHeaderSize;
+            uint8_t* dst = out + out_off[i];
+            size_t blen = blens[i];
+            if (mode == kModeCopy) {
+                if ((size_t)sz + 1 != blen) { rcs[i] = 1; continue; }
+                memcpy(dst, payload, blen);
+            } else if (mode == kModeFill) {
+                memset(dst, payload[0], blen);
+            } else if (mode == kModeHuffRle) {
+                if (decode_block_payload(payload, (size_t)sz + 1, dst, blen))
+                    rcs[i] = 1;
+            } else rcs[i] = 1;
+        }
+    };
+    if (nthreads <= 1 || nb <= 1) {
+        work(0, nb);
+    } else {
+        int nt = nthreads < nb ? nthreads : nb;
+        std::vector<std::thread> ts;
+        for (int t = 0; t < nt; ++t)
+            ts.emplace_back(work, nb * t / nt, nb * (t + 1) / nt);
+        for (auto& t : ts) t.join();
+    }
+    for (int i = 0; i < nb; ++i)
+        if (rcs[i]) return 1;
+    return 0;
+}
+
+// All planes × all blocks in one thread pool (used by the TPU packers'
+// decompress: nplanes chunks each [u32 len][hzr stream]).
+int rn_decode_planes_blocks_mt(const uint8_t* in, size_t in_len, int nplanes,
+                               size_t plane_len, uint8_t* planes,
+                               size_t* consumed, int nthreads) {
+    if (nthreads <= 0) nthreads = (int)std::thread::hardware_concurrency();
+    size_t pos = 0;
+    std::vector<int> rcs(nplanes, 0);
+    std::vector<std::thread> ts;
+    for (int k = 0; k < nplanes; ++k) {
+        if (pos + 4 > in_len) return 1;
+        uint32_t l32;
+        memcpy(&l32, in + pos, 4);
+        pos += 4;
+        if (pos + l32 > in_len) return 1;
+        const uint8_t* s = in + pos;
+        uint8_t* d = planes + (size_t)k * plane_len;
+        int per = nthreads / nplanes > 0 ? nthreads / nplanes : 1;
+        ts.emplace_back([s, l32, d, plane_len, per, &rcs, k] {
+            rcs[k] = rn_hzr_decode_blocks_mt(s, l32, d, plane_len, per);
+        });
+        pos += l32;
+    }
+    for (auto& t : ts) t.join();
+    *consumed = pos;
+    for (int k = 0; k < nplanes; ++k)
+        if (rcs[k]) return 1;
+    return 0;
+}
+
 int rn_decode_planes_mt(const uint8_t* in, size_t in_len, int nplanes,
                         size_t plane_len, uint8_t* planes, size_t* consumed,
                         int nthreads) {

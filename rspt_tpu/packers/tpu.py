@@ -1,18 +1,17 @@
 """TPU-path signal packers — device pipeline, host-identical streams.
 
 Same container formats as packers/host.py (and the C++ reference), but
-every array stage runs on the accelerator:
+every array stage runs on the accelerator, organized to MINIMIZE
+DISPATCHES (each eager op / un-cached jit call costs a host↔device
+round trip; a fresh ``jax.jit(lambda ...)`` per call recompiles):
 
-  native bytes ──(device)── layout swizzle → preprocess (xdelta scans /
-  DCT matmul / FWHT butterflies) → byte-plane split → tokenize+histogram
-  ──(host: per-block Huffman tables)── (device) code lookup + bit pack
-  ──(host: headers/CRC/concat)── container bytes
-
-All byte-planes' 64 KiB blocks are batched into ONE device call per
-pass (the data-parallel axis the mesh shards — parallel/mesh.py).
-Decompression entropy-decode is bit-serial per block and runs on the
-host native C++ runtime (multithreaded), with plane merge and inverse
-transforms back on device.
+  dispatch 1 (cached jit "pass 1"): layout swizzle → preprocess
+      (xdelta scans / transform) → byte-plane split → verify check →
+      blockify → RLE tokenize + histograms.
+  host: per-block Huffman tables (multithreaded native C++).
+  dispatch 2 (cached jit "pass 2"): code lookup → bit-offset prefix
+      sum → scatter-add word packing.
+  host: headers/CRC/concat (native CRC32C).
 
 Reference parity: signal_packer_hzr.cpp / signal_packer_xdelta_hzr.cpp /
 signal_packer_dct.cpp / signal_packer_hadamard.cpp — byte-identical
@@ -21,6 +20,7 @@ compressed output and reconstruction (tests/test_tpu_packers.py).
 
 from __future__ import annotations
 
+import functools
 import logging
 from typing import Optional, Tuple
 
@@ -44,68 +44,162 @@ except Exception:  # pragma: no cover
     _HAVE_NATIVE = False
 
 
-def _decode_planes(comp, nr_planes, plane_len):
-    """Entropy-decode the per-plane streams (host, native if built)."""
-    src = memoryview(bytes(comp) if isinstance(comp, np.ndarray) else comp)
-    method = src[0]
-    return method, src
+# ---------------------------------------------------------------------------
+# Fused pass-1 kernels (one dispatch each), cached per static config
+# ---------------------------------------------------------------------------
+
+def _block_layout(plane_len: int, nr_planes: int):
+    B = jax_coder.B
+    nb_per = max(1, -(-plane_len // B))
+    lengths = np.full(nr_planes * nb_per, B, np.int32)
+    if plane_len % B:
+        lengths[nb_per - 1::nb_per] = plane_len % B
+    return nb_per, lengths
+
+
+def _blockify_tokenize(planes, plane_len, nr_planes, lengths_np):
+    """(inside jit) planes (nr_planes, plane_len) u8 → blocks + tokens."""
+    B = jax_coder.B
+    nb_per = max(1, -(-plane_len // B))
+    padded = jnp.zeros((nr_planes, nb_per * B), jnp.uint8)
+    padded = padded.at[:, :plane_len].set(planes)
+    blocks = padded.reshape(nr_planes * nb_per, B)
+    toks = jax_coder.tokenize_blocks(blocks, jnp.asarray(lengths_np))
+    return blocks, toks
+
+
+@functools.lru_cache(maxsize=64)
+def _pass1_hzr(ns: int, ch: int, bps: int, nr_planes: int):
+    plane_len = ch * ns
+    _, lengths = _block_layout(plane_len, nr_planes)
+
+    @jax.jit
+    def f(raw):
+        enc = jops.native_to_i32(raw, ns, ch, bps).reshape(-1)
+        planes = jops.plane_split(enc, nr_planes)
+        return _blockify_tokenize(planes, plane_len, nr_planes, lengths)
+
+    return f, lengths
+
+
+@functools.lru_cache(maxsize=64)
+def _pass1_xdelta(ns: int, ch: int, bps: int, nr_planes: int):
+    plane_len = ch * ns
+    _, lengths = _block_layout(plane_len, nr_planes)
+
+    @jax.jit
+    def f(raw):
+        enc = jops.native_to_i32(raw, ns, ch, bps).reshape(-1)
+        enc = jops.xor_encode(jops.offset32(jops.delta_encode(enc), -128))
+        # verify-and-grow check (signal_packer_xdelta_hzr.cpp:59-71):
+        # hzr is lossless, so only plane truncation can lose bits
+        merged = jops.plane_merge(jops.plane_split(enc, nr_planes))
+        ok = jnp.array_equal(merged, enc)
+        planes = jops.plane_split(enc, nr_planes)
+        blocks, toks = _blockify_tokenize(planes, plane_len, nr_planes,
+                                          lengths)
+        return ok, blocks, toks
+
+    return f, lengths
+
+
+@functools.lru_cache(maxsize=64)
+def _pass1_swizzle_means(ns: int, ch: int, bps: int):
+    @jax.jit
+    def f(raw):
+        enc = jops.native_to_i32(raw, ns, ch, bps)
+        hi, lo = jops.sum64_parts(enc)
+        return enc, hi, lo
+
+    return f
+
+
+@functools.lru_cache(maxsize=64)
+def _pass1_xdelta_tail(ns: int, ch: int, nr_planes: int, header: bool):
+    """delta/offset/xor → planes → tokenize, from an int32 workspace
+    already on device (the transform packers' tail)."""
+    plane_len = ch * ns
+    _, lengths = _block_layout(plane_len, nr_planes)
+
+    @jax.jit
+    def f(work):
+        flat = work.reshape(-1)
+        if header:  # dct path: delta chain applies (dct.cpp:117-119)
+            flat = jops.xor_encode(jops.offset32(
+                jops.delta_encode(flat), -128))
+        planes = jops.plane_split(flat, nr_planes)
+        return _blockify_tokenize(planes, plane_len, nr_planes, lengths)
+
+    return f, lengths
+
+
+# ---------------------------------------------------------------------------
+# Pass 2 + assembly
+# ---------------------------------------------------------------------------
+
+def _entropy_finish(blocks_dev, toks, lengths_np, nr_planes: int,
+                    method: int, header: bytes, encoder=None) -> bytes:
+    """Host tables → pack dispatch → container assembly."""
+    syms, extras, ebits, tvalid, hist = toks
+    nb = syms.shape[0]
+    nb_per = nb // nr_planes
+
+    if encoder is not None:  # sharded path (multi-chip mesh)
+        blocks_np = np.asarray(blocks_dev)
+        packed, total_bits, is_fill = encoder.encode_blocks(
+            blocks_np, lengths_np)
+    else:
+        codes, cbits, desc_bytes, desc_bits, is_fill = \
+            jax_coder.host_tables(np.asarray(hist), lengths_np)
+        codes_d, cbits_d, dbits_d = jax.device_put(
+            (codes, cbits, desc_bits))
+        packed_dev, total_bits_dev = jax_coder.pack_blocks(
+            syms, extras, ebits, tvalid, codes_d, cbits_d, dbits_d)
+        packed = np.array(packed_dev)
+        packed[:, :desc_bytes.shape[1]] |= desc_bytes
+        total_bits = np.asarray(total_bits_dev)
+        blocks_np = np.asarray(blocks_dev)
+
+    parts = [bytes([method]), header]
+    for k in range(nr_planes):
+        s = slice(k * nb_per, (k + 1) * nb_per)
+        stream = jax_coder.assemble(blocks_np[s], lengths_np[s], packed[s],
+                                    total_bits[s], is_fill[s])
+        parts.append(len(stream).to_bytes(4, "little"))
+        parts.append(stream)
+    return b"".join(parts)
+
+
+def _as_u8(src):
+    return np.frombuffer(memoryview(src).cast("B"), np.uint8) \
+        if not isinstance(src, np.ndarray) else src.reshape(-1)
 
 
 class _TpuPackerBase:
     def __init__(self, bytes_per_sample: int, nr_channels: int,
                  nr_samples: int, encoder=None):
         self.cfg = PackerConfig(bytes_per_sample, nr_channels, nr_samples)
-        # encoder: object with .encode_blocks(blocks, lengths) — defaults
-        # to single-device jax_coder; pass parallel.mesh.ShardedHzrEncoder
-        # for a multi-chip mesh.
+        # encoder: object with .encode_blocks(blocks, lengths) — e.g.
+        # parallel.mesh.ShardedHzrEncoder for a multi-chip mesh.
         self._encoder = encoder
-
-    # -- batched per-plane hzr encode: one device call for all planes --
-    def _encode_planes(self, planes_dev) -> list:
-        """planes_dev: (nr_planes, plane_len) uint8 on device.
-        Returns list of per-plane hzr streams (bytes)."""
-        nplanes, plane_len = planes_dev.shape
-        B = jax_coder.B
-        nb_per = max(1, -(-plane_len // B))
-        pad_len = nb_per * B
-        padded = jnp.zeros((nplanes, pad_len), jnp.uint8)
-        padded = padded.at[:, :plane_len].set(planes_dev)
-        blocks = padded.reshape(nplanes * nb_per, B)
-        lengths = np.full(nplanes * nb_per, B, np.int32)
-        if plane_len % B:
-            lengths[nb_per - 1::nb_per] = plane_len % B
-
-        blocks_np = np.asarray(blocks)  # host copy for FILL/COPY payloads
-        if self._encoder is not None:
-            packed, total_bits, is_fill = self._encoder.encode_blocks(
-                blocks_np, lengths)
-        else:
-            packed, total_bits, is_fill = jax_coder.encode_blocks_device(
-                blocks_np, lengths)
-        streams = []
-        for k in range(nplanes):
-            s = slice(k * nb_per, (k + 1) * nb_per)
-            streams.append(jax_coder.assemble(
-                blocks_np[s], lengths[s], packed[s], total_bits[s],
-                is_fill[s]))
-        return streams
-
-    def _container_from_planes(self, planes_dev, method: int,
-                               header: bytes = b"") -> bytes:
-        streams = self._encode_planes(planes_dev)
-        parts = [bytes([method]), header]
-        for s in streams:
-            parts.append(len(s).to_bytes(4, "little"))
-            parts.append(s)
-        return b"".join(parts)
 
     def _decode_container(self, comp, nr_planes: int, header_size: int
                           ) -> Tuple[int, bytes, jnp.ndarray, int]:
-        """Host entropy decode (native C++ when built) → device planes
-        merged to int32."""
-        decode_plane = native.hzr_decode if _HAVE_NATIVE else hzr_py.decode
+        """Host entropy decode (multithreaded native C++ when built,
+        one thread per plane) → plane merge on device."""
+        c = self.cfg
+        if _HAVE_NATIVE:
+            buf = np.frombuffer(memoryview(bytes(comp))
+                                if not isinstance(comp, (bytes, bytearray))
+                                else memoryview(comp), np.uint8)
+            method = int(buf[0])
+            header = buf[1:1 + header_size].tobytes()
+            planes, consumed = native.decode_planes_blocks_mt(
+                buf[1 + header_size:], nr_planes, c.plane_len)
+            merged = jops.plane_merge(jnp.asarray(planes))
+            return method, header, merged, 1 + header_size + consumed
         method, header, merged, consumed = container.decompress_i32(
-            comp, nr_planes, self.cfg.plane_len, header_size, decode_plane)
+            comp, nr_planes, c.plane_len, header_size, hzr_py.decode)
         return method, header, jnp.asarray(merged), consumed
 
 
@@ -117,12 +211,11 @@ class TpuHzrPacker(_TpuPackerBase):
 
     def compress(self, src) -> bytes:
         c = self.cfg
-        raw = jnp.asarray(np.frombuffer(memoryview(src).cast("B"), np.uint8)
-                          if not isinstance(src, np.ndarray) else src)
-        enc = jops.native_to_i32(raw, c.nr_samples, c.nr_channels,
-                                 c.bytes_per_sample)
-        planes = jops.plane_split(enc.reshape(-1), self.NR_PLANES)
-        return self._container_from_planes(planes, self.METHOD)
+        f, lengths = _pass1_hzr(c.nr_samples, c.nr_channels,
+                                c.bytes_per_sample, self.NR_PLANES)
+        blocks, toks = f(jnp.asarray(_as_u8(src)))
+        return _entropy_finish(blocks, toks, lengths, self.NR_PLANES,
+                               self.METHOD, b"", self._encoder)
 
     def decompress(self, comp) -> Tuple[bytes, int]:
         c = self.cfg
@@ -146,14 +239,20 @@ class TpuXdeltaHzrPacker(_TpuPackerBase):
         super().__init__(bytes_per_sample, nr_channels, nr_samples, **kw)
         self.nr_planes = int(nr_bytes_to_encode)
 
-    @staticmethod
-    @jax.jit
-    def _preprocess(raw, *, _shapes):
-        ns, ch, bps = _shapes
-        enc = jops.native_to_i32(raw, ns, ch, bps).reshape(-1)
-        enc = jops.delta_encode(enc)
-        enc = jops.offset32(enc, -128)
-        return jops.xor_encode(enc)
+    def compress(self, src) -> bytes:
+        c = self.cfg
+        raw = jnp.asarray(_as_u8(src))
+        while True:
+            f, lengths = _pass1_xdelta(c.nr_samples, c.nr_channels,
+                                       c.bytes_per_sample, self.nr_planes)
+            ok, blocks, toks = f(raw)
+            if bool(ok):
+                break
+            log.info("xdelta_hzr: growing plane count to %d",
+                     self.nr_planes + 1)
+            self.nr_planes += 1
+        return _entropy_finish(blocks, toks, lengths, self.nr_planes,
+                               self.METHOD, b"", self._encoder)
 
     @staticmethod
     @jax.jit
@@ -161,27 +260,6 @@ class TpuXdeltaHzrPacker(_TpuPackerBase):
         enc = jops.xor_decode(merged)
         enc = jops.offset32(enc, 128)
         return jops.delta_decode(enc)
-
-    def compress(self, src) -> bytes:
-        c = self.cfg
-        raw = jnp.asarray(np.frombuffer(memoryview(src).cast("B"), np.uint8)
-                          if not isinstance(src, np.ndarray) else src)
-        enc = jax.jit(lambda r: jops.xor_encode(jops.offset32(
-            jops.delta_encode(jops.native_to_i32(
-                r, c.nr_samples, c.nr_channels,
-                c.bytes_per_sample).reshape(-1)), -128)))(raw)
-        # verify-and-grow (the reference's roundtrip memcmp,
-        # signal_packer_xdelta_hzr.cpp:59-71): hzr is lossless, so only
-        # plane truncation can lose bits — check on device.
-        while True:
-            merged = jops.plane_merge(jops.plane_split(enc, self.nr_planes))
-            if bool(jnp.array_equal(merged, enc)):
-                break
-            log.info("xdelta_hzr: growing plane count to %d",
-                     self.nr_planes + 1)
-            self.nr_planes += 1
-        planes = jops.plane_split(enc, self.nr_planes)
-        return self._container_from_planes(planes, self.METHOD)
 
     def decompress(self, comp) -> Tuple[bytes, int]:
         c = self.cfg
@@ -200,12 +278,12 @@ class TpuDctPacker(_TpuPackerBase):
 
     Transform parity note: the reference accumulates serially in C
     double; its exact value depends on the binary64 rounding of every
-    partial sum, which no non-f64 hardware can replicate. Default
+    partial sum, which non-f64 hardware cannot replicate. Default
     (``device_transform=False``) runs the transform on the host native
-    serial kernel — bit-identical reconstruction. ``device_transform=
-    True`` uses the df32 MXU/VPU kernels (jax_ops.dct_*_exact): forward
-    has a 128× truncation margin (no observed deviations), inverse can
-    differ by ±1 on ~0.3‰ of samples."""
+    serial kernel — bit-identical output. ``device_transform=True``
+    uses the df32 MXU/VPU kernels (jax_ops.dct_*_exact): forward has a
+    128× truncation margin (no observed deviations), inverse can differ
+    by ±1 on ~0.3‰ of samples."""
 
     METHOD = 1
     NR_PLANES = 2
@@ -241,20 +319,18 @@ class TpuDctPacker(_TpuPackerBase):
 
     def compress(self, src) -> bytes:
         c = self.cfg
-        raw = jnp.asarray(np.frombuffer(memoryview(src).cast("B"), np.uint8)
-                          if not isinstance(src, np.ndarray) else src)
-        enc = jops.native_to_i32(raw, c.nr_samples, c.nr_channels,
-                                 c.bytes_per_sample)
-        hi, lo = jops.sum64_parts(enc)
+        enc, hi, lo = _pass1_swizzle_means(
+            c.nr_samples, c.nr_channels, c.bytes_per_sample)(
+                jnp.asarray(_as_u8(src)))
         means = jops.average32_host(np.asarray(hi), np.asarray(lo),
                                     c.nr_samples)
-        enc = enc - jnp.asarray(means)[:, None]
-        dct = self._dct_fwd(enc)
-        flat = jops.xor_encode(jops.offset32(
-            jops.delta_encode(dct.reshape(-1)), -128))
-        planes = jops.plane_split(flat, self.NR_PLANES)
-        return self._container_from_planes(planes, self.METHOD,
-                                           _means_header(means))
+        dct = self._dct_fwd(enc - jnp.asarray(means)[:, None])
+        f, lengths = _pass1_xdelta_tail(c.nr_samples, c.nr_channels,
+                                        self.NR_PLANES, True)
+        blocks, toks = f(dct)
+        return _entropy_finish(blocks, toks, lengths, self.NR_PLANES,
+                               self.METHOD, _means_header(means),
+                               self._encoder)
 
     def decompress(self, comp) -> Tuple[bytes, int]:
         c = self.cfg
@@ -263,12 +339,20 @@ class TpuDctPacker(_TpuPackerBase):
         if method != self.METHOD:
             raise ValueError("unsupported compression method")
         flat = jops.delta_decode(jops.offset32(jops.xor_decode(merged), 128))
-        dct = flat.reshape(c.nr_channels, c.nr_samples)
-        rec = self._dct_inv(dct)
+        rec = self._dct_inv(flat.reshape(c.nr_channels, c.nr_samples))
         means = _means_from_header(header, c.nr_channels)
         rec = rec + jnp.asarray(means)[:, None]
         out = jops.i32_to_native(rec.astype(jnp.int32), c.bytes_per_sample)
         return np.asarray(out).tobytes(), consumed
+
+
+@functools.lru_cache(maxsize=64)
+def _hadamard_transform_jit(ns: int, quality: float):
+    @jax.jit
+    def f(enc, means):
+        centered = enc - means[:, None]
+        return jops.fwht_normalize_pow2(jops.fwht(centered), ns, quality)
+    return f
 
 
 class TpuHadamardPacker(_TpuPackerBase):
@@ -281,19 +365,19 @@ class TpuHadamardPacker(_TpuPackerBase):
 
     def compress(self, src) -> bytes:
         c = self.cfg
-        raw = jnp.asarray(np.frombuffer(memoryview(src).cast("B"), np.uint8)
-                          if not isinstance(src, np.ndarray) else src)
-        enc = jops.native_to_i32(raw, c.nr_samples, c.nr_channels,
-                                 c.bytes_per_sample)
-        hi, lo = jops.sum64_parts(enc)
+        enc, hi, lo = _pass1_swizzle_means(
+            c.nr_samples, c.nr_channels, c.bytes_per_sample)(
+                jnp.asarray(_as_u8(src)))
         means = jops.average32_host(np.asarray(hi), np.asarray(lo),
                                     c.nr_samples)
-        enc = enc - jnp.asarray(means)[:, None]
-        had = jops.fwht_normalize_pow2(jops.fwht(enc), c.nr_samples,
-                                       self.QUALITY)
-        planes = jops.plane_split(had.reshape(-1), self.NR_PLANES)
-        return self._container_from_planes(planes, self.METHOD,
-                                           _means_header(means))
+        had = _hadamard_transform_jit(c.nr_samples, self.QUALITY)(
+            enc, jnp.asarray(means))
+        f, lengths = _pass1_xdelta_tail(c.nr_samples, c.nr_channels,
+                                        self.NR_PLANES, False)
+        blocks, toks = f(had)
+        return _entropy_finish(blocks, toks, lengths, self.NR_PLANES,
+                               self.METHOD, _means_header(means),
+                               self._encoder)
 
     def decompress(self, comp) -> Tuple[bytes, int]:
         c = self.cfg

@@ -1,0 +1,145 @@
+"""Streaming real-time path: ring-buffer ingest → IIR pre-filter →
+block packer (BASELINE config 5).
+
+The reference's usage pattern (lib_rspt_test/rspt_test.cpp:114-137):
+convert native → filter each channel sample-by-sample with
+``filter_opt`` → convert back → pack fixed-size buffers. Here the same
+pipeline is a small object graph with explicit state:
+
+  producer thread → IoBuffer (packet ring, io/ring.py)
+      → StreamingCodec.push(packet)
+          → ContinuousRing staging until one block of samples
+          → per-channel IIR filter (native serial kernel, carries
+            (xz, yz) across blocks — the reference's in-object history
+            made explicit and serializable)
+          → TPU xdelta_hzr packer → compressed frames
+
+Every stage's carry state is a plain tuple, so checkpoint/resume is
+`get_state()`/`set_state()` — the aux-subsystem gap noted in SURVEY §5.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable, List, Optional, Tuple
+
+import numpy as np
+
+from .filters.streaming import IirFilter
+from .io.ring import ContinuousRing
+
+
+@dataclass
+class StreamConfig:
+    bytes_per_sample: int
+    nr_channels: int
+    nr_samples: int          # samples per compressed block
+    sampling_rate: float = 2000.0
+    nr_bytes_to_encode: int = 3
+    filter_coeffs: Optional[Tuple[List[float], List[float]]] = None
+    # (n = feedback, d = feedforward), reference naming; None = no filter
+
+
+class StreamingCodec:
+    """Push native interleaved bytes in, get compressed frames out."""
+
+    def __init__(self, cfg: StreamConfig, packer=None):
+        self.cfg = cfg
+        if packer is None:
+            from .packers.tpu import new_xdelta_hzr
+            packer = new_xdelta_hzr(cfg.bytes_per_sample, cfg.nr_channels,
+                                    cfg.nr_samples, cfg.nr_bytes_to_encode)
+        self.packer = packer
+        self._ring = ContinuousRing(0, np.uint8)
+        self._filters = None
+        if cfg.filter_coeffs is not None:
+            n, d = cfg.filter_coeffs
+            self._filters = [IirFilter(n=n, d=d)
+                             for _ in range(cfg.nr_channels)]
+        self._warmed = False
+        self.frames_out = 0
+        self.bytes_in = 0
+        self.bytes_out = 0
+
+    @property
+    def block_bytes(self) -> int:
+        c = self.cfg
+        return c.bytes_per_sample * c.nr_channels * c.nr_samples
+
+    # -- state (checkpoint/resume) --
+    def get_state(self):
+        return {
+            "ring": self._ring.data.copy(),
+            "filters": [f.get_state() for f in self._filters]
+            if self._filters else None,
+            "warmed": self._warmed,
+            "counters": (self.frames_out, self.bytes_in, self.bytes_out),
+        }
+
+    def set_state(self, st):
+        self._ring.clear()
+        self._ring.push_elements_back(st["ring"])
+        if self._filters and st["filters"]:
+            for f, s in zip(self._filters, st["filters"]):
+                f.set_state(s)
+        self._warmed = st["warmed"]
+        self.frames_out, self.bytes_in, self.bytes_out = st["counters"]
+
+    def _filter_block(self, native: bytes) -> bytes:
+        """Per-channel filter_opt with warmup on the first sample,
+        exactly the reference's pre-filter loop
+        (rspt_test.cpp:120-136)."""
+        from .ops import numpy_ops as nops
+        c = self.cfg
+        sig = nops.native_to_i32(native, c.nr_samples, c.nr_channels,
+                                 c.bytes_per_sample)
+        out = np.empty_like(sig)
+        for j in range(c.nr_channels):
+            f = self._filters[j]
+            if not self._warmed:
+                f.init_history_values(float(sig[j][0]),
+                                      int(c.sampling_rate))
+            out[j] = np.asarray(f.process(sig[j].astype(np.float64)),
+                                np.float64).astype(np.int32)
+        self._warmed = True
+        return nops.i32_to_native(out, c.bytes_per_sample)
+
+    def push(self, data) -> List[bytes]:
+        """Feed native bytes; returns 0+ compressed frames."""
+        buf = np.frombuffer(memoryview(data).cast("B"), np.uint8) \
+            if not isinstance(data, np.ndarray) else data.reshape(-1)
+        self.bytes_in += buf.size
+        self._ring.push_elements_back(buf)
+        frames = []
+        while len(self._ring) >= self.block_bytes:
+            block = self._ring.data[:self.block_bytes].tobytes()
+            self._ring.pop_elements_front(self.block_bytes)
+            if self._filters is not None:
+                block = self._filter_block(block)
+            comp = self.packer.compress(block)
+            self.bytes_out += len(comp)
+            self.frames_out += 1
+            frames.append(comp)
+        return frames
+
+    def flush_stats(self):
+        return {"frames": self.frames_out, "bytes_in": self.bytes_in,
+                "bytes_out": self.bytes_out,
+                "cr": self.bytes_in / self.bytes_out
+                if self.bytes_out else None}
+
+
+class StreamingDecoder:
+    """Inverse: compressed frames → native byte stream."""
+
+    def __init__(self, cfg: StreamConfig, packer=None):
+        self.cfg = cfg
+        if packer is None:
+            from .packers.tpu import new_xdelta_hzr
+            packer = new_xdelta_hzr(cfg.bytes_per_sample, cfg.nr_channels,
+                                    cfg.nr_samples, cfg.nr_bytes_to_encode)
+        self.packer = packer
+
+    def push(self, frame: bytes) -> bytes:
+        out, _ = self.packer.decompress(frame)
+        return out
