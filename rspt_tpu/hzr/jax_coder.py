@@ -98,6 +98,12 @@ def tokenize_blocks(blocks: jnp.ndarray, lengths: jnp.ndarray):
     # non-zero at/after i — clamp to the block end
     run_end = jnp.minimum(fna, lengths[:, None]) - 1
 
+    # optimization_barrier: without it the XLA TPU fusion pass
+    # duplicates the scan subgraphs into every downstream consumer and
+    # compile time explodes (measured 108s → 3s with barriers)
+    run_start, run_end, iszero, inblk, x = jax.lax.optimization_barrier(
+        (run_start, run_end, iszero, inblk, x))
+
     off_in_run = idx - run_start
     is_chunk_start = iszero & (off_in_run % MAX_ZERO_RUN == 0)
     chunk_len = jnp.minimum(run_end - idx + 1, MAX_ZERO_RUN)
@@ -120,6 +126,10 @@ def tokenize_blocks(blocks: jnp.ndarray, lengths: jnp.ndarray):
     syms = jnp.where(is_lit, x, jnp.where(is_chunk_start, run_sym, 0))
     extras = jnp.where(is_chunk_start, run_extra, 0)
     ebits = jnp.where(is_chunk_start, run_ebits, 0)
+
+    syms, extras, ebits, tvalid, is_lit, is_chunk_start, run_sym = \
+        jax.lax.optimization_barrier(
+            (syms, extras, ebits, tvalid, is_lit, is_chunk_start, run_sym))
 
     # Histogram without scatter (TPU scatters serialize): literals via a
     # compare-reduce over the 256-lane axis — reshape positions to
@@ -216,9 +226,11 @@ def pack_blocks(syms, extras, ebits, tvalid, codes, code_bits, desc_bits):
     vals = jnp.stack([f1_val, f2_val], axis=2).reshape(nb, 2 * n)
     bits = jnp.stack([f1_bits, f2_bits], axis=2).reshape(nb, 2 * n)
 
+    vals, bits = jax.lax.optimization_barrier((vals, bits))
     ends = desc_bits[:, None] + jnp.cumsum(bits, axis=1)
     offs = ends - bits
     total_bits = ends[:, -1]
+    offs, vals = jax.lax.optimization_barrier((offs, vals))
 
     # payloads beyond the block length fall back to COPY, so the packed
     # buffer only needs block-width + slack (keeps dryrun compiles on

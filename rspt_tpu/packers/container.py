@@ -23,6 +23,16 @@ from ..ops import numpy_ops as nops
 
 _LEN_BYTES = 4  # CHUNK_MAX_SIZE_TYPE = uint32 (base.cpp:36)
 
+# Alternate entropy-backend slots: the reference keeps dormant LZ4/LZ4HC
+# and zzip (BWT) calls commented out on this same per-plane boundary
+# (signal_packer_base.cpp:26-28,73-76,107-109). The container's method
+# byte + per-plane length prefix leave room to plug such backends in via
+# the ``encode_plane``/``decode_plane`` hooks below without a format
+# change; they are intentionally not ported (SURVEY §2.4).
+# The reference also declares a ``new_lala`` factory that is never
+# defined anywhere (signal_packer.h:71, call commented out in
+# rspt_test.cpp:155-157) — reproduced here only as this note.
+
 
 def compress_i32(enc: np.ndarray, method: int, nr_planes: int,
                  header: bytes = b"",
