@@ -240,22 +240,67 @@ def pack_blocks(syms, extras, ebits, tvalid, codes, code_bits, desc_bits):
 
     word = jnp.right_shift(offs, 5)
     sh = (offs & 31).astype(jnp.uint32)
-    lo = (vals << sh).astype(jnp.int32)
-    hi = jnp.where(sh > 0, vals >> (jnp.uint32(32) - sh),
-                   jnp.uint32(0)).astype(jnp.int32)
-    # zero-width fields must not write (their value is zero already,
-    # but keep the invariant explicit)
     live = bits > 0
-    lo = jnp.where(live, lo, 0)
-    hi = jnp.where(live, hi, 0)
+    v = jnp.where(live, vals, jnp.uint32(0))
+    lo = (v << sh).astype(jnp.int32)
+    hi = jnp.where(sh > 0, v >> (jnp.uint32(32) - sh),
+                   jnp.uint32(0)).astype(jnp.int32)
+    # out-of-range contributions (incompressible data destined for the
+    # COPY fallback) are zeroed and their index clamped
+    inr = word < nwords - 1
+    lo = jnp.where(inr, lo, 0)
+    hi = jnp.where(inr, hi, 0)
+    word = jnp.minimum(word, nwords - 2)
 
-    def accum(word_b, lo_b, hi_b):
-        out = jnp.zeros(nwords, jnp.int32)
-        out = out.at[word_b].add(lo_b, mode="drop")
-        out = out.at[word_b + 1].add(hi_b, mode="drop")
-        return out
+    if jax.default_backend() == "tpu":
+        # Dense accumulation without scatter (XLA TPU scatter
+        # serializes: measured 115 ms vs ~1 ms for this formulation).
+        # Fields are offset-sorted, so chunks of K consecutive fields
+        # span < W words: build each chunk's local dense window by
+        # compare-accumulate, then place windows with a sequential
+        # read-add-write dynamic-slice scan (correct under overlap).
+        K = 256
+        W = 256
+        nf = word.shape[1]
+        nchunks = max(1, -(-nf // K))
+        if nchunks * K != nf:  # pad fields to a chunk multiple
+            padw = nchunks * K - nf
+            # pad entries carry zero values; their local index goes
+            # negative and never matches the window iota
+            word = jnp.pad(word, ((0, 0), (0, padw)), constant_values=0)
+            lo = jnp.pad(lo, ((0, 0), (0, padw)))
+            hi = jnp.pad(hi, ((0, 0), (0, padw)))
+        wc = word.reshape(nb, nchunks, K)
+        base = wc[:, :, 0]
+        local = wc - base[:, :, None]
+        loc2 = jnp.concatenate([local, local + 1], axis=2)
+        val2 = jnp.concatenate([lo.reshape(nb, nchunks, K),
+                                hi.reshape(nb, nchunks, K)], axis=2)
+        iota = jnp.arange(W, dtype=jnp.int32)[None, None, None, :]
+        dense = jnp.sum(
+            jnp.where(loc2[..., None] == iota, val2[..., None], 0),
+            axis=2, dtype=jnp.int32)
 
-    words = jax.vmap(accum)(word, lo, hi)
+        def place(base_b, dense_b):
+            def step(acc, inp):
+                b, vec = inp
+                seg = jax.lax.dynamic_slice(acc, (b,), (W,))
+                return (jax.lax.dynamic_update_slice(acc, seg + vec, (b,)),
+                        None)
+            acc, _ = jax.lax.scan(step, jnp.zeros(nwords + W, jnp.int32),
+                                  (base_b, dense_b))
+            return acc[:nwords]
+
+        words = jax.vmap(place)(base, dense)
+    else:
+        # CPU/GPU: plain scatter-add is fast there
+        def accum(word_b, lo_b, hi_b):
+            out = jnp.zeros(nwords, jnp.int32)
+            out = out.at[word_b].add(lo_b, mode="drop")
+            out = out.at[word_b + 1].add(hi_b, mode="drop")
+            return out
+
+        words = jax.vmap(accum)(word, lo, hi)
     # words → little-endian bytes (stream bit k = bit k%32 of word k//32,
     # LSB-first — the hzr bit order, hzr_encode.c:32-113)
     w = words.astype(jnp.uint32)

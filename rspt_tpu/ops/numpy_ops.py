@@ -89,6 +89,37 @@ def xor_decode(arr: np.ndarray) -> np.ndarray:
     return np.bitwise_xor.accumulate(arr.astype(np.int32, copy=False))
 
 
+def xor_encode_y(arr2d: np.ndarray) -> np.ndarray:
+    """Column-wise xor encode across rows — the reference's unused
+    xor_encode_32_y with its quirky bounds replicated exactly
+    (utils.cpp:238-247): rows 0..1 untouched, row 2 xored with an
+    initial 0 (i.e. unchanged), rows ≥3 xored with the previous
+    original row."""
+    a = arr2d.astype(np.int32, copy=True)
+    if a.shape[0] > 3:
+        a[3:] = np.bitwise_xor(a[3:], arr2d[2:-1].astype(np.int32))
+    return a
+
+
+def xor_decode_y(arr2d: np.ndarray) -> np.ndarray:
+    """Inverse of xor_encode_y (utils.cpp:249-257): sequential
+    arr[i] ^= arr[i-1] for rows ≥3."""
+    a = arr2d.astype(np.int32, copy=True)
+    for i in range(3, a.shape[0]):
+        a[i] = np.bitwise_xor(a[i - 1], a[i])
+    return a
+
+
+def fwht_sum_absolute_difference(a: np.ndarray, b: np.ndarray) -> int:
+    """Similarity helper (the reference's unused
+    fwht_sum_absolute_difference, lib_fwht/fwht.c:42-53): sum of |a-b|
+    over the common length."""
+    x = a.astype(np.int64)
+    y = b.astype(np.int64)
+    n = min(x.size, y.size)
+    return int(np.abs(x[:n] - y[:n]).sum())
+
+
 def average32(arr: np.ndarray) -> int:
     """int64-accumulated mean (reference: utils.cpp:30-40).
 

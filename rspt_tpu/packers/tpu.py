@@ -91,11 +91,15 @@ def _pass1_xdelta(ns: int, ch: int, bps: int, nr_planes: int):
     def f(raw):
         enc = jops.native_to_i32(raw, ns, ch, bps).reshape(-1)
         enc = jops.xor_encode(jops.offset32(jops.delta_encode(enc), -128))
+        # barrier: stop the TPU fusion pass duplicating the scan chain
+        # into the three consumers below (see jax_coder.tokenize_blocks)
+        enc = jax.lax.optimization_barrier(enc)
         # verify-and-grow check (signal_packer_xdelta_hzr.cpp:59-71):
         # hzr is lossless, so only plane truncation can lose bits
         merged = jops.plane_merge(jops.plane_split(enc, nr_planes))
         ok = jnp.array_equal(merged, enc)
-        planes = jops.plane_split(enc, nr_planes)
+        planes = jax.lax.optimization_barrier(
+            jops.plane_split(enc, nr_planes))
         blocks, toks = _blockify_tokenize(planes, plane_len, nr_planes,
                                           lengths)
         return ok, blocks, toks

@@ -46,9 +46,10 @@ class StreamingCodec:
     def __init__(self, cfg: StreamConfig, packer=None):
         self.cfg = cfg
         if packer is None:
-            from .packers.tpu import new_xdelta_hzr
+            from .packers import new_xdelta_hzr
             packer = new_xdelta_hzr(cfg.bytes_per_sample, cfg.nr_channels,
-                                    cfg.nr_samples, cfg.nr_bytes_to_encode)
+                                    cfg.nr_samples, cfg.nr_bytes_to_encode,
+                                    engine="auto")
         self.packer = packer
         self._ring = ContinuousRing(0, np.uint8)
         self._filters = None
@@ -135,9 +136,10 @@ class StreamingDecoder:
     def __init__(self, cfg: StreamConfig, packer=None):
         self.cfg = cfg
         if packer is None:
-            from .packers.tpu import new_xdelta_hzr
+            from .packers import new_xdelta_hzr
             packer = new_xdelta_hzr(cfg.bytes_per_sample, cfg.nr_channels,
-                                    cfg.nr_samples, cfg.nr_bytes_to_encode)
+                                    cfg.nr_samples, cfg.nr_bytes_to_encode,
+                                    engine="auto")
         self.packer = packer
 
     def push(self, frame: bytes) -> bytes:
