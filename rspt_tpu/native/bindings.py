@@ -89,6 +89,11 @@ def _load():
     lib.rn_encode_planes_mt.restype = ctypes.c_int
     lib.rn_encode_planes_mt.argtypes = [c_u8p, sz, ctypes.c_int, c_u8p, sz,
                                         szp, ctypes.c_int]
+    lib.rn_encode_planes_blocks_mt.restype = ctypes.c_int
+    lib.rn_encode_planes_blocks_mt.argtypes = [c_u8p, sz, ctypes.c_int,
+                                               c_u8p, sz, szp, ctypes.c_int]
+    lib.rn_planes_fit.restype = ctypes.c_int
+    lib.rn_planes_fit.argtypes = [c_i32p, sz, ctypes.c_int]
     lib.rn_decode_planes_mt.restype = ctypes.c_int
     lib.rn_decode_planes_mt.argtypes = [c_u8p, sz, ctypes.c_int, sz, c_u8p,
                                         szp, ctypes.c_int]
@@ -356,6 +361,32 @@ def decode_planes_blocks_mt(src, nplanes: int, plane_len: int,
     if rc:
         raise ValueError("plane decode failed")
     return planes, consumed.value
+
+
+def planes_fit(flat: np.ndarray, nr_planes: int) -> bool:
+    """True if every int32 sign-extends from nr_planes bytes (the
+    xdelta verify-and-grow test, one pass, no plane materialization)."""
+    a = np.ascontiguousarray(flat, np.int32)
+    return bool(_load().rn_planes_fit(_p32(a), a.size, nr_planes))
+
+
+def encode_planes_blocks_mt(planes: np.ndarray, nthreads: int = 0) -> bytes:
+    """Encode all byte planes with block-level threading; returns the
+    concatenated per-plane [u32 len][hzr stream] container section."""
+    lib = _load()
+    p = np.ascontiguousarray(planes, dtype=np.uint8)
+    nplanes, plane_len = p.shape
+    stride = int(lib.rn_hzr_max_size(plane_len)) + 4
+    out = np.empty(nplanes * stride, dtype=np.uint8)
+    lens = (ctypes.c_size_t * nplanes)()
+    rc = lib.rn_encode_planes_blocks_mt(_p8(p), plane_len, nplanes, _p8(out),
+                                        stride, lens, nthreads)
+    if rc:
+        raise ValueError("plane encode failed")
+    parts = []
+    for k in range(nplanes):
+        parts.append(out[k * stride: k * stride + 4 + lens[k]].tobytes())
+    return b"".join(parts)
 
 
 def decode_planes_mt(src, nplanes: int, plane_len: int,

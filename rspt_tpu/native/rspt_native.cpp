@@ -25,6 +25,7 @@
 #include <cstring>
 #include <thread>
 #include <vector>
+#include <atomic>
 
 namespace {
 
@@ -819,6 +820,72 @@ int rn_encode_planes_mt(const uint8_t* planes, size_t plane_len, int nplanes,
     return 0;
 }
 
+// Block-parallel hzr encode across ALL planes: every 64 KiB block of
+// every plane is an independent work item (hzr_encode.c:528-539);
+// encode into per-block scratch, then concatenate per plane with the
+// 4-byte master headers and u32 chunk-length prefixes. Balances small
+// thread pools much better than plane-level threading when plane costs
+// differ (plane 0 is often COPY-incompressible, plane 2 mostly FILL).
+int rn_encode_planes_blocks_mt(const uint8_t* planes, size_t plane_len,
+                               int nplanes, uint8_t* out, size_t stride,
+                               size_t* lens, int nthreads) {
+    if (nthreads <= 0) nthreads = (int)std::thread::hardware_concurrency();
+    size_t nb_per = (plane_len + kMaxBlockSize - 1) / kMaxBlockSize;
+    if (nb_per == 0) nb_per = 1;
+    int nb = (int)(nb_per * nplanes);
+    // worst-case per block: header + block + a little
+    size_t bcap = kMaxBlockSize + kBlockHeaderSize + 16;
+    std::vector<uint8_t> scratch((size_t)nb * bcap);
+    std::vector<size_t> blens(nb, 0);
+    std::vector<int> rcs(nb, 0);
+    std::atomic<int> next(0);
+    // dynamic work stealing: block costs vary wildly (COPY vs Huffman)
+    auto work = [&]() {
+        std::vector<Token> toks(kMaxBlockSize);
+        int i;
+        while ((i = next.fetch_add(1)) < nb) {
+            int plane = i / (int)nb_per;
+            size_t off = (size_t)(i % nb_per) * kMaxBlockSize;
+            size_t blen = plane_len - off < kMaxBlockSize
+                          ? plane_len - off : kMaxBlockSize;
+            if (plane_len == 0) blen = 0;
+            if (blen == 0) continue;
+            size_t r = encode_block(planes + (size_t)plane * plane_len + off,
+                                    blen, scratch.data() + (size_t)i * bcap,
+                                    bcap, toks.data());
+            if (!r) rcs[i] = 1;
+            blens[i] = r;
+        }
+    };
+    if (nthreads <= 1 || nb <= 1) {
+        work();
+    } else {
+        int nt = nthreads < nb ? nthreads : nb;
+        std::vector<std::thread> ts;
+        for (int t = 0; t < nt; ++t) ts.emplace_back(work);
+        for (auto& t : ts) t.join();
+    }
+    for (int i = 0; i < nb; ++i)
+        if (rcs[i]) return 1;
+    // assemble per plane: [u32 chunk_len][u32 decoded_size][blocks...]
+    for (int p = 0; p < nplanes; ++p) {
+        uint8_t* dst = out + (size_t)p * stride;
+        size_t pos = 4 + kHeaderSize;  // chunk len + hzr master header
+        for (size_t b = 0; b < nb_per; ++b) {
+            size_t i = (size_t)p * nb_per + b;
+            if (pos + blens[i] > stride) return 1;
+            memcpy(dst + pos, scratch.data() + i * bcap, blens[i]);
+            pos += blens[i];
+        }
+        uint32_t total = (uint32_t)plane_len;
+        memcpy(dst + 4, &total, 4);
+        uint32_t clen = (uint32_t)(pos - 4);
+        memcpy(dst, &clen, 4);
+        lens[p] = pos - 4;
+    }
+    return 0;
+}
+
 // Block-parallel hzr decode: hop the 7-byte headers to find each
 // 64 KiB block's offset (cheap, serial), then decode all blocks
 // concurrently — the block independence the format guarantees
@@ -849,8 +916,10 @@ int rn_hzr_decode_blocks_mt(const uint8_t* in, size_t in_len, uint8_t* out,
     }
     int nb = (int)in_off.size();
     std::vector<int> rcs(nb, 0);
-    auto work = [&](int lo_i, int hi_i) {
-        for (int i = lo_i; i < hi_i; ++i) {
+    std::atomic<int> next(0);
+    auto work = [&]() {
+        int i;
+        while ((i = next.fetch_add(1)) < nb) {
             size_t p = in_off[i];
             uint16_t sz;
             memcpy(&sz, in + p, 2);
@@ -870,17 +939,28 @@ int rn_hzr_decode_blocks_mt(const uint8_t* in, size_t in_len, uint8_t* out,
         }
     };
     if (nthreads <= 1 || nb <= 1) {
-        work(0, nb);
+        work();
     } else {
         int nt = nthreads < nb ? nthreads : nb;
         std::vector<std::thread> ts;
-        for (int t = 0; t < nt; ++t)
-            ts.emplace_back(work, nb * t / nt, nb * (t + 1) / nt);
+        for (int t = 0; t < nt; ++t) ts.emplace_back(work);
         for (auto& t : ts) t.join();
     }
     for (int i = 0; i < nb; ++i)
         if (rcs[i]) return 1;
     return 0;
+}
+
+// 1 if every value sign-extends from nr_planes bytes (the xdelta
+// verify-and-grow test, without materializing planes+merge)
+int rn_planes_fit(const int32_t* a, size_t n, int nr_planes) {
+    if (nr_planes >= 4) return 1;
+    int sh = 32 - 8 * nr_planes;
+    for (size_t i = 0; i < n; ++i) {
+        int32_t v = a[i];
+        if (((v << sh) >> sh) != v) return 0;
+    }
+    return 1;
 }
 
 // All planes × all blocks in one thread pool (used by the TPU packers'

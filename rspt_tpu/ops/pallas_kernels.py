@@ -1,0 +1,146 @@
+"""Pallas TPU kernels for the transform hot path.
+
+The FWHT is the one transform whose XLA formulation (log2 n reshape
+butterflies, ops/jax_ops.fwht) materializes every stage in HBM — n log n
+int32 traffic. This kernel keeps a whole channel resident in VMEM and
+runs all butterfly stages in-place on the VPU: HBM traffic drops to one
+read + one write per element.
+
+Reference semantics: lib_rspt/lib_fwht/fwht.c:4-28 — int32 wraparound
+butterflies, n = 2^k. Used by the Hadamard packer
+(signal_packer_hadamard.cpp:66-72) where n ≤ 16384 in the reference
+tests (64 KiB per channel — comfortably inside the ~16 MB VMEM).
+
+On non-TPU backends the kernel runs in interpreter mode (tests) or
+falls back to the XLA formulation.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+try:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    _HAVE_PALLAS = True
+except Exception:  # pragma: no cover
+    _HAVE_PALLAS = False
+
+
+def _fwht_kernel(x_ref, o_ref):
+    """All log2(n) butterfly stages on one (rows, n) VMEM block.
+
+    Formulated with cyclic rolls + index-bit masks (Mosaic does not
+    lower the reshape-based butterfly): the stage-i partner of index j
+    is j XOR i, so out = where(bit_i clear, x + roll(x,-i),
+    roll(x,+i) - x) — two rolls and a select per stage, pure VPU.
+    """
+    x = x_ref[...]
+    n = x.shape[-1]
+    idx = jax.lax.broadcasted_iota(jnp.int32, x.shape, dimension=1)
+    i = n >> 1
+    while i > 0:
+        # cyclic rolls with non-negative shifts (pltpu.roll requirement)
+        fwd = pltpu.roll(x, n - i, 1)   # x[(j+i) mod n]
+        bwd = pltpu.roll(x, i, 1)       # x[(j-i) mod n]
+        first = (idx & i) == 0
+        x = jnp.where(first, x + fwd, bwd - x)
+        i >>= 1
+    o_ref[...] = x
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def fwht_pallas(x, interpret: bool = False):
+    """Walsh-Hadamard transform along the last axis via a VMEM-resident
+    Pallas kernel. x: (..., n) int32, n = 2^k. Grid over leading rows.
+    """
+    if not _HAVE_PALLAS:
+        from . import jax_ops
+        return jax_ops.fwht(x)
+    shape = x.shape
+    n = shape[-1]
+    assert n & (n - 1) == 0, "FWHT length must be 2^k"
+    x2 = x.reshape(-1, n).astype(jnp.int32)
+    rows = x2.shape[0]
+    R = 8  # TPU sublane tiling: block rows must be a multiple of 8
+    rows_p = -(-rows // R) * R
+    if rows_p != rows:
+        x2 = jnp.concatenate(
+            [x2, jnp.zeros((rows_p - rows, n), jnp.int32)])
+    out = pl.pallas_call(
+        _fwht_kernel,
+        out_shape=jax.ShapeDtypeStruct((rows_p, n), jnp.int32),
+        grid=(rows_p // R,),
+        in_specs=[pl.BlockSpec((R, n), lambda r: (r, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((R, n), lambda r: (r, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(x2)
+    return out[:rows].reshape(shape)
+
+
+def _xdelta_fused_kernel(x_ref, prev_ref, o_ref):
+    """delta → offset(−128) → xor on a (R, T) tile block, with the
+    carried previous element per tile (the cross-tile scan state).
+
+    For one tile holding values v[0..T): the xdelta chain needs
+    d[i] = v[i] − v[i−1] − 128 then x[i] = d[i] ^ d[i−1]; both
+    recurrences only look back one element, so a tile plus two carried
+    scalars (prev value, prev delta) is enough — no associative scan.
+    """
+    v = x_ref[...]
+    pv = prev_ref[:, 0:1]
+    pd = prev_ref[:, 1:2]
+    idx = jax.lax.broadcasted_iota(jnp.int32, v.shape, dimension=1)
+    first = idx == 0
+    shifted = jnp.where(first, pv, pltpu.roll(v, 1, 1))
+    d = v - shifted - 128
+    dshift = jnp.where(first, pd, pltpu.roll(d, 1, 1))
+    o_ref[...] = d ^ dshift
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def xdelta_preprocess_pallas(flat_i32, interpret: bool = False):
+    """Fused delta→offset→xor over a flat int32 signal
+    (utils.cpp:193-236 chain), tiled with scalar carries.
+
+    One HBM read + one write instead of three scan materializations.
+    """
+    if not _HAVE_PALLAS:
+        from . import jax_ops
+        return jax_ops.xor_encode(jax_ops.offset32(
+            jax_ops.delta_encode(flat_i32), -128))
+    n = flat_i32.shape[0]
+    T = 8192
+    R = 8  # tiles per grid step (TPU sublane multiple)
+    nt = -(-n // T)
+    nt_p = -(-nt // R) * R
+    padded = jnp.zeros(nt_p * T, jnp.int32).at[:n].set(
+        flat_i32.astype(jnp.int32)).reshape(nt_p, T)
+    # carries per tile: pv = v[start-1], pd = d[start-1] (tile 0 → 0s)
+    flat = padded.reshape(-1)
+    idx_last = jnp.arange(nt_p) * T - 1
+    idx_last2 = jnp.arange(nt_p) * T - 2
+    pv = jnp.where(idx_last >= 0, flat[jnp.clip(idx_last, 0, None)], 0)
+    pv2 = jnp.where(idx_last2 >= 0, flat[jnp.clip(idx_last2, 0, None)], 0)
+    pd = jnp.where(idx_last >= 0, pv - pv2 - 128, 0)
+    carries = jnp.stack([pv, pd], axis=1)  # (nt_p, 2)
+
+    out = pl.pallas_call(
+        _xdelta_fused_kernel,
+        out_shape=jax.ShapeDtypeStruct((nt_p, T), jnp.int32),
+        grid=(nt_p // R,),
+        in_specs=[pl.BlockSpec((R, T), lambda t: (t, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((R, 2), lambda t: (t, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((R, T), lambda t: (t, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(padded, carries)
+    return out.reshape(-1)[:n]

@@ -44,7 +44,7 @@ class _NativeBase:
     def _entropy(self, flat_i32: np.ndarray, nr_planes: int, method: int,
                  header: bytes = b"") -> bytes:
         planes = nb.plane_split(flat_i32, nr_planes)
-        body = nb.encode_planes_mt(planes, self.nthreads)
+        body = nb.encode_planes_blocks_mt(planes, self.nthreads)
         return bytes([method]) + header + body
 
     def _decode_planes(self, comp, nr_planes: int, header_size: int):
@@ -107,9 +107,8 @@ class NativeXdeltaHzrPacker(_NativeBase):
     def compress(self, src) -> bytes:
         flat = self._preprocess(src)
         # verify-and-grow (signal_packer_xdelta_hzr.cpp:59-71): only
-        # plane truncation can lose bits — check the merge roundtrip
-        while not np.array_equal(
-                nb.plane_merge(nb.plane_split(flat, self.nr_planes)), flat):
+        # plane truncation can lose bits — one-pass sign-extension test
+        while not nb.planes_fit(flat, self.nr_planes):
             self.nr_planes += 1
         return self._entropy(flat, self.nr_planes, self.METHOD)
 
