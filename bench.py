@@ -41,9 +41,20 @@ def log(*a):
 
 
 def make_ecg(channels=12, samples=34199, seed=1234):
-    """ECG-like 32-bit data: smooth baseline wander + beat spikes +
-    sample noise, with sample-to-sample deltas that fit ~2 bytes (the
-    regime the reference's 12-ch fixture lives in)."""
+    """The REAL reference fixture when available (the 12-ch 32-bit
+    34199-sample ECG shipped with the reference — BASELINE config 2),
+    else an ECG-like synthetic with the same shape."""
+    if channels == 12 and samples == 34199:
+        try:
+            from tools.sevenz import extract_single
+            ref_dir = os.environ.get("RSPT_REFERENCE", "/root/reference")
+            native = extract_single(os.path.join(
+                ref_dir, "lib_rspt_test",
+                "12_chan_32bit_34199_samples_r00000135fghd8.raw.7z"))
+            sig = np.frombuffer(native, "<i4").reshape(samples, channels).T
+            return np.ascontiguousarray(sig), native
+        except Exception as e:
+            log(f"real fixture unavailable ({e}); using synthetic")
     rng = np.random.default_rng(seed)
     t = np.arange(samples)
     wander = 200000.0 * np.sin(t / 700.0)[None, :] \

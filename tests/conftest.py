@@ -72,3 +72,32 @@ def ecg12(rng):
 def sine32():
     sig = (np.sin(np.arange(8192) / 100.0) * 1000.0).astype(np.int32)
     return sig.reshape(1, -1), sig.tobytes()
+
+
+def _extract_fixture(name):
+    import os
+    path = os.path.join(os.environ.get("RSPT_REFERENCE", "/root/reference"),
+                        "lib_rspt_test", name)
+    from tools.sevenz import extract_single
+    return extract_single(path)
+
+
+@pytest.fixture(scope="session")
+def real_ecg3():
+    """The reference's shipped 3-ch 24-bit 2 kSps ECG (data_stream.7z,
+    test_1 fixture). Returns native interleaved bytes."""
+    try:
+        return _extract_fixture("data_stream.7z")
+    except Exception as e:  # pragma: no cover
+        pytest.skip(f"fixture unavailable: {e}")
+
+
+@pytest.fixture(scope="session")
+def real_ecg12():
+    """The reference's shipped 12-ch 32-bit 34199-sample ECG
+    (test_7 fixture / BASELINE config 2). Native interleaved bytes."""
+    try:
+        return _extract_fixture(
+            "12_chan_32bit_34199_samples_r00000135fghd8.raw.7z")
+    except Exception as e:  # pragma: no cover
+        pytest.skip(f"fixture unavailable: {e}")
