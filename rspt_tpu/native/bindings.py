@@ -94,6 +94,12 @@ def _load():
                                                c_u8p, sz, szp, ctypes.c_int]
     lib.rn_planes_fit.restype = ctypes.c_int
     lib.rn_planes_fit.argtypes = [c_i32p, sz, ctypes.c_int]
+    lib.rn_xdelta_preprocess_mt.restype = ctypes.c_int
+    lib.rn_xdelta_preprocess_mt.argtypes = [c_u8p, sz, sz, sz, ctypes.c_int,
+                                            c_u8p, ctypes.c_int]
+    lib.rn_xdelta_postprocess_mt.restype = ctypes.c_int
+    lib.rn_xdelta_postprocess_mt.argtypes = [c_u8p, sz, sz, sz, ctypes.c_int,
+                                             c_u8p, c_i32p, ctypes.c_int]
     lib.rn_decode_planes_mt.restype = ctypes.c_int
     lib.rn_decode_planes_mt.argtypes = [c_u8p, sz, ctypes.c_int, sz, c_u8p,
                                         szp, ctypes.c_int]
@@ -361,6 +367,37 @@ def decode_planes_blocks_mt(src, nplanes: int, plane_len: int,
     if rc:
         raise ValueError("plane decode failed")
     return planes, consumed.value
+
+
+def xdelta_preprocess_mt(native, nr_samples: int, nr_channels: int,
+                         bps: int, nr_planes: int,
+                         nthreads: int = 0) -> Tuple[np.ndarray, bool]:
+    """Fused native-bytes → xdelta byte planes in one MT pass.
+    Returns (planes (nr_planes, ch*n) u8, fits)."""
+    buf = _u8(native)
+    N = nr_samples * nr_channels
+    planes = np.empty((nr_planes, N), np.uint8)
+    fit = _load().rn_xdelta_preprocess_mt(
+        _p8(buf), nr_samples, nr_channels, bps, nr_planes, _p8(planes),
+        nthreads)
+    return planes, bool(fit)
+
+
+def xdelta_postprocess_mt(planes: np.ndarray, nr_samples: int,
+                          nr_channels: int, bps: int,
+                          nthreads: int = 0) -> bytes:
+    """Fused xdelta byte planes → interleaved native bytes (MT
+    two-level prefix scans)."""
+    p = np.ascontiguousarray(planes, np.uint8)
+    nr_planes, N = p.shape
+    out = np.empty(N * bps, np.uint8)
+    tmp = np.empty(N, np.int32)
+    rc = _load().rn_xdelta_postprocess_mt(
+        _p8(p), nr_samples, nr_channels, bps, nr_planes, _p8(out),
+        _p32(tmp), nthreads)
+    if rc:
+        raise ValueError("postprocess failed")
+    return out.tobytes()
 
 
 def planes_fit(flat: np.ndarray, nr_planes: int) -> bool:

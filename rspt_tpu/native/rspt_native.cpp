@@ -951,6 +951,154 @@ int rn_hzr_decode_blocks_mt(const uint8_t* in, size_t in_len, uint8_t* out,
     return 0;
 }
 
+// Fused multithreaded xdelta encode preprocess: interleaved native
+// bytes -> byte planes of xor(offset(delta)) in ONE pass. The encode
+// direction is local (delta/xor only look back ≤2 samples, and the
+// *input* is fully available), so it parallelizes perfectly — unlike
+// the decode direction, which is a true prefix scan.
+// Also returns fit=0 if any value needs more than nr_planes bytes
+// (the verify-and-grow test) — computed in the same pass.
+//   native: interleaved [s0c0][s0c1]... little-endian bps-byte samples
+//   planes: (nr_planes, ch*n) output, plane-major
+int rn_xdelta_preprocess_mt(const uint8_t* native_b, size_t nr_samples,
+                            size_t nr_channels, size_t bps, int nr_planes,
+                            uint8_t* planes, int nthreads) {
+    if (nthreads <= 0) nthreads = (int)std::thread::hardware_concurrency();
+    const size_t N = nr_samples * nr_channels;   // flat length
+    const int sh_fit = 32 - 8 * nr_planes;
+    std::atomic<int> fit(1);
+
+    auto load = [&](size_t flat_idx) -> int32_t {
+        // flat index is channel-major: ch = flat/n, s = flat%n
+        size_t c = flat_idx / nr_samples;
+        size_t s = flat_idx % nr_samples;
+        const uint8_t* p = native_b + (s * nr_channels + c) * bps;
+        uint32_t v = 0;
+        for (size_t k = 0; k < bps; ++k) v |= (uint32_t)p[k] << (8 * k);
+        int shift = (int)(32 - 8 * bps);
+        return (int32_t)(v << shift) >> shift;
+    };
+
+    auto work = [&](size_t lo, size_t hi) {
+        int local_fit = 1;
+        // carry the previous two samples; all arithmetic unsigned
+        // (int32 wraparound without signed-overflow UB)
+        uint32_t vm1 = lo >= 1 ? (uint32_t)load(lo - 1) : 0;
+        uint32_t vm2 = lo >= 2 ? (uint32_t)load(lo - 2) : 0;
+        for (size_t i = lo; i < hi; ++i) {
+            uint32_t v = (uint32_t)load(i);
+            uint32_t d = v - vm1 - 128u;
+            uint32_t dm1 = i >= 1 ? vm1 - vm2 - 128u : 0u;
+            int32_t x = (int32_t)(d ^ dm1);
+            if (nr_planes < 4 &&
+                ((int32_t)((uint32_t)x << sh_fit) >> sh_fit) != x)
+                local_fit = 0;
+            uint32_t ux = (uint32_t)x;
+            for (int k = 0; k < nr_planes; ++k)
+                planes[(size_t)k * N + i] = (uint8_t)(ux >> (8 * k));
+            vm2 = vm1;
+            vm1 = v;
+        }
+        if (!local_fit) fit.store(0);
+    };
+    if (nthreads <= 1) {
+        work(0, N);
+    } else {
+        std::vector<std::thread> ts;
+        for (int t = 0; t < nthreads; ++t)
+            ts.emplace_back(work, N * t / nthreads, N * (t + 1) / nthreads);
+        for (auto& t : ts) t.join();
+    }
+    return fit.load();
+}
+
+// Fused multithreaded xdelta decode postprocess: byte planes ->
+// interleaved native bytes. The decode direction is a double prefix
+// (prefix-xor then prefix-sum), parallelized with the classic
+// chunk-local scan + carry combine:
+//   pass A: per-chunk xor totals of the merged values
+//   (serial, tiny)  exclusive xor carries per chunk
+//   pass B: per-chunk d[i] = (carry ^ local-prefix-xor) + 128 into a
+//           temp, plus per-chunk sums
+//   (serial, tiny)  exclusive sum carries
+//   pass C: v[i] = sum-carry + local prefix sum, written straight to
+//           the interleaved native layout
+int rn_xdelta_postprocess_mt(const uint8_t* planes, size_t nr_samples,
+                             size_t nr_channels, size_t bps, int nr_planes,
+                             uint8_t* native_out, int32_t* tmp,
+                             int nthreads) {
+    if (nthreads <= 0) nthreads = (int)std::thread::hardware_concurrency();
+    const size_t N = nr_samples * nr_channels;
+    int nt = nthreads < 1 ? 1 : nthreads;
+    if ((size_t)nt > N) nt = (int)(N ? N : 1);
+    std::vector<size_t> lo(nt), hi(nt);
+    for (int t = 0; t < nt; ++t) { lo[t] = N * t / nt; hi[t] = N * (t + 1) / nt; }
+    const int shm = 32 - 8 * nr_planes;
+
+    auto merge_at = [&](size_t i) -> uint32_t {
+        uint32_t v = 0;
+        for (int k = 0; k < nr_planes; ++k)
+            v |= (uint32_t)planes[(size_t)k * N + i] << (8 * k);
+        if (nr_planes < 4)
+            v = (uint32_t)((int32_t)(v << shm) >> shm);
+        return v;
+    };
+
+    // pass A: xor totals
+    std::vector<uint32_t> xtot(nt, 0);
+    {
+        std::vector<std::thread> ts;
+        for (int t = 0; t < nt; ++t)
+            ts.emplace_back([&, t] {
+                uint32_t x = 0;
+                for (size_t i = lo[t]; i < hi[t]; ++i) x ^= merge_at(i);
+                xtot[t] = x;
+            });
+        for (auto& th : ts) th.join();
+    }
+    std::vector<uint32_t> xcarry(nt, 0);
+    for (int t = 1; t < nt; ++t) xcarry[t] = xcarry[t - 1] ^ xtot[t - 1];
+
+    // pass B: d values + sum totals
+    std::vector<uint32_t> stot(nt, 0);
+    {
+        std::vector<std::thread> ts;
+        for (int t = 0; t < nt; ++t)
+            ts.emplace_back([&, t] {
+                uint32_t lx = 0, s = 0;
+                for (size_t i = lo[t]; i < hi[t]; ++i) {
+                    lx ^= merge_at(i);
+                    uint32_t d = (xcarry[t] ^ lx) + 128u;
+                    tmp[i] = (int32_t)d;
+                    s += d;
+                }
+                stot[t] = s;
+            });
+        for (auto& th : ts) th.join();
+    }
+    std::vector<uint32_t> scarry(nt, 0);
+    for (int t = 1; t < nt; ++t) scarry[t] = scarry[t - 1] + stot[t - 1];
+
+    // pass C: prefix sums -> interleaved native bytes
+    {
+        std::vector<std::thread> ts;
+        for (int t = 0; t < nt; ++t)
+            ts.emplace_back([&, t] {
+                uint32_t v = scarry[t];
+                for (size_t i = lo[t]; i < hi[t]; ++i) {
+                    v += (uint32_t)tmp[i];
+                    size_t c = i / nr_samples;
+                    size_t sidx = i % nr_samples;
+                    uint8_t* p = native_out + (sidx * nr_channels + c) * bps;
+                    for (size_t k = 0; k < bps; ++k)
+                        p[k] = (uint8_t)(v >> (8 * k));
+                }
+            });
+        for (auto& th : ts) th.join();
+    }
+    return 0;
+}
+
 // 1 if every value sign-extends from nr_planes bytes (the xdelta
 // verify-and-grow test, without materializing planes+merge)
 int rn_planes_fit(const int32_t* a, size_t n, int nr_planes) {
@@ -958,7 +1106,7 @@ int rn_planes_fit(const int32_t* a, size_t n, int nr_planes) {
     int sh = 32 - 8 * nr_planes;
     for (size_t i = 0; i < n; ++i) {
         int32_t v = a[i];
-        if (((v << sh) >> sh) != v) return 0;
+        if (((int32_t)((uint32_t)v << sh) >> sh) != v) return 0;
     }
     return 1;
 }

@@ -105,27 +105,33 @@ class NativeXdeltaHzrPacker(_NativeBase):
         return flat
 
     def compress(self, src) -> bytes:
-        flat = self._preprocess(src)
-        # verify-and-grow (signal_packer_xdelta_hzr.cpp:59-71): only
-        # plane truncation can lose bits — one-pass sign-extension test
-        while not nb.planes_fit(flat, self.nr_planes):
+        c = self.cfg
+        # fused MT swizzle+delta+offset+xor+plane-split+fit in one pass;
+        # verify-and-grow (signal_packer_xdelta_hzr.cpp:59-71) retries
+        # with one more plane until every value sign-extends
+        while True:
+            planes, fits = nb.xdelta_preprocess_mt(
+                src, c.nr_samples, c.nr_channels, c.bytes_per_sample,
+                self.nr_planes, self.nthreads)
+            if fits:
+                break
             self.nr_planes += 1
-        return self._entropy(flat, self.nr_planes, self.METHOD)
+        body = nb.encode_planes_blocks_mt(planes, self.nthreads)
+        return bytes([self.METHOD]) + body
 
     def decompress(self, comp) -> Tuple[bytes, int]:
         c = self.cfg
-        method, _, merged, consumed = self._decode_planes(
-            comp, self.nr_planes, 0)
+        buf = np.frombuffer(memoryview(bytes(comp))
+                            if not isinstance(comp, (bytes, bytearray))
+                            else memoryview(comp), np.uint8)
+        method = int(buf[0])
         if method != self.METHOD:
             raise ValueError("unsupported compression method")
-        flat = np.ascontiguousarray(merged)
-        L = _lib()
-        L.rn_xor_decode(nb._p32(flat), flat.size)
-        L.rn_offset32(nb._p32(flat), flat.size, 128)
-        L.rn_delta_decode(nb._p32(flat), flat.size, 0)
-        out = nb.i32_to_native(flat.reshape(c.nr_channels, c.nr_samples),
-                               c.bytes_per_sample)
-        return out, consumed
+        planes, consumed = nb.decode_planes_blocks_mt(
+            buf[1:], self.nr_planes, c.plane_len, self.nthreads)
+        out = nb.xdelta_postprocess_mt(planes, c.nr_samples, c.nr_channels,
+                                       c.bytes_per_sample, self.nthreads)
+        return out, 1 + consumed
 
 
 class NativeDctPacker(_NativeBase):

@@ -67,20 +67,42 @@ class ShardedHzrEncoder:
                 [blocks_np, np.zeros((nb_pad - nb, jax_coder.B), np.uint8)])
             lengths_np = np.concatenate(
                 [lengths_np, np.zeros(nb_pad - nb, np.int32)])
-        blocks = jax.device_put(blocks_np, self.block_sharding)
-        lengths = jax.device_put(lengths_np, self.block_sharding)
+        multiproc = jax.process_count() > 1
+        if multiproc:
+            # Multi-host: each process materializes only the shards its
+            # local devices own; host-side gathers of (small) device
+            # outputs ride process_allgather over DCN. Assumes the input
+            # bytes are host-replicated (each host read the same buffer;
+            # production ingest would read per-host shards instead).
+            from jax.experimental import multihost_utils as mhu
+
+            def put(arr):
+                sh = NamedSharding(self.mesh, P(AXIS, *([None] *
+                                                        (arr.ndim - 1))))
+                return jax.make_array_from_callback(
+                    arr.shape, sh, lambda idx: arr[idx])
+
+            def fetch(a):
+                return np.asarray(mhu.process_allgather(a, tiled=True))
+        else:
+            def put(arr):
+                return jax.device_put(arr, self.block_sharding)
+
+            def fetch(a):
+                return np.array(a)
+
+        blocks = put(blocks_np)
+        lengths = put(lengths_np)
         syms, extras, ebits, tvalid, hist = self.tok(blocks, lengths)
         codes, cbits, desc_bytes, desc_bits, is_fill = \
-            jax_coder.host_tables(np.asarray(hist), lengths_np)
+            jax_coder.host_tables(fetch(hist), lengths_np)
 
         packed, total_bits = self.pack(
             syms, extras, ebits, tvalid,
-            jax.device_put(codes, self.block_sharding),
-            jax.device_put(cbits, self.block_sharding),
-            jax.device_put(desc_bits, self.block_sharding))
-        packed = np.array(packed)[:nb]  # writable host copy
+            put(codes), put(cbits), put(desc_bits))
+        packed = fetch(packed)[:nb].copy()
         packed[:, :desc_bytes.shape[1]] |= desc_bytes[:nb]
-        return packed, np.asarray(total_bits)[:nb], is_fill[:nb]
+        return packed, fetch(total_bits)[:nb], is_fill[:nb]
 
     def encode(self, data, out_capacity=None) -> bytes:
         buf = np.frombuffer(memoryview(data).cast("B"), dtype=np.uint8) \
