@@ -398,16 +398,19 @@ size_t encode_block(const uint8_t* in, size_t in_size, uint8_t* out,
 // Block decode
 // ---------------------------------------------------------------------------
 
+constexpr int kLutBits = 13;
+constexpr int kLutSize = 1 << kLutBits;
+
 struct DecTree {
     int16_t child_a[kMaxNodes];
     int16_t child_b[kMaxNodes];
     int16_t sym[kMaxNodes];
     int count = 0;
-    // 8-bit peek LUT: node >= 0 means continue walking from node; else
-    // terminal with symbol/bits.
-    int16_t lut_node[256];
-    uint16_t lut_sym[256];
-    uint8_t lut_bits[256];
+    // kLutBits-wide peek LUT: node >= 0 means continue walking from
+    // node; else terminal with symbol/consumed-bits.
+    int16_t lut_node[kLutSize];
+    uint16_t lut_sym[kLutSize];
+    uint8_t lut_bits[kLutSize];
 };
 
 // Iterative preorder tree recovery mirroring RecoverTree
@@ -438,8 +441,8 @@ int recover_tree(BitReader& br, DecTree& t) {
             int sym = (int)br.get(kSymBits);
             if (br.failed) return -1;
             t.sym[idx] = (int16_t)sym;
-            if (it.bits <= 8) {
-                uint32_t dups = 256u >> it.bits;
+            if (it.bits <= kLutBits) {
+                uint32_t dups = (uint32_t)kLutSize >> it.bits;
                 uint8_t b = it.bits > 1 ? it.bits : 1;  // single-symbol case
                 for (uint32_t i = 0; i < dups; ++i) {
                     uint32_t slot = (i << it.bits) | it.code;
@@ -450,10 +453,10 @@ int recover_tree(BitReader& br, DecTree& t) {
             }
             continue;
         }
-        if (it.bits == 8) {
+        if (it.bits == kLutBits) {
             t.lut_node[it.code] = (int16_t)idx;
             t.lut_sym[it.code] = 0;
-            t.lut_bits[it.code] = 8;
+            t.lut_bits[it.code] = kLutBits;
         }
         // push B then A so A is processed first (preorder)
         stack[sp++] = {(int16_t)idx, it.code | (1u << it.bits),
@@ -481,9 +484,18 @@ int decode_block_payload(const uint8_t* payload, size_t payload_len,
             if (br.failed) return 1;
             sym = tree.sym[root];
         } else {
-            br.fill();
-            if (br.nbits >= 8) {
-                uint32_t peek = (uint32_t)(br.cache & 0xFF);
+            // branchless 8-byte refill while far from the input end
+            if (br.nbits < 56 && br.p + 8 <= br.end) {
+                uint64_t w;
+                memcpy(&w, br.p, 8);
+                br.cache |= w << br.nbits;
+                br.p += (63 - br.nbits) >> 3;
+                br.nbits |= 56;
+            } else {
+                br.fill();
+            }
+            if (br.nbits >= kLutBits) {
+                uint32_t peek = (uint32_t)(br.cache & (kLutSize - 1));
                 int16_t node = tree.lut_node[peek];
                 uint8_t bits = tree.lut_bits[peek];
                 br.cache >>= bits;
