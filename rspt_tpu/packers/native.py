@@ -146,6 +146,13 @@ class NativeDctPacker(_NativeBase):
         self._cos = nops.dct_cos_table(nr_samples)
         self._cs = nops.dct_cs(nr_samples)
 
+    def _map_channels(self, fn, rows):
+        """Per-channel transform in a thread pool (ctypes releases the
+        GIL, so the O(n²) serial DCT kernels run concurrently)."""
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor() as ex:
+            return np.stack(list(ex.map(fn, rows)))
+
     def compress(self, src) -> bytes:
         c = self.cfg
         enc = nb.native_to_i32(src, c.nr_samples, c.nr_channels,
@@ -154,9 +161,9 @@ class NativeDctPacker(_NativeBase):
                           for i in range(c.nr_channels)], np.int32)
         with np.errstate(over="ignore"):
             enc = (enc - means[:, None]).astype(np.int32)
-        dct = np.stack([nb.dct_forward(enc[j], self._cos, self._cs,
-                                       self.QUALITY)
-                        for j in range(c.nr_channels)])
+        dct = self._map_channels(
+            lambda row: nb.dct_forward(row, self._cos, self._cs,
+                                       self.QUALITY), enc)
         flat = np.ascontiguousarray(dct.reshape(-1))
         L = _lib()
         L.rn_delta_encode(nb._p32(flat), flat.size)
@@ -177,9 +184,9 @@ class NativeDctPacker(_NativeBase):
         L.rn_offset32(nb._p32(flat), flat.size, 128)
         L.rn_delta_decode(nb._p32(flat), flat.size, 0)
         dct = flat.reshape(c.nr_channels, c.nr_samples)
-        rec = np.stack([nb.dct_inverse(dct[j], self._cos, self._cs,
-                                       self.QUALITY)
-                        for j in range(c.nr_channels)])
+        rec = self._map_channels(
+            lambda row: nb.dct_inverse(row, self._cos, self._cs,
+                                       self.QUALITY), dct)
         means = _means_from_header(header, c.nr_channels)
         with np.errstate(over="ignore"):
             rec = (rec + means[:, None]).astype(np.int32)
