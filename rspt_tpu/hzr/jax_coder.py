@@ -131,22 +131,30 @@ def tokenize_blocks(blocks: jnp.ndarray, lengths: jnp.ndarray):
         jax.lax.optimization_barrier(
             (syms, extras, ebits, tvalid, is_lit, is_chunk_start, run_sym))
 
-    # Histogram without scatter (TPU scatters serialize): literals via a
-    # compare-reduce over the 256-lane axis — reshape positions to
-    # (chunks, 256) and compare against lane ids broadcast on the VPU —
-    # and the 5 RLE symbols via masked popcounts.
-    lit_syms = jnp.where(is_lit, x, jnp.int32(-1))
-    lanes = jnp.arange(256, dtype=jnp.int32)[None, None, :]
-    lit_m = lit_syms.reshape(nb, -1, 1)
-    hist_lit = jnp.sum((lit_m == lanes), axis=1, dtype=jnp.int32)
-    run_hist = [
-        jnp.sum(is_chunk_start & (run_sym == s), axis=1, dtype=jnp.int32)
-        for s in (256, 257, 258, 259, 260)]
-    # symbol 0 tokens (single zeros) live in run_sym == 0
-    hist0 = jnp.sum(is_chunk_start & (run_sym == 0), axis=1,
+    if jax.default_backend() == "tpu":
+        # Histogram without scatter (TPU scatters serialize): literals
+        # via a compare-reduce over the 256-lane axis on the VPU, the 5
+        # RLE symbols via masked popcounts.
+        lit_syms = jnp.where(is_lit, x, jnp.int32(-1))
+        lanes = jnp.arange(256, dtype=jnp.int32)[None, None, :]
+        lit_m = lit_syms.reshape(nb, -1, 1)
+        hist_lit = jnp.sum((lit_m == lanes), axis=1, dtype=jnp.int32)
+        run_hist = [
+            jnp.sum(is_chunk_start & (run_sym == s), axis=1,
                     dtype=jnp.int32)
-    hist_lit = hist_lit.at[:, 0].set(hist0)
-    hist = jnp.concatenate([hist_lit, jnp.stack(run_hist, axis=1)], axis=1)
+            for s in (256, 257, 258, 259, 260)]
+        # symbol 0 tokens (single zeros) live in run_sym == 0
+        hist0 = jnp.sum(is_chunk_start & (run_sym == 0), axis=1,
+                        dtype=jnp.int32)
+        hist_lit = hist_lit.at[:, 0].set(hist0)
+        hist = jnp.concatenate([hist_lit, jnp.stack(run_hist, axis=1)],
+                               axis=1)
+    else:
+        # CPU/GPU: scatter-add histogram (fast there; the compare-
+        # reduce does 256x the work)
+        hist = jax.vmap(
+            lambda s, v: jnp.zeros(NUM_SYMBOLS, jnp.int32).at[s].add(
+                v.astype(jnp.int32)))(syms, tvalid)
     return syms, extras, ebits, tvalid, hist
 
 
