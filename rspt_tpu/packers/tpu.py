@@ -181,17 +181,40 @@ def _as_u8(src):
 
 class _TpuPackerBase:
     def __init__(self, bytes_per_sample: int, nr_channels: int,
-                 nr_samples: int, encoder=None):
+                 nr_samples: int, encoder=None, device_decode: bool = False):
         self.cfg = PackerConfig(bytes_per_sample, nr_channels, nr_samples)
         # encoder: object with .encode_blocks(blocks, lengths) — e.g.
         # parallel.mesh.ShardedHzrEncoder for a multi-chip mesh.
         self._encoder = encoder
+        # device_decode: entropy-decode on the accelerator via the
+        # segment-parallel speculative decoder (hzr/jax_decoder.py)
+        # instead of the host native runtime.
+        self.device_decode = device_decode
 
     def _decode_container(self, comp, nr_planes: int, header_size: int
                           ) -> Tuple[int, bytes, jnp.ndarray, int]:
-        """Host entropy decode (multithreaded native C++ when built,
-        one thread per plane) → plane merge on device."""
+        """Entropy decode → plane merge on device. Default: host native
+        C++ (block-parallel MT); device_decode=True runs the
+        segment-parallel speculative decoder on the accelerator."""
         c = self.cfg
+        if self.device_decode:
+            from ..hzr import jax_decoder
+            src = memoryview(bytes(comp)
+                             if not isinstance(comp, (bytes, bytearray))
+                             else comp)
+            method = src[0]
+            header = bytes(src[1:1 + header_size])
+            pos = 1 + header_size
+            planes = np.zeros((nr_planes, c.plane_len), np.uint8)
+            for k in range(nr_planes):
+                clen = int.from_bytes(src[pos:pos + 4], "little")
+                pos += 4
+                decoded = jax_decoder.decode(bytes(src[pos:pos + clen]))
+                planes[k] = np.frombuffer(decoded, np.uint8,
+                                          count=c.plane_len)
+                pos += clen
+            merged = jops.plane_merge(jnp.asarray(planes))
+            return method, header, merged, pos
         if _HAVE_NATIVE:
             buf = np.frombuffer(memoryview(bytes(comp))
                                 if not isinstance(comp, (bytes, bytearray))
