@@ -395,6 +395,83 @@ def encode_blocks_device(blocks_np: np.ndarray, lengths_np: np.ndarray):
     return packed, np.asarray(total_bits), is_fill
 
 
+@jax.jit
+def compact_payloads(packed, blocks, total_bits, lengths, is_fill):
+    """Device-side compaction of the variable-length outputs so the
+    host pulls only the bytes it needs (the tunneled d2h link has high
+    fixed+per-byte costs; max-size buffers waste both).
+
+    Returns (tight_huff_buf, comp_len, copy_buf, copy_len): HUFF
+    payloads packed back-to-back, and raw block bytes for COPY-fallback
+    blocks likewise (usually empty). Ascending dynamic-update-slices
+    overwrite the previous row's overhang, so no gather/scatter.
+    """
+    nb, max_out = packed.shape
+    B_ = blocks.shape[1]
+    plen = jnp.right_shift(total_bits + 7, 3)
+    live = lengths > 0
+    is_huff = (~is_fill) & live & (plen <= lengths) & (plen < MAX_BLOCK_SIZE)
+    comp_len = jnp.where(is_huff, plen, 0)
+    offs = jnp.cumsum(comp_len) - comp_len
+
+    def step(acc, inp):
+        off, row = inp
+        return jax.lax.dynamic_update_slice(acc, row, (off,)), None
+
+    tight, _ = jax.lax.scan(
+        step, jnp.zeros(nb * max_out + max_out, jnp.uint8), (offs, packed))
+
+    is_copy = (~is_fill) & live & (~is_huff)
+    copy_len = jnp.where(is_copy, lengths, 0)
+    coffs = jnp.cumsum(copy_len) - copy_len
+    copy_buf, _ = jax.lax.scan(
+        step, jnp.zeros(nb * B_ + B_, jnp.uint8), (coffs, blocks))
+    return tight, comp_len, copy_buf, copy_len
+
+
+def fill_bytes_from_hist(hist_np: np.ndarray) -> np.ndarray:
+    """FILL blocks are single-code-class: all bytes equal one literal or
+    all zero — recover block[0] from the histogram instead of
+    transferring the raw block (hzr_encode.c:341-367 semantics)."""
+    lits = hist_np[:, 1:256]
+    has_lit = lits.max(axis=1, initial=0) > 0
+    return np.where(has_lit, lits.argmax(axis=1) + 1, 0).astype(np.uint8)
+
+
+def assemble_compact(lengths_np, tight_np, comp_len_np, copy_np,
+                     copy_len_np, total_bits, is_fill, fill_byte) -> bytes:
+    """Host assembly from device-compacted buffers (no raw block
+    transfer): headers + CRC32C + concat."""
+    nb = lengths_np.shape[0]
+    in_size = int(lengths_np.sum())
+    parts: List[bytes] = [int(in_size).to_bytes(4, "little")]
+    hoff = np.concatenate(([0], np.cumsum(comp_len_np)[:-1]))
+    coff = np.concatenate(([0], np.cumsum(copy_len_np)[:-1]))
+    for i in range(nb):
+        blen = int(lengths_np[i])
+        if blen == 0:
+            continue
+        if is_fill[i]:
+            fb = bytes([int(fill_byte[i])])
+            crc = _crc32c(np.frombuffer(fb, np.uint8))
+            enc = ((0).to_bytes(2, "little") + int(crc).to_bytes(4, "little")
+                   + bytes([ENCODING_FILL]) + fb)
+        elif comp_len_np[i] > 0:
+            payload = tight_np[hoff[i]:hoff[i] + comp_len_np[i]]
+            crc = _crc32c(payload)
+            enc = ((int(comp_len_np[i]) - 1).to_bytes(2, "little")
+                   + int(crc).to_bytes(4, "little")
+                   + bytes([ENCODING_HUFF_RLE]) + payload.tobytes())
+        else:  # COPY fallback
+            block = copy_np[coff[i]:coff[i] + blen]
+            crc = _crc32c(block)
+            enc = ((blen - 1).to_bytes(2, "little")
+                   + int(crc).to_bytes(4, "little")
+                   + bytes([ENCODING_COPY]) + block.tobytes())
+        parts.append(enc)
+    return b"".join(parts)
+
+
 def assemble(blocks_np, lengths_np, packed, total_bits, is_fill,
              out_capacity: Optional[int] = None) -> bytes:
     """Host assembly: headers, CRC32C, FILL/COPY fallbacks, concat

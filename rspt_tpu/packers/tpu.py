@@ -152,23 +152,53 @@ def _entropy_finish(blocks_dev, toks, lengths_np, nr_planes: int,
         blocks_np = np.asarray(blocks_dev)
         packed, total_bits, is_fill = encoder.encode_blocks(
             blocks_np, lengths_np)
-    else:
-        codes, cbits, desc_bytes, desc_bits, is_fill = \
-            jax_coder.host_tables(np.asarray(hist), lengths_np)
-        codes_d, cbits_d, dbits_d = jax.device_put(
-            (codes, cbits, desc_bits))
-        packed_dev, total_bits_dev = jax_coder.pack_blocks(
-            syms, extras, ebits, tvalid, codes_d, cbits_d, dbits_d)
-        packed = np.array(packed_dev)
-        packed[:, :desc_bytes.shape[1]] |= desc_bytes
-        total_bits = np.asarray(total_bits_dev)
-        blocks_np = np.asarray(blocks_dev)
+        parts = [bytes([method]), header]
+        for k in range(nr_planes):
+            s = slice(k * nb_per, (k + 1) * nb_per)
+            stream = jax_coder.assemble(blocks_np[s], lengths_np[s],
+                                        packed[s], total_bits[s],
+                                        is_fill[s])
+            parts.append(len(stream).to_bytes(4, "little"))
+            parts.append(stream)
+        return b"".join(parts)
+
+    hist_np = np.asarray(hist)
+    codes, cbits, desc_bytes, desc_bits, is_fill = \
+        jax_coder.host_tables(hist_np, lengths_np)
+    codes_d, cbits_d, dbits_d = jax.device_put((codes, cbits, desc_bits))
+    packed_dev, total_bits_dev = jax_coder.pack_blocks(
+        syms, extras, ebits, tvalid, codes_d, cbits_d, dbits_d)
+    # device-side compaction: the host pulls only real payload bytes +
+    # COPY-fallback blocks (no max-size buffers, no raw-block transfer;
+    # FILL bytes are recovered from the histograms)
+    tight_d, comp_len_d, copy_d, copy_len_d = jax_coder.compact_payloads(
+        packed_dev, blocks_dev, total_bits_dev,
+        jax.device_put(lengths_np.astype(np.int32)),
+        jax.device_put(is_fill))
+    comp_len, copy_len, total_bits = jax.device_get(
+        (comp_len_d, copy_len_d, total_bits_dev))
+    tight = np.asarray(tight_d[:int(comp_len.sum())])
+    copy_np = np.asarray(copy_d[:int(copy_len.sum())]) \
+        if copy_len.sum() else np.zeros(0, np.uint8)
+    # OR-merge the tree descriptions over each payload's leading bytes
+    hoff = np.concatenate(([0], np.cumsum(comp_len)[:-1]))
+    tight = tight.copy()
+    for i in np.flatnonzero(comp_len):
+        dlen = min(jax_coder.DESC_STRIDE, int(comp_len[i]))
+        tight[hoff[i]:hoff[i] + dlen] |= desc_bytes[i, :dlen]
+    fill_byte = jax_coder.fill_bytes_from_hist(hist_np)
 
     parts = [bytes([method]), header]
     for k in range(nr_planes):
         s = slice(k * nb_per, (k + 1) * nb_per)
-        stream = jax_coder.assemble(blocks_np[s], lengths_np[s], packed[s],
-                                    total_bits[s], is_fill[s])
+        hbase = hoff[s.start] if s.start < len(hoff) else 0
+        cbase_arr = np.concatenate(([0], np.cumsum(copy_len)[:-1]))
+        cbase = cbase_arr[s.start] if s.start < len(cbase_arr) else 0
+        stream = jax_coder.assemble_compact(
+            lengths_np[s],
+            tight[hbase:], comp_len[s],
+            copy_np[cbase:], copy_len[s],
+            total_bits[s], is_fill[s], fill_byte[s])
         parts.append(len(stream).to_bytes(4, "little"))
         parts.append(stream)
     return b"".join(parts)
