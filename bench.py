@@ -184,6 +184,39 @@ def main():
     except Exception as e:
         log(f"streaming metric unavailable: {e}")
 
+    # Remaining BASELINE configs (stderr diagnostics, native engine)
+    try:
+        from rspt_tpu.packers import native as npk
+        from rspt_tpu.utils.metrics import prdn
+        # config 1: hzr-chain on the README 8192-sample sine
+        sine = (np.sin(np.arange(8192) / 100.0) * 1000.0).astype(
+            np.int32).astype("<i4").tobytes()
+        p1 = npk.new_xdelta_hzr(4, 1, 8192, 3)
+        c1 = p1.compress(sine)
+        log(f"config1 sine xdelta: CR {len(sine)/len(c1):.2f}")
+        # config 3: hadamard on real ECG (truncated to 2^k samples)
+        n3 = 16384
+        d3 = native[:n3 * ch * bps]
+        p3 = npk.new_hadamard(bps, ch, n3)
+        c3 = p3.compress(d3)
+        o3, _ = p3.decompress(c3)
+        s_in = np.frombuffer(d3, "<i4").reshape(n3, ch).T
+        s_out = np.frombuffer(o3, "<i4").reshape(n3, ch).T
+        log(f"config3 hadamard: CR {len(d3)/len(c3):.2f}, "
+            f"PRDN {prdn(s_in, s_out):.2f}%")
+        # config 4: dct on real ECG (4096 samples, as the reference test)
+        n4 = 4096
+        d4 = native[:n4 * ch * bps]
+        p4 = npk.new_dct(bps, ch, n4)
+        c4 = p4.compress(d4)
+        o4, _ = p4.decompress(c4)
+        s_in = np.frombuffer(d4, "<i4").reshape(n4, ch).T
+        s_out = np.frombuffer(o4, "<i4").reshape(n4, ch).T
+        log(f"config4 dct: CR {len(d4)/len(c4):.2f}, "
+            f"PRDN {prdn(s_in, s_out):.2f}%")
+    except Exception as e:
+        log(f"extra configs unavailable: {e}")
+
     best_engine = min(results, key=lambda k: results[k][0])
     enc_gbps = nbytes / results[best_engine][0] / 1e9
     vs = enc_gbps / base_gbps if base_gbps else enc_gbps / 1.0

@@ -404,7 +404,18 @@ class TpuDctPacker(_TpuPackerBase):
 
 
 @functools.lru_cache(maxsize=64)
-def _hadamard_transform_jit(ns: int, quality: float):
+def _hadamard_transform_jit(ns: int, quality: float, use_pallas: bool):
+    if use_pallas:
+        from ..ops.pallas_kernels import fwht_pallas
+        interp = jax.default_backend() != "tpu"  # interpret off-TPU
+
+        @jax.jit
+        def f(enc, means):
+            centered = enc - means[:, None]
+            return jops.fwht_normalize_pow2(
+                fwht_pallas(centered, interpret=interp), ns, quality)
+        return f
+
     @jax.jit
     def f(enc, means):
         centered = enc - means[:, None]
@@ -414,11 +425,20 @@ def _hadamard_transform_jit(ns: int, quality: float):
 
 class TpuHadamardPacker(_TpuPackerBase):
     """Lossy FWHT packer (signal_packer_hadamard.cpp:35-107); int32
-    butterflies, integer-exact /n quantization. n must be 2^k."""
+    butterflies, integer-exact /n quantization. n must be 2^k.
+
+    use_pallas=True runs the VMEM-resident Pallas butterfly kernel
+    (ops/pallas_kernels.fwht_pallas) instead of the XLA reshape
+    butterflies — same exact int32 results, one HBM read+write per
+    element instead of one per stage."""
 
     METHOD = 2
     NR_PLANES = 3
     QUALITY = 1.0
+
+    def __init__(self, *a, use_pallas: bool = False, **kw):
+        super().__init__(*a, **kw)
+        self.use_pallas = use_pallas
 
     def compress(self, src) -> bytes:
         c = self.cfg
@@ -427,7 +447,8 @@ class TpuHadamardPacker(_TpuPackerBase):
                 jnp.asarray(_as_u8(src)))
         means = jops.average32_host(np.asarray(hi), np.asarray(lo),
                                     c.nr_samples)
-        had = _hadamard_transform_jit(c.nr_samples, self.QUALITY)(
+        had = _hadamard_transform_jit(c.nr_samples, self.QUALITY,
+                                      self.use_pallas)(
             enc, jnp.asarray(means))
         f, lengths = _pass1_xdelta_tail(c.nr_samples, c.nr_channels,
                                         self.NR_PLANES, False)
