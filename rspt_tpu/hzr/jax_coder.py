@@ -13,11 +13,14 @@ parallel entropy coder"):
       ≤261-entry histogram; preorder tree-description fields; FILL /
       COPY fallback decisions (hzr_encode.c:285-305, 399-407, 462-469).
   pass 2 (device, jit):  per-token code lookup, exclusive bit-offset
-      prefix sum, and scatter-add bit packing: disjoint bit positions
-      make OR == ADD, so each variable-width field becomes ≤2
-      word-aligned uint32 contributions accumulated by one scatter-add
-      per block (measured ~100× faster on TPU than byte-centric
-      searchsorted+gather formulations).
+      prefix sum, and bit packing via disjoint-bit addition (OR == ADD
+      when every bit position has one writer): each variable-width
+      field becomes ≤2 word-aligned uint32 contributions, accumulated
+      on TPU by chunked compare-accumulate + sequential dynamic-slice
+      placement (offset-sorted fields span bounded word windows;
+      ~100× faster than scatter, which serializes there) and on
+      CPU/GPU by plain scatter-add. Variable-length payloads are
+      compacted on device before transfer (compact_payloads).
   host assembly:         7-byte block headers + CRC32C + concatenation.
 
 Blocks are the data-parallel axis: all blocks of all byte-planes are
@@ -426,7 +429,15 @@ def compact_payloads(packed, blocks, total_bits, lengths, is_fill):
     coffs = jnp.cumsum(copy_len) - copy_len
     copy_buf, _ = jax.lax.scan(
         step, jnp.zeros(nb * B_ + B_, jnp.uint8), (coffs, blocks))
-    return tight, comp_len, copy_buf, copy_len
+    # single-transfer layout: [huff payloads | copy blocks] contiguous,
+    # plus one int32 meta array [comp_len | copy_len | total_bits] —
+    # every separate d2h pays the link's fixed latency
+    total_comp = jnp.sum(comp_len)
+    data = jnp.zeros(tight.shape[0] + copy_buf.shape[0], jnp.uint8)
+    data = jax.lax.dynamic_update_slice(data, tight, (0,))
+    data = jax.lax.dynamic_update_slice(data, copy_buf, (total_comp,))
+    meta = jnp.concatenate([comp_len, copy_len, total_bits])
+    return data, meta
 
 
 def fill_bytes_from_hist(hist_np: np.ndarray) -> np.ndarray:

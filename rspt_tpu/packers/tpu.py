@@ -102,7 +102,12 @@ def _pass1_xdelta(ns: int, ch: int, bps: int, nr_planes: int):
             jops.plane_split(enc, nr_planes))
         blocks, toks = _blockify_tokenize(planes, plane_len, nr_planes,
                                           lengths)
-        return ok, blocks, toks
+        syms, extras, ebits, tvalid, hist = toks
+        # fold the verify flag into the histogram transfer: every
+        # host-visible scalar costs a full fixed-latency d2h round trip
+        small = jnp.concatenate([hist.reshape(-1),
+                                 ok.astype(jnp.int32)[None]])
+        return small, blocks, (syms, extras, ebits, tvalid, hist)
 
     return f, lengths
 
@@ -142,7 +147,8 @@ def _pass1_xdelta_tail(ns: int, ch: int, nr_planes: int, header: bool):
 # ---------------------------------------------------------------------------
 
 def _entropy_finish(blocks_dev, toks, lengths_np, nr_planes: int,
-                    method: int, header: bytes, encoder=None) -> bytes:
+                    method: int, header: bytes, encoder=None,
+                    hist_np=None) -> bytes:
     """Host tables → pack dispatch → container assembly."""
     syms, extras, ebits, tvalid, hist = toks
     nb = syms.shape[0]
@@ -162,7 +168,8 @@ def _entropy_finish(blocks_dev, toks, lengths_np, nr_planes: int,
             parts.append(stream)
         return b"".join(parts)
 
-    hist_np = np.asarray(hist)
+    if hist_np is None:
+        hist_np = np.asarray(hist)
     codes, cbits, desc_bytes, desc_bits, is_fill = \
         jax_coder.host_tables(hist_np, lengths_np)
     codes_d, cbits_d, dbits_d = jax.device_put((codes, cbits, desc_bits))
@@ -171,15 +178,16 @@ def _entropy_finish(blocks_dev, toks, lengths_np, nr_planes: int,
     # device-side compaction: the host pulls only real payload bytes +
     # COPY-fallback blocks (no max-size buffers, no raw-block transfer;
     # FILL bytes are recovered from the histograms)
-    tight_d, comp_len_d, copy_d, copy_len_d = jax_coder.compact_payloads(
+    data_d, meta_d = jax_coder.compact_payloads(
         packed_dev, blocks_dev, total_bits_dev,
         jax.device_put(lengths_np.astype(np.int32)),
         jax.device_put(is_fill))
-    comp_len, copy_len, total_bits = jax.device_get(
-        (comp_len_d, copy_len_d, total_bits_dev))
-    tight = np.asarray(tight_d[:int(comp_len.sum())])
-    copy_np = np.asarray(copy_d[:int(copy_len.sum())]) \
-        if copy_len.sum() else np.zeros(0, np.uint8)
+    meta = np.asarray(meta_d)
+    comp_len, copy_len, total_bits = np.split(meta, 3)
+    tc, tcopy = int(comp_len.sum()), int(copy_len.sum())
+    data = np.asarray(data_d[:tc + tcopy])
+    tight = data[:tc]
+    copy_np = data[tc:]
     # OR-merge the tree descriptions over each payload's leading bytes
     hoff = np.concatenate(([0], np.cumsum(comp_len)[:-1]))
     tight = tight.copy()
@@ -302,14 +310,17 @@ class TpuXdeltaHzrPacker(_TpuPackerBase):
         while True:
             f, lengths = _pass1_xdelta(c.nr_samples, c.nr_channels,
                                        c.bytes_per_sample, self.nr_planes)
-            ok, blocks, toks = f(raw)
-            if bool(ok):
+            small, blocks, toks = f(raw)
+            small_np = np.asarray(small)  # hist + verify flag, one d2h
+            if bool(small_np[-1]):
                 break
             log.info("xdelta_hzr: growing plane count to %d",
                      self.nr_planes + 1)
             self.nr_planes += 1
+        hist_np = small_np[:-1].reshape(-1, jax_coder.NUM_SYMBOLS)
         return _entropy_finish(blocks, toks, lengths, self.nr_planes,
-                               self.METHOD, b"", self._encoder)
+                               self.METHOD, b"", self._encoder,
+                               hist_np=hist_np)
 
     @staticmethod
     @jax.jit
