@@ -29,7 +29,8 @@ def main():
                                     0.4, 200.0)
     cfg.filter_coeffs = (a, b)
 
-    packet = 6 * 1024
+    samples_per_packet = 682
+    packet = samples_per_packet * 3 * ch  # whole samples per packet
     ring = IoBuffer(packet, nr_max_packets=16)
     stop = threading.Event()
 
@@ -41,7 +42,7 @@ def main():
             if buf is None:
                 time.sleep(0.001)
                 continue
-            n = packet // (3 * ch)
+            n = samples_per_packet
             i = np.arange(t, t + n)
             sig = (4000 * np.sin(2 * np.pi * 7 * i / sr)[:, None]
                    + rng.normal(0, 50, (n, ch))).astype(np.int32)
@@ -49,7 +50,7 @@ def main():
             raw = np.zeros((n, ch, 3), np.uint8)
             for k in range(3):
                 raw[..., k] = (v >> np.uint32(8 * k)) & np.uint32(0xFF)
-            buf[:] = raw.reshape(-1)[:packet]
+            buf[:] = raw.reshape(-1)
             t += n
 
     th = threading.Thread(target=producer, daemon=True)
