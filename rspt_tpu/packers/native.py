@@ -119,6 +119,16 @@ class NativeXdeltaHzrPacker(_NativeBase):
         body = nb.encode_planes_blocks_mt(planes, self.nthreads)
         return bytes([self.METHOD]) + body
 
+    def compress_many(self, srcs) -> list:
+        """Batched path: payloads run through the MT kernels one after
+        another (each already saturates the cores); a verify-grow
+        raises the instance plane count for subsequent payloads, like
+        sequential reference calls on one instance."""
+        return [self.compress(s) for s in srcs]
+
+    def decompress_many(self, comps) -> list:
+        return [self.decompress(c)[0] for c in comps]
+
     def decompress(self, comp) -> Tuple[bytes, int]:
         c = self.cfg
         buf = np.frombuffer(memoryview(bytes(comp))

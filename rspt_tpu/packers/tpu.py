@@ -113,6 +113,31 @@ def _pass1_xdelta(ns: int, ch: int, bps: int, nr_planes: int):
 
 
 @functools.lru_cache(maxsize=64)
+def _pass1_xdelta_batch(ns: int, ch: int, bps: int, nr_planes: int,
+                        batch: int):
+    """Batched pass 1: `batch` independent payloads of identical config
+    in one dispatch (the serving path — fixed link costs amortize over
+    the whole batch). Each payload's scan chains stay independent
+    (vmap), exactly like separate reference compress() calls."""
+    plane_len = ch * ns
+    nb_per, lengths = _block_layout(plane_len, nr_planes)
+    f_single, _ = _pass1_xdelta(ns, ch, bps, nr_planes)
+
+    @jax.jit
+    def f(raws):  # (batch, nbytes) u8
+        small, blocks, toks = jax.vmap(f_single)(raws)
+        nb = nr_planes * nb_per
+        blocks = blocks.reshape(batch * nb, jax_coder.B)
+        toks = tuple(t.reshape(batch * nb, -1) if t.ndim == 3
+                     else t.reshape(batch * nb, -1) for t in toks[:4]) \
+            + (toks[4].reshape(batch * nb, -1),)
+        return small.reshape(batch, -1), blocks, toks
+
+    tiled = np.tile(lengths, batch)
+    return f, lengths, tiled
+
+
+@functools.lru_cache(maxsize=64)
 def _pass1_swizzle_means(ns: int, ch: int, bps: int):
     @jax.jit
     def f(raw):
@@ -146,27 +171,29 @@ def _pass1_xdelta_tail(ns: int, ch: int, nr_planes: int, header: bool):
 # Pass 2 + assembly
 # ---------------------------------------------------------------------------
 
-def _entropy_finish(blocks_dev, toks, lengths_np, nr_planes: int,
-                    method: int, header: bytes, encoder=None,
-                    hist_np=None) -> bytes:
-    """Host tables → pack dispatch → container assembly."""
+def _entropy_streams(blocks_dev, toks, lengths_np, n_chunks: int,
+                     encoder=None, hist_np=None):
+    """Host tables → pack dispatch → per-chunk hzr streams.
+
+    The flat block batch is split into ``n_chunks`` equal chunk groups
+    (byte planes for a single payload; payload×plane for a batch) and
+    one complete hzr stream is assembled per chunk.
+    """
     syms, extras, ebits, tvalid, hist = toks
     nb = syms.shape[0]
-    nb_per = nb // nr_planes
+    nb_per = nb // n_chunks
 
     if encoder is not None:  # sharded path (multi-chip mesh)
         blocks_np = np.asarray(blocks_dev)
         packed, total_bits, is_fill = encoder.encode_blocks(
             blocks_np, lengths_np)
-        parts = [bytes([method]), header]
-        for k in range(nr_planes):
-            s = slice(k * nb_per, (k + 1) * nb_per)
-            stream = jax_coder.assemble(blocks_np[s], lengths_np[s],
-                                        packed[s], total_bits[s],
-                                        is_fill[s])
-            parts.append(len(stream).to_bytes(4, "little"))
-            parts.append(stream)
-        return b"".join(parts)
+        return [jax_coder.assemble(
+            blocks_np[k * nb_per:(k + 1) * nb_per],
+            lengths_np[k * nb_per:(k + 1) * nb_per],
+            packed[k * nb_per:(k + 1) * nb_per],
+            total_bits[k * nb_per:(k + 1) * nb_per],
+            is_fill[k * nb_per:(k + 1) * nb_per])
+            for k in range(n_chunks)]
 
     if hist_np is None:
         hist_np = np.asarray(hist)
@@ -196,20 +223,33 @@ def _entropy_finish(blocks_dev, toks, lengths_np, nr_planes: int,
         tight[hoff[i]:hoff[i] + dlen] |= desc_bytes[i, :dlen]
     fill_byte = jax_coder.fill_bytes_from_hist(hist_np)
 
-    parts = [bytes([method]), header]
-    for k in range(nr_planes):
+    streams = []
+    cbase_arr = np.concatenate(([0], np.cumsum(copy_len)[:-1]))
+    for k in range(n_chunks):
         s = slice(k * nb_per, (k + 1) * nb_per)
         hbase = hoff[s.start] if s.start < len(hoff) else 0
-        cbase_arr = np.concatenate(([0], np.cumsum(copy_len)[:-1]))
         cbase = cbase_arr[s.start] if s.start < len(cbase_arr) else 0
-        stream = jax_coder.assemble_compact(
+        streams.append(jax_coder.assemble_compact(
             lengths_np[s],
             tight[hbase:], comp_len[s],
             copy_np[cbase:], copy_len[s],
-            total_bits[s], is_fill[s], fill_byte[s])
+            total_bits[s], is_fill[s], fill_byte[s]))
+    return streams
+
+
+def _container(method: int, header: bytes, streams) -> bytes:
+    parts = [bytes([method]), header]
+    for stream in streams:
         parts.append(len(stream).to_bytes(4, "little"))
         parts.append(stream)
     return b"".join(parts)
+
+
+def _entropy_finish(blocks_dev, toks, lengths_np, nr_planes: int,
+                    method: int, header: bytes, encoder=None,
+                    hist_np=None) -> bytes:
+    return _container(method, header, _entropy_streams(
+        blocks_dev, toks, lengths_np, nr_planes, encoder, hist_np))
 
 
 def _as_u8(src):
@@ -321,6 +361,39 @@ class TpuXdeltaHzrPacker(_TpuPackerBase):
         return _entropy_finish(blocks, toks, lengths, self.nr_planes,
                                self.METHOD, b"", self._encoder,
                                hist_np=hist_np)
+
+    def compress_many(self, srcs) -> list:
+        """Batched serving path: compress many same-shape payloads in
+        two device dispatches total — the fixed link costs amortize over
+        the batch. Each payload's scan chains are independent (vmap),
+        so the streams equal per-payload compress() output; the one
+        semantic difference from sequential calls is that a verify-grow
+        (rare) raises the plane count for the whole batch.
+        """
+        c = self.cfg
+        batch = len(srcs)
+        if batch == 0:
+            return []
+        raws = jnp.asarray(np.stack([_as_u8(s) for s in srcs]))
+        while True:
+            f, lengths, tiled = _pass1_xdelta_batch(
+                c.nr_samples, c.nr_channels, c.bytes_per_sample,
+                self.nr_planes, batch)
+            small, blocks, toks = f(raws)
+            small_np = np.asarray(small)  # (batch, nb*261 + 1)
+            if small_np[:, -1].all():
+                break
+            log.info("xdelta_hzr: growing plane count to %d",
+                     self.nr_planes + 1)
+            self.nr_planes += 1
+        hist_np = small_np[:, :-1].reshape(-1, jax_coder.NUM_SYMBOLS)
+        streams = _entropy_streams(blocks, toks, tiled,
+                                   batch * self.nr_planes,
+                                   self._encoder, hist_np=hist_np)
+        return [_container(self.METHOD, b"",
+                           streams[b * self.nr_planes:
+                                   (b + 1) * self.nr_planes])
+                for b in range(batch)]
 
     @staticmethod
     @jax.jit
