@@ -60,7 +60,11 @@ L1_BITS = 16
 L1_SIZE = 1 << L1_BITS
 MAX_CODE_BITS = 24  # Fibonacci bound for ≤64Ki+261 total count is 23
 L2_WIDTH = 1 << (MAX_CODE_BITS - L1_BITS)
-SEG_BITS = 4096
+# Segment size trades lane count against lockstep steps: smaller
+# segments → more parallel lanes and fewer while-loop iterations each
+# (total work constant). 1024 bits ≈ 4× the throughput of 4096 on the
+# measured fixtures.
+SEG_BITS = 1024
 
 _RLE_EBITS = np.array([0, 0, 2, 4, 8, 14], np.int32)   # pad + syms 256..260
 _RLE_BASE = np.array([0, 2, 3, 7, 23, 279], np.int32)
@@ -118,9 +122,8 @@ def build_lut(tree) -> Tuple[np.ndarray, np.ndarray]:
 # Device sweeps
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("emit",))
-def _sweep(words, l1, l2, l2_base, block_of_lane, entry, seg_end,
-           payload_bits, out_base, out_limit, out_buf, emit: bool):
+def _sweep_impl(words, l1, l2, l2_base, block_of_lane, entry, seg_end,
+                payload_bits, out_base, out_limit, out_buf, emit: bool):
     """Lockstep decode of every lane from `entry` to its segment end.
 
     words: (nb, W) int32 payload words (little-endian bit order).
@@ -190,6 +193,36 @@ def _sweep(words, l1, l2, l2_base, block_of_lane, entry, seg_end,
     pos, outc, buf, _ = jax.lax.while_loop(
         cond, body, (entry, jnp.zeros(nl, jnp.int32), out_buf, active0))
     return pos, outc, buf
+
+
+_sweep = jax.jit(_sweep_impl, static_argnames=("emit",))
+
+
+@jax.jit
+def _align_fixpoint(words, l1, l2, l2_base, block_of_lane, entry0,
+                    seg_end, payload_bits, dfirst):
+    """On-device alignment fixpoint: iterate entry(s+1)=exit(s) until
+    stable, in ONE dispatch (a host-synced loop pays the link's fixed
+    d2h latency per iteration). Returns (entry, counts)."""
+    nl = entry0.shape[0]
+    zero_base = jnp.zeros(nl, jnp.int32)
+    dummy = jnp.zeros(1, jnp.uint8)
+
+    def body(state):
+        entry, _, _ = state
+        exit_pos, counts, _ = _sweep_impl(
+            words, l1, l2, l2_base, block_of_lane, entry, seg_end,
+            payload_bits, zero_base, zero_base, dummy, False)
+        shifted = jnp.concatenate([exit_pos[:1], exit_pos[:-1]])
+        new_entry = jnp.where(dfirst, entry, shifted)
+        return new_entry, counts, jnp.any(new_entry != entry)
+
+    def cond(state):
+        return state[2]
+
+    entry, counts, _ = jax.lax.while_loop(
+        cond, body, (entry0, jnp.zeros(nl, jnp.int32), jnp.bool_(True)))
+    return entry, counts
 
 
 # ---------------------------------------------------------------------------
@@ -292,25 +325,14 @@ def decode(data) -> bytes:
     dummy_buf = jnp.zeros(1, jnp.uint8)
     zero_base = jnp.zeros(lane_block.shape[0], jnp.int32)
 
-    # --- alignment fixpoint (count sweeps) --------------------------------
-    entry = jnp.asarray(lane_entry)
-    counts = None
-    # segment index ranges per block for the entry update
+    # --- alignment fixpoint (single on-device dispatch) -------------------
     seg_starts = np.cumsum([0] + seg_of_block[:-1])
     first_lane = np.zeros(lane_block.shape[0], bool)
     first_lane[seg_starts] = True
     dfirst = jnp.asarray(first_lane)
-    prev_lane = np.arange(lane_block.shape[0]) - 1
-    for _ in range(max(seg_of_block) if huff else 1):
-        exit_pos, counts, _ = _sweep(dwords, dl1, dl2, dl2b, dblock, entry,
-                                     dseg_end, dpbits, zero_base, zero_base,
-                                     dummy_buf, emit=False)
-        # entry(s) = exit(s-1) within each block; first segment is exact
-        shifted = jnp.concatenate([exit_pos[:1], exit_pos[:-1]])
-        new_entry = jnp.where(dfirst, entry, shifted)
-        if bool(jnp.array_equal(new_entry, entry)):
-            break
-        entry = new_entry
+    entry, counts = _align_fixpoint(dwords, dl1, dl2, dl2b, dblock,
+                                    jnp.asarray(lane_entry), dseg_end,
+                                    dpbits, dfirst)
 
     # --- output offsets ----------------------------------------------------
     counts_np = np.asarray(counts)
