@@ -13,9 +13,6 @@ LP threshold → gate (:95-122).
 
 from __future__ import annotations
 
-import functools
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -20,8 +20,6 @@ in analysis/jax_peaks.py.
 
 from __future__ import annotations
 
-from typing import List, Optional
-
 import numpy as np
 
 from ..filters.design import FilterKind, FilterType, create_filter_iir

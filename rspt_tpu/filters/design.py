@@ -25,8 +25,6 @@ import enum
 import math
 from typing import List, Tuple
 
-import numpy as np
-
 
 class FilterType(enum.IntEnum):
     """filter.h:94-100."""

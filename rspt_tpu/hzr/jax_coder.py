@@ -30,7 +30,6 @@ shards that axis over a device mesh.
 
 from __future__ import annotations
 
-import functools
 from typing import List, Optional, Tuple
 
 import numpy as np

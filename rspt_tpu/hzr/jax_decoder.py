@@ -38,7 +38,6 @@ work.
 
 from __future__ import annotations
 
-import functools
 from typing import List, Tuple
 
 import numpy as np

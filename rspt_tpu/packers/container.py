@@ -14,7 +14,7 @@ TPU data-parallel path exploits (planes × 64KiB blocks = shard grid).
 
 from __future__ import annotations
 
-from typing import List, Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 

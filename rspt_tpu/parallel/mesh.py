@@ -14,11 +14,9 @@ the same code runs over ICI+DCN (jax.devices() spans hosts).
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 

@@ -19,8 +19,6 @@ evenly (the packers pad to block multiples anyway).
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np

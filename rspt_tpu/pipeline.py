@@ -20,8 +20,8 @@ Every stage's carry state is a plain tuple, so checkpoint/resume is
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from typing import Callable, List, Optional, Tuple
+from dataclasses import dataclass
+from typing import List, Optional, Tuple
 
 import numpy as np
 

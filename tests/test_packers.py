@@ -2,7 +2,6 @@
 the compiled C++ reference."""
 
 import numpy as np
-import pytest
 
 from rspt_tpu.packers import host
 

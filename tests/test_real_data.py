@@ -2,7 +2,6 @@
 the .7z archives by tools/sevenz.py) — the exact workloads of the
 reference's test_1 and test_7 (rspt_test.cpp:160-178, 288-304)."""
 
-import numpy as np
 import pytest
 
 import rspt_tpu.packers as packers

@@ -10,7 +10,6 @@ from __future__ import annotations
 import ctypes
 import os
 import subprocess
-import sys
 
 REF = os.environ.get("RSPT_REFERENCE", "/root/reference")
 HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
