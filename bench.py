@@ -91,10 +91,10 @@ def main():
         from rspt_tpu.packers import native as npack
         p = npack.new_xdelta_hzr(bps, ch, n, 3)
         comp = p.compress(native)
-        t_enc = time_best(lambda: p.compress(native))
+        t_enc = time_best(lambda: p.compress(native), reps=20)
         out, _ = p.decompress(comp)
         assert out == native, "native roundtrip mismatch!"
-        t_dec = time_best(lambda: p.decompress(comp))
+        t_dec = time_best(lambda: p.decompress(comp), reps=20)
         results["native"] = (t_enc, t_dec)
         log(f"native engine: encode {t_enc*1e3:.1f} ms "
             f"({nbytes/t_enc/1e9:.3f} GB/s), decode {t_dec*1e3:.1f} ms "
@@ -150,7 +150,8 @@ def main():
         ref = get_ref()
         ref.compress("xdelta_hzr", native, bps, ch, n, 3)  # warmup
         t_ref = time_best(
-            lambda: ref.compress("xdelta_hzr", native, bps, ch, n, 3), reps=5)
+            lambda: ref.compress("xdelta_hzr", native, bps, ch, n, 3),
+            reps=10)
         base_gbps = nbytes / t_ref / 1e9
         ref_comp = ref.compress("xdelta_hzr", native, bps, ch, n, 3)
         log(f"reference encode: {t_ref*1e3:.1f} ms -> {base_gbps:.3f} GB/s; "
