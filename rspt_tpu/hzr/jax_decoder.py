@@ -229,23 +229,46 @@ def _align_fixpoint(words, l1, l2, l2_base, block_of_lane, entry0,
 # ---------------------------------------------------------------------------
 
 def decode(data) -> bytes:
-    """hzr_decode equivalent with the entropy stage on the accelerator.
+    """hzr_decode equivalent with the entropy stage on the accelerator."""
+    return decode_many([data])[0]
 
-    Parses the stream on the host, resolves COPY/FILL blocks directly,
-    and runs all HUFF blocks' segments as parallel device lanes.
+
+def decode_many(datas) -> list:
+    """Decode several hzr streams in ONE device run (their blocks'
+    segments share the lane batch — e.g. all byte planes of a packer
+    container). Parses streams on the host, resolves COPY/FILL blocks
+    directly, and runs every HUFF block's segments as parallel lanes.
     """
-    src = np.frombuffer(memoryview(data).cast("B"), np.uint8) \
-        if not isinstance(data, np.ndarray) else data.reshape(-1)
-    if src.size < HEADER_SIZE:
-        raise ValueError("hzr: input too small")
-    out_size = int.from_bytes(src[:4].tobytes(), "little")
+    srcs = [np.frombuffer(memoryview(d).cast("B"), np.uint8)
+            if not isinstance(d, np.ndarray) else d.reshape(-1)
+            for d in datas]
+    if not srcs:
+        return []
+    spans = []  # (global_start, size) per stream
+    total = 0
+    for src in srcs:
+        if src.size < HEADER_SIZE:
+            raise ValueError("hzr: input too small")
+        sz = int.from_bytes(src[:4].tobytes(), "little")
+        spans.append((total, sz))
+        total += sz
+    out_size = total
     out = np.zeros(out_size, np.uint8)
 
-    # --- host stream walk -------------------------------------------------
+    # --- host stream walk (all streams, global output offsets) ------------
     huff = []  # (payload view, payload_bits, desc_bits, out_off, out_len, tree)
+    for src, (gstart, ssize) in zip(srcs, spans):
+        _walk_stream(src, ssize, gstart, out, huff)
+    if not huff:
+        return [out[a:a + n].tobytes() for a, n in spans]
+    result = _device_decode(huff, out, out_size)
+    return [result[a:a + n].tobytes() for a, n in spans]
+
+
+def _walk_stream(src, out_size, gbase, out, huff):
     pos = HEADER_SIZE
     left = out_size
-    out_off = 0
+    out_off = gbase
     while left > 0:
         blen = min(left, MAX_BLOCK_SIZE)
         if pos + BLOCK_HEADER_SIZE > src.size:
@@ -277,9 +300,9 @@ def decode(data) -> bytes:
             raise ValueError("hzr: invalid encoding mode")
         out_off += blen
         left -= blen
-    if not huff:
-        return out.tobytes()
 
+
+def _device_decode(huff, out, out_size) -> np.ndarray:
     # --- host LUTs + padded payload words ---------------------------------
     nb = len(huff)
     max_words = max(-(-p.size // 4) for p, *_ in huff) + 2
@@ -358,4 +381,4 @@ def decode(data) -> bytes:
     # merge device-decoded HUFF regions with host COPY/FILL regions
     for i, (payload, pbits, dbits, ooff, olen, tree) in enumerate(huff):
         out[ooff:ooff + olen] = emitted[ooff:ooff + olen]
-    return out.tobytes()
+    return out

@@ -283,14 +283,17 @@ class _TpuPackerBase:
             method = src[0]
             header = bytes(src[1:1 + header_size])
             pos = 1 + header_size
-            planes = np.zeros((nr_planes, c.plane_len), np.uint8)
+            streams = []
             for k in range(nr_planes):
                 clen = int.from_bytes(src[pos:pos + 4], "little")
                 pos += 4
-                decoded = jax_decoder.decode(bytes(src[pos:pos + clen]))
-                planes[k] = np.frombuffer(decoded, np.uint8,
-                                          count=c.plane_len)
+                streams.append(bytes(src[pos:pos + clen]))
                 pos += clen
+            # all planes' blocks share ONE device-decoder lane batch
+            decoded = jax_decoder.decode_many(streams)
+            planes = np.stack([
+                np.frombuffer(d, np.uint8, count=c.plane_len)
+                for d in decoded])
             merged = jops.plane_merge(jnp.asarray(planes))
             return method, header, merged, pos
         if _HAVE_NATIVE:
