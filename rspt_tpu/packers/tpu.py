@@ -83,14 +83,24 @@ def _pass1_hzr(ns: int, ch: int, bps: int, nr_planes: int):
 
 
 @functools.lru_cache(maxsize=64)
-def _pass1_xdelta(ns: int, ch: int, bps: int, nr_planes: int):
+def _pass1_xdelta(ns: int, ch: int, bps: int, nr_planes: int,
+                  use_pallas: bool = False):
     plane_len = ch * ns
     _, lengths = _block_layout(plane_len, nr_planes)
+    if use_pallas:
+        from ..ops.pallas_kernels import xdelta_preprocess_pallas
+        interp = jax.default_backend() != "tpu"
 
     @jax.jit
     def f(raw):
         enc = jops.native_to_i32(raw, ns, ch, bps).reshape(-1)
-        enc = jops.xor_encode(jops.offset32(jops.delta_encode(enc), -128))
+        if use_pallas:
+            # fused VMEM tile kernel: one HBM read+write instead of
+            # three materialized scan stages
+            enc = xdelta_preprocess_pallas(enc, interpret=interp)
+        else:
+            enc = jops.xor_encode(jops.offset32(
+                jops.delta_encode(enc), -128))
         # barrier: stop the TPU fusion pass duplicating the scan chain
         # into the three consumers below (see jax_coder.tokenize_blocks)
         enc = jax.lax.optimization_barrier(enc)
@@ -343,16 +353,18 @@ class TpuXdeltaHzrPacker(_TpuPackerBase):
     METHOD = 0
 
     def __init__(self, bytes_per_sample, nr_channels, nr_samples,
-                 nr_bytes_to_encode: int, **kw):
+                 nr_bytes_to_encode: int, use_pallas: bool = False, **kw):
         super().__init__(bytes_per_sample, nr_channels, nr_samples, **kw)
         self.nr_planes = int(nr_bytes_to_encode)
+        self.use_pallas = use_pallas
 
     def compress(self, src) -> bytes:
         c = self.cfg
         raw = jnp.asarray(_as_u8(src))
         while True:
             f, lengths = _pass1_xdelta(c.nr_samples, c.nr_channels,
-                                       c.bytes_per_sample, self.nr_planes)
+                                       c.bytes_per_sample, self.nr_planes,
+                                       self.use_pallas)
             small, blocks, toks = f(raw)
             small_np = np.asarray(small)  # hist + verify flag, one d2h
             if bool(small_np[-1]):
