@@ -37,13 +37,22 @@ def worker(rank: int):
     assert len(jax.devices()) == NPROC * DEV_PER_PROC
 
     rng = np.random.default_rng(42)  # same payload on every host
-    data = rng.integers(0, 60, 600000, dtype=np.int64).astype(np.uint8)
+    data = rng.integers(0, 60, 2 * 1024 * 1024, dtype=np.int64).astype(
+        np.uint8)
 
     enc = ShardedHzrEncoder(make_mesh())
-    stream = enc.encode(data)
+    stream = enc.encode(data)  # warm/compile
+    import time
+    t0 = time.perf_counter()
+    reps = 3
+    for _ in range(reps):
+        stream = enc.encode(data)
+    dt = (time.perf_counter() - t0) / reps
     if rank == 0:
         assert pyref.decode(stream) == data.tobytes(), "multihost mismatch"
         print("MULTIHOST_ENCODE_OK", len(stream), flush=True)
+        print(f"MULTIHOST_THROUGHPUT {data.size/dt/1e6:.1f} MB/s "
+              f"({NPROC} processes x {DEV_PER_PROC} devices)", flush=True)
 
     # cross-process ppermute carry exchange
     scans = make_sharded_scans(enc.mesh)
@@ -81,6 +90,9 @@ def parent():
             sys.stderr.write(out.decode(errors="replace"))
     text = out0.decode(errors="replace")
     if ok and "MULTIHOST_ENCODE_OK" in text and "MULTIHOST_SCANS_OK" in text:
+        for line in text.splitlines():
+            if line.startswith("MULTIHOST_THROUGHPUT"):
+                print(line)
         print("multihost validation passed (2 processes x "
               f"{DEV_PER_PROC} devices)")
         return 0
