@@ -312,11 +312,11 @@ def pack_blocks(syms, extras, ebits, tvalid, codes, code_bits, desc_bits):
 
         words = jax.vmap(accum)(word, lo, hi)
     # words → little-endian bytes (stream bit k = bit k%32 of word k//32,
-    # LSB-first — the hzr bit order, hzr_encode.c:32-113)
-    w = words.astype(jnp.uint32)
-    packed = jnp.stack(
-        [((w >> np.uint32(8 * j)) & np.uint32(0xFF)).astype(jnp.uint8)
-         for j in range(4)], axis=2).reshape(nb, nwords * 4)[:, :max_out]
+    # LSB-first — the hzr bit order, hzr_encode.c:32-113). A bitcast to
+    # uint8 yields exactly that layout for free (the shift/stack
+    # formulation cost ~31 ms of relayout on chip).
+    packed = jax.lax.bitcast_convert_type(
+        words, jnp.uint8).reshape(nb, nwords * 4)[:, :max_out]
     return packed, total_bits
 
 # ---------------------------------------------------------------------------
