@@ -83,6 +83,12 @@ class IirFilter:
         anti-ripple loop of iir_filter.cpp:109-113. ``opt=True`` warms
         up through the unrolled accumulation order instead (the
         iir_filter_opt.h structs warm up via their own filter())."""
+        try:  # native array kernel: same serial arithmetic, no
+            # per-iteration Python call overhead
+            self.process(np.full(4 * int(nr_samples), float(x)), opt=opt)
+            return
+        except Exception:
+            pass
         f = self.filter_opt if opt else self.filter
         for _ in range(4 * int(nr_samples)):
             f(x)

@@ -86,6 +86,20 @@ def _load():
         ctypes.c_int, ctypes.POINTER(ctypes.c_double),
         ctypes.POINTER(ctypes.c_double), ctypes.c_int,
         ctypes.POINTER(ctypes.c_double)]
+    lib.rn_iir_filter_channels.restype = None
+    lib.rn_iir_filter_channels.argtypes = [
+        ctypes.POINTER(ctypes.c_double), sz, sz,
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+        ctypes.c_int, ctypes.POINTER(ctypes.c_double),
+        ctypes.POINTER(ctypes.c_double), ctypes.c_int,
+        ctypes.POINTER(ctypes.c_double), ctypes.c_int]
+    lib.rn_stream_filter_pack.restype = ctypes.c_int
+    lib.rn_stream_filter_pack.argtypes = [
+        c_u8p, sz, sz, sz, sz,
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+        ctypes.c_int, ctypes.POINTER(ctypes.c_double),
+        ctypes.POINTER(ctypes.c_double), ctypes.c_int, ctypes.c_int,
+        c_u8p, sz, szp, c_i32p, ctypes.c_int]
     lib.rn_encode_planes_mt.restype = ctypes.c_int
     lib.rn_encode_planes_mt.argtypes = [c_u8p, sz, ctypes.c_int, c_u8p, sz,
                                         szp, ctypes.c_int]
@@ -317,6 +331,76 @@ def iir_filter_array(x: np.ndarray, n, d, xz, yz, opt: int):
         da.ctypes.data_as(dp), p, xza.ctypes.data_as(dp),
         yza.ctypes.data_as(dp), int(opt), y.ctypes.data_as(dp))
     return y, (xza.tolist(), yza.tolist())
+
+
+def stream_filter_pack(src, ns: int, nframes: int, ch: int, bps: int,
+                       n, d, xz, yz, opt: int, nr_planes: int,
+                       nthreads: int = 0):
+    """Fused streaming span: interleaved native bytes → per-channel IIR
+    (f64, state in xz/yz (ch, p) arrays, updated in place; n/d None →
+    no filter) → per-frame xdelta_hzr containers with sequential
+    verify-and-grow plane counts. Returns (frames, final_planes)."""
+    lib = _load()
+    buf = np.frombuffer(memoryview(src).cast("B"), np.uint8) \
+        if not isinstance(src, np.ndarray) else src.reshape(-1)
+    F = ch * ns
+    dp = ctypes.POINTER(ctypes.c_double)
+    if n is None:
+        p = 0
+        na = da = np.zeros(1, np.float64)
+        xza = yza = np.zeros(1, np.float64)
+    else:
+        p = len(n)
+        na = np.asarray(n, np.float64)
+        da = np.asarray(d, np.float64)
+        xza = np.ascontiguousarray(xz, np.float64)
+        yza = np.ascontiguousarray(yz, np.float64)
+        assert xza.shape == (ch, p) and yza.shape == (ch, p)
+    stride = 1 + 4 * (4 + int(lib.rn_hzr_max_size(F)))
+    out = np.empty(nframes * stride, np.uint8)
+    lens = (ctypes.c_size_t * nframes)()
+    fplanes = np.zeros(nframes, np.int32)
+    rc = lib.rn_stream_filter_pack(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ns, nframes, ch, bps, na.ctypes.data_as(dp),
+        da.ctypes.data_as(dp), p, xza.ctypes.data_as(dp),
+        yza.ctypes.data_as(dp), int(opt), int(nr_planes),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), stride,
+        lens, _p32(fplanes), int(nthreads))
+    if rc < 0:
+        raise ValueError("stream_filter_pack failed")
+    if n is not None:
+        xz[...] = xza
+        yz[...] = yza
+    frames = [out[f * stride:f * stride + lens[f]].tobytes()
+              for f in range(nframes)]
+    return frames, int(rc)
+
+
+def iir_filter_channels(x: np.ndarray, n, d, xz: np.ndarray,
+                        yz: np.ndarray, opt: int, nthreads: int = 0):
+    """All channels of x (ch, n) filtered in one MT call, bit-identical
+    per channel to iir_filter_array. xz/yz: (ch, p) state arrays,
+    updated in place. Returns y (ch, n) float64."""
+    lib = _load()
+    xa = np.ascontiguousarray(x, np.float64)
+    ch, ns = xa.shape
+    p = len(n)
+    na = np.asarray(n, np.float64)
+    da = np.asarray(d, np.float64)
+    xza = np.ascontiguousarray(xz, np.float64)
+    yza = np.ascontiguousarray(yz, np.float64)
+    assert xza.shape == (ch, p) and yza.shape == (ch, p)
+    y = np.empty_like(xa)
+    dp = ctypes.POINTER(ctypes.c_double)
+    lib.rn_iir_filter_channels(
+        xa.ctypes.data_as(dp), ch, ns, na.ctypes.data_as(dp),
+        da.ctypes.data_as(dp), p, xza.ctypes.data_as(dp),
+        yza.ctypes.data_as(dp), int(opt), y.ctypes.data_as(dp),
+        int(nthreads))
+    xz[...] = xza
+    yz[...] = yza
+    return y
 
 
 def encode_planes_mt(planes: np.ndarray, nthreads: int = 0) -> bytes:

@@ -1280,4 +1280,221 @@ void rn_iir_filter_array(const double* x, size_t n, const double* nc,
     }
 }
 
+// All channels in one call, threaded across channels. Each channel is
+// an independent serial recurrence, so per-channel arithmetic (and
+// therefore the output bits) is identical to rn_iir_filter_array run
+// channel-by-channel — threading only removes the Python call overhead
+// and runs channels concurrently (iir_filter.cpp:81-107 semantics).
+void rn_iir_filter_channels(const double* x, size_t ch, size_t n,
+                            const double* nc, const double* dc, int p,
+                            double* xz, double* yz, int opt, double* y,
+                            int nthreads) {
+    if (nthreads <= 0) nthreads = (int)std::thread::hardware_concurrency();
+    auto work = [&](size_t j0, size_t j1) {
+        for (size_t j = j0; j < j1; ++j)
+            rn_iir_filter_array(x + j * n, n, nc, dc, p,
+                                xz + j * (size_t)p, yz + j * (size_t)p,
+                                opt, y + j * n);
+    };
+    if (nthreads <= 1 || ch <= 1) {
+        work(0, ch);
+    } else {
+        size_t nt = (size_t)nthreads < ch ? (size_t)nthreads : ch;
+        std::vector<std::thread> ts;
+        for (size_t t = 0; t < nt; ++t)
+            ts.emplace_back(work, ch * t / nt, ch * (t + 1) / nt);
+        for (auto& th : ts) th.join();
+    }
+}
+
+// Fused streaming hot path (BASELINE config 5, rspt_test.cpp:114-137
+// usage): interleaved native span -> per-channel IIR filter (f64,
+// reference accumulation order, state carried in/out) -> C (int)
+// truncation -> per-frame xdelta preprocess with sequential
+// verify-and-grow plane counts (signal_packer_xdelta_hzr.cpp:59-71
+// member-state semantics across frames) -> per-(frame,plane,block)
+// hzr encode, all inside one thread pool. Each frame's container
+// ([method 0][per plane: u32 len + hzr stream]) is byte-identical to
+// a sequential per-frame filter+compress pipeline.
+//   out: nframes * frame_stride bytes; frame_lens/frame_planes out.
+//   p == 0 -> no filter (convert + pack only).
+// Returns the final plane count (>0) or -1 on error.
+int rn_stream_filter_pack(const uint8_t* src, size_t ns, size_t nframes,
+                          size_t ch, size_t bps, const double* nc,
+                          const double* dc, int p, double* xz, double* yz,
+                          int opt, int nr_planes_in, uint8_t* out,
+                          size_t frame_stride, size_t* frame_lens,
+                          int32_t* frame_planes, int nthreads) {
+    if (nthreads <= 0) nthreads = (int)std::thread::hardware_concurrency();
+    const size_t N = ns * nframes;  // samples per channel in the span
+    const size_t F = ch * ns;       // flat values per frame
+    if (N == 0 || ch == 0) return -1;
+    std::vector<int32_t> sig((size_t)ch * N);  // channel-major, filtered
+
+    // stage 1 — threads over channels: convert + serial IIR + (int)
+    {
+        auto cwork = [&](size_t j0, size_t j1) {
+            std::vector<double> xbuf(N), ybuf(p > 0 ? N : 0);
+            for (size_t j = j0; j < j1; ++j) {
+                const int shift = (int)(32 - 8 * bps);
+                for (size_t t = 0; t < N; ++t) {
+                    const uint8_t* q = src + (t * ch + j) * bps;
+                    uint32_t v = 0;
+                    for (size_t k = 0; k < bps; ++k)
+                        v |= (uint32_t)q[k] << (8 * k);
+                    xbuf[t] = (double)((int32_t)(v << shift) >> shift);
+                }
+                if (p > 0) {
+                    rn_iir_filter_array(xbuf.data(), N, nc, dc, p,
+                                        xz + j * (size_t)p,
+                                        yz + j * (size_t)p, opt,
+                                        ybuf.data());
+                    for (size_t t = 0; t < N; ++t)
+                        sig[j * N + t] = (int32_t)ybuf[t];
+                } else {
+                    for (size_t t = 0; t < N; ++t)
+                        sig[j * N + t] = (int32_t)xbuf[t];
+                }
+            }
+        };
+        size_t nt = (size_t)nthreads < ch ? (size_t)nthreads : ch;
+        if (nt <= 1) {
+            cwork(0, ch);
+        } else {
+            std::vector<std::thread> ts;
+            for (size_t t = 0; t < nt; ++t)
+                ts.emplace_back(cwork, ch * t / nt, ch * (t + 1) / nt);
+            for (auto& th : ts) th.join();
+        }
+    }
+
+    // stage 2 — xdelta preprocess per frame (independent chains: every
+    // frame is its own compress() call, deltas restart at 0), with
+    // sequential plane growth: the first non-fitting frame raises the
+    // count for itself and all later frames.
+    int np = nr_planes_in < 1 ? 1 : nr_planes_in;
+    std::vector<uint8_t> planes((size_t)nframes * 4 * F);  // 4-plane cap
+    std::vector<int> fitv(nframes, 1);
+    size_t f0 = 0;
+    while (f0 < nframes) {
+        std::atomic<size_t> nextf(f0);
+        auto pwork = [&]() {
+            size_t f;
+            while ((f = nextf.fetch_add(1)) < nframes) {
+                const int sh_fit = 32 - 8 * np;
+                uint8_t* pl = planes.data() + f * 4 * F;
+                uint32_t vm1 = 0, vm2 = 0;
+                int lfit = 1;
+                for (size_t i = 0; i < F; ++i) {
+                    size_t c = i / ns, s = i % ns;
+                    uint32_t v = (uint32_t)sig[c * N + f * ns + s];
+                    uint32_t d = v - vm1 - 128u;
+                    uint32_t dm1 = i >= 1 ? vm1 - vm2 - 128u : 0u;
+                    int32_t x = (int32_t)(d ^ dm1);
+                    if (np < 4 &&
+                        ((int32_t)((uint32_t)x << sh_fit) >> sh_fit) != x)
+                        lfit = 0;
+                    for (int k = 0; k < np; ++k)
+                        pl[(size_t)k * F + i] = (uint8_t)((uint32_t)x >>
+                                                          (8 * k));
+                    vm2 = vm1;
+                    vm1 = v;
+                }
+                fitv[f] = lfit;
+            }
+        };
+        {
+            size_t nleft = nframes - f0;
+            size_t nt = (size_t)nthreads < nleft ? (size_t)nthreads : nleft;
+            if (nt <= 1) {
+                pwork();
+            } else {
+                std::vector<std::thread> ts;
+                for (size_t t = 0; t < nt; ++t) ts.emplace_back(pwork);
+                for (auto& th : ts) th.join();
+            }
+        }
+        size_t fail = nframes;
+        for (size_t f = f0; f < nframes; ++f)
+            if (!fitv[f]) { fail = f; break; }
+        for (size_t f = f0; f < fail; ++f) frame_planes[f] = np;
+        if (fail == nframes) break;
+        f0 = fail;
+        ++np;
+        if (np > 4) return -1;
+    }
+
+    // stage 3 — encode every (frame, plane, block) in one work-steal
+    // pool (hzr_encode.c:528-539 block independence)
+    size_t nb_per = (F + kMaxBlockSize - 1) / kMaxBlockSize;
+    if (nb_per == 0) nb_per = 1;
+    std::vector<size_t> item_f, item_k, item_b;
+    for (size_t f = 0; f < nframes; ++f)
+        for (int k = 0; k < frame_planes[f]; ++k)
+            for (size_t b = 0; b < nb_per; ++b) {
+                item_f.push_back(f);
+                item_k.push_back((size_t)k);
+                item_b.push_back(b);
+            }
+    size_t nitems = item_f.size();
+    size_t bcap = kMaxBlockSize + kBlockHeaderSize + 16;
+    std::vector<uint8_t> scratch(nitems * bcap);
+    std::vector<size_t> blens(nitems, 0);
+    std::vector<int> rcs(nitems, 0);
+    std::atomic<size_t> next(0);
+    auto ework = [&]() {
+        std::vector<Token> toks(kMaxBlockSize);
+        size_t i;
+        while ((i = next.fetch_add(1)) < nitems) {
+            size_t off = item_b[i] * kMaxBlockSize;
+            size_t blen = F - off < kMaxBlockSize ? F - off : kMaxBlockSize;
+            const uint8_t* pl = planes.data() + item_f[i] * 4 * F +
+                                item_k[i] * F + off;
+            size_t r = encode_block(pl, blen, scratch.data() + i * bcap,
+                                    bcap, toks.data());
+            if (!r) rcs[i] = 1;
+            blens[i] = r;
+        }
+    };
+    {
+        size_t nt = (size_t)nthreads < nitems ? (size_t)nthreads : nitems;
+        if (nt <= 1) {
+            ework();
+        } else {
+            std::vector<std::thread> ts;
+            for (size_t t = 0; t < nt; ++t) ts.emplace_back(ework);
+            for (auto& th : ts) th.join();
+        }
+    }
+    for (size_t i = 0; i < nitems; ++i)
+        if (rcs[i]) return -1;
+
+    // assembly: per frame [method 0][per plane: u32 chunk_len,
+    // u32 decoded_size, blocks...]
+    size_t item = 0;
+    for (size_t f = 0; f < nframes; ++f) {
+        uint8_t* dst = out + f * frame_stride;
+        size_t pos = 0;
+        dst[pos++] = 0;  // method byte (signal_packer_hzr.cpp:54)
+        for (int k = 0; k < frame_planes[f]; ++k) {
+            size_t chunk_start = pos;
+            pos += 4;  // chunk length placeholder
+            uint32_t total = (uint32_t)F;
+            if (pos + 4 > frame_stride) return -1;
+            memcpy(dst + pos, &total, 4);
+            pos += 4;
+            for (size_t b = 0; b < nb_per; ++b, ++item) {
+                if (pos + blens[item] > frame_stride) return -1;
+                memcpy(dst + pos, scratch.data() + item * bcap,
+                       blens[item]);
+                pos += blens[item];
+            }
+            uint32_t clen = (uint32_t)(pos - chunk_start - 4);
+            memcpy(dst + chunk_start, &clen, 4);
+        }
+        frame_lens[f] = pos;
+    }
+    return np;
+}
+
 }  // extern "C"

@@ -25,6 +25,12 @@ def native_to_i32(native, nr_samples: int, nr_channels: int,
     buf = np.frombuffer(memoryview(native).cast("B"), dtype=np.uint8) \
         if not isinstance(native, np.ndarray) else native.reshape(-1)
     bps = bytes_per_sample
+    if not reverse_byte_order and bps in (1, 2, 4):
+        # pure-view fast paths: little-endian widths numpy reads natively
+        flat = buf[: nr_samples * nr_channels * bps]
+        v = flat.view({1: np.int8, 2: "<i2", 4: "<i4"}[bps])
+        return np.ascontiguousarray(
+            v.reshape(nr_samples, nr_channels).T.astype(np.int32))
     b = buf[: nr_samples * nr_channels * bps].reshape(nr_samples, nr_channels, bps)
     if reverse_byte_order:
         b = b[..., ::-1]
@@ -40,6 +46,9 @@ def i32_to_native(arr: np.ndarray, bytes_per_sample: int,
                   reverse_byte_order: bool = False) -> bytes:
     """(channels, samples) int32 → interleaved native low bytes."""
     bps = bytes_per_sample
+    if not reverse_byte_order and bps == 4:
+        return np.ascontiguousarray(
+            arr.astype(np.int32, copy=False).T).astype("<i4").tobytes()
     v = np.ascontiguousarray(arr.T).astype(np.uint32)  # (samples, channels)
     planes = [(v >> np.uint32(8 * k)).astype(np.uint8) for k in range(bps)]
     b = np.stack(planes, axis=-1)  # (samples, channels, bps) little-endian

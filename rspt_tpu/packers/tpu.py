@@ -381,34 +381,67 @@ class TpuXdeltaHzrPacker(_TpuPackerBase):
         """Batched serving path: compress many same-shape payloads in
         two device dispatches total — the fixed link costs amortize over
         the batch. Each payload's scan chains are independent (vmap),
-        so the streams equal per-payload compress() output; the one
-        semantic difference from sequential calls is that a verify-grow
-        (rare) raises the plane count for the whole batch.
+        so the streams equal per-payload compress() output, INCLUDING
+        verify-and-grow: the plane count grows per payload exactly as a
+        sequential run of compress() calls would grow it
+        (signal_packer_xdelta_hzr.cpp:59-71 — the grown count persists
+        into subsequent payloads, so payload i encodes at
+        max(count reached before it, its own minimal fitting count)).
         """
         c = self.cfg
         batch = len(srcs)
         if batch == 0:
             return []
         raws = jnp.asarray(np.stack([_as_u8(s) for s in srcs]))
+        # probe plane counts upward until every payload fits; keep each
+        # level's device outputs (growth is rare — the common case is
+        # one pass)
+        levels = {}
+        minfit = np.full(batch, -1, np.int64)
+        p = self.nr_planes
         while True:
             f, lengths, tiled = _pass1_xdelta_batch(
-                c.nr_samples, c.nr_channels, c.bytes_per_sample,
-                self.nr_planes, batch)
+                c.nr_samples, c.nr_channels, c.bytes_per_sample, p, batch)
             small, blocks, toks = f(raws)
             small_np = np.asarray(small)  # (batch, nb*261 + 1)
-            if small_np[:, -1].all():
+            levels[p] = (small_np, blocks, toks, lengths, tiled)
+            ok = small_np[:, -1].astype(bool)
+            minfit[(minfit < 0) & ok] = p
+            if (minfit >= 0).all() or p >= 4:
+                minfit[minfit < 0] = p  # 4 planes always fit (int32)
                 break
-            log.info("xdelta_hzr: growing plane count to %d",
-                     self.nr_planes + 1)
-            self.nr_planes += 1
-        hist_np = small_np[:, :-1].reshape(-1, jax_coder.NUM_SYMBOLS)
-        streams = _entropy_streams(blocks, toks, tiled,
-                                   batch * self.nr_planes,
-                                   self._encoder, hist_np=hist_np)
-        return [_container(self.METHOD, b"",
-                           streams[b * self.nr_planes:
-                                   (b + 1) * self.nr_planes])
-                for b in range(batch)]
+            log.info("xdelta_hzr: growing plane count to %d", p + 1)
+            p += 1
+        # sequential-call semantics: the plane count only ever grows
+        plane_of = np.maximum.accumulate(minfit)
+        self.nr_planes = int(plane_of[-1])
+
+        containers = [None] * batch
+        for lvl in sorted(set(plane_of.tolist())):
+            idx = np.flatnonzero(plane_of == lvl)
+            small_np, blocks, toks, lengths, tiled = levels[lvl]
+            nb = lengths.shape[0]  # blocks per payload at this level
+            if idx.size == batch:  # fast path: one level for everyone
+                sub_blocks, sub_toks = blocks, toks
+                sub_tiled = tiled
+                sub_hist = small_np[:, :-1].reshape(
+                    -1, jax_coder.NUM_SYMBOLS)
+            else:
+                rows = (idx[:, None] * nb + np.arange(nb)).reshape(-1)
+                rows_d = jnp.asarray(rows)
+                sub_blocks = jnp.take(blocks, rows_d, axis=0)
+                sub_toks = tuple(jnp.take(t, rows_d, axis=0)
+                                 for t in toks)
+                sub_tiled = np.tile(lengths, idx.size)
+                sub_hist = small_np[idx, :-1].reshape(
+                    -1, jax_coder.NUM_SYMBOLS)
+            streams = _entropy_streams(sub_blocks, sub_toks, sub_tiled,
+                                       idx.size * lvl, self._encoder,
+                                       hist_np=sub_hist)
+            for j, b in enumerate(idx):
+                containers[int(b)] = _container(
+                    self.METHOD, b"", streams[j * lvl:(j + 1) * lvl])
+        return containers
 
     @staticmethod
     @jax.jit

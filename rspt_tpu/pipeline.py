@@ -86,42 +86,113 @@ class StreamingCodec:
         self._warmed = st["warmed"]
         self.frames_out, self.bytes_in, self.bytes_out = st["counters"]
 
-    def _filter_block(self, native: bytes) -> bytes:
+    def _filter_span(self, native: bytes, nblocks: int = 1) -> bytes:
         """Per-channel filter_opt with warmup on the first sample,
-        exactly the reference's pre-filter loop
-        (rspt_test.cpp:120-136)."""
+        exactly the reference's pre-filter loop (rspt_test.cpp:120-136).
+        All channels run in ONE multithreaded native call over the whole
+        span — each channel's serial recurrence is untouched (state
+        flows through block boundaries in f64 just as the per-sample
+        loop carries it), so the output bits equal the
+        block-by-block, channel-by-channel loop."""
         from .ops import numpy_ops as nops
         c = self.cfg
-        sig = nops.native_to_i32(native, c.nr_samples, c.nr_channels,
-                                 c.bytes_per_sample)
-        out = np.empty_like(sig)
-        for j in range(c.nr_channels):
-            f = self._filters[j]
-            if not self._warmed:
-                f.init_history_values(float(sig[j][0]),
-                                      int(c.sampling_rate))
-            out[j] = np.asarray(f.process(sig[j].astype(np.float64)),
-                                np.float64).astype(np.int32)
-        self._warmed = True
+        sig = nops.native_to_i32(native, nblocks * c.nr_samples,
+                                 c.nr_channels, c.bytes_per_sample)
+        if not self._warmed:
+            for j in range(c.nr_channels):
+                self._filters[j].init_history_values(
+                    float(sig[j][0]), int(c.sampling_rate))
+            self._warmed = True
+        try:
+            from .native import bindings as nb
+            p = self._filters[0].p
+            xz = np.asarray([f.xz for f in self._filters], np.float64)
+            yz = np.asarray([f.yz for f in self._filters], np.float64)
+            y = nb.iir_filter_channels(sig.astype(np.float64),
+                                       self._filters[0].n,
+                                       self._filters[0].d, xz, yz, 1)
+            for j, f in enumerate(self._filters):
+                f.xz, f.yz = xz[j].tolist(), yz[j].tolist()
+            out = y.astype(np.int32)
+        except Exception:
+            out = np.empty_like(sig)
+            for j in range(c.nr_channels):
+                out[j] = np.asarray(
+                    self._filters[j].process(sig[j].astype(np.float64)),
+                    np.float64).astype(np.int32)
         return nops.i32_to_native(out, c.bytes_per_sample)
 
     def push(self, data) -> List[bytes]:
-        """Feed native bytes; returns 0+ compressed frames."""
+        """Feed native bytes; returns 0+ compressed frames.
+
+        All complete blocks available after the push are processed as
+        ONE span: the IIR pre-filter runs over the concatenated span in
+        a single multithreaded call (per-channel serial state flows
+        through block boundaries exactly as the reference's per-sample
+        loop does), and the frames are compressed in one batched
+        compress_many call when the packer provides it."""
         buf = np.frombuffer(memoryview(data).cast("B"), np.uint8) \
             if not isinstance(data, np.ndarray) else data.reshape(-1)
         self.bytes_in += buf.size
         self._ring.push_elements_back(buf)
-        frames = []
-        while len(self._ring) >= self.block_bytes:
-            block = self._ring.data[:self.block_bytes].tobytes()
-            self._ring.pop_elements_front(self.block_bytes)
-            if self._filters is not None:
-                block = self._filter_block(block)
-            comp = self.packer.compress(block)
+        nblocks = len(self._ring) // self.block_bytes
+        if nblocks == 0:
+            return []
+        span = self._ring.data[:nblocks * self.block_bytes]
+        self._ring.pop_elements_front(nblocks * self.block_bytes)
+        frames = self._process_span(span, nblocks)
+        for comp in frames:
             self.bytes_out += len(comp)
             self.frames_out += 1
-            frames.append(comp)
         return frames
+
+    def _process_span(self, span: np.ndarray, nblocks: int) -> List[bytes]:
+        c = self.cfg
+        if self._try_fused_native(span):
+            if self._filters is not None and not self._warmed:
+                # warmup needs the first sample of each channel
+                from .ops import numpy_ops as nops
+                first = nops.native_to_i32(
+                    span[:c.nr_channels * c.bytes_per_sample], 1,
+                    c.nr_channels, c.bytes_per_sample)
+                for j in range(c.nr_channels):
+                    self._filters[j].init_history_values(
+                        float(first[j, 0]), int(c.sampling_rate))
+                self._warmed = True
+            from .native import bindings as nb
+            if self._filters is not None:
+                f0 = self._filters[0]
+                n_c, d_c = f0.n, f0.d
+                xz = np.asarray([f.xz for f in self._filters], np.float64)
+                yz = np.asarray([f.yz for f in self._filters], np.float64)
+            else:
+                n_c = d_c = xz = yz = None
+            frames, planes = nb.stream_filter_pack(
+                span, c.nr_samples, nblocks, c.nr_channels,
+                c.bytes_per_sample, n_c, d_c, xz, yz, 1,
+                self.packer.nr_planes)
+            self.packer.nr_planes = planes
+            if self._filters is not None:
+                for j, f in enumerate(self._filters):
+                    f.xz, f.yz = xz[j].tolist(), yz[j].tolist()
+            return frames
+        if self._filters is not None:
+            span = np.frombuffer(self._filter_span(span.tobytes(),
+                                                   nblocks), np.uint8)
+        blocks = [span[k * self.block_bytes:(k + 1) * self.block_bytes]
+                  for k in range(nblocks)]
+        if hasattr(self.packer, "compress_many") and nblocks > 1:
+            return self.packer.compress_many(blocks)
+        return [self.packer.compress(b) for b in blocks]
+
+    def _try_fused_native(self, span) -> bool:
+        """The one-call C++ span pipeline applies to the native
+        xdelta_hzr packer (byte-identical frames either way)."""
+        try:
+            from .packers.native import NativeXdeltaHzrPacker
+            return isinstance(self.packer, NativeXdeltaHzrPacker)
+        except Exception:
+            return False
 
     def flush_stats(self):
         return {"frames": self.frames_out, "bytes_in": self.bytes_in,

@@ -45,3 +45,32 @@ def test_native_batch_matches_single(payloads):
 def test_empty_batch():
     pb = tpack.new_xdelta_hzr(4, 2, 4096, 3)
     assert pb.compress_many([]) == []
+
+
+def test_batch_mixed_plane_growth(rng):
+    """A payload that needs a 4th byte plane grows the count for itself
+    and all LATER payloads, but not earlier ones — byte-equal to a
+    sequential run of compress() on one packer
+    (signal_packer_xdelta_hzr.cpp:59-71 member-state semantics)."""
+    ch, n = 2, 4096
+    small = np.cumsum(rng.normal(0, 200, (ch, n)), axis=1).astype(np.int32)
+    fits = np.ascontiguousarray(small.T).astype("<i4").tobytes()
+    big_sig = np.zeros((ch, n), np.int32)
+    big_sig[:, 1::2] = 2 ** 24  # deltas of ±2^24 overflow 3 byte planes
+    needs4 = np.ascontiguousarray(big_sig.T).astype("<i4").tobytes()
+    srcs = [fits, needs4, fits]
+
+    seq = tpack.new_xdelta_hzr(4, ch, n, 3)
+    want = [seq.compress(s) for s in srcs]
+    assert seq.nr_planes == 4
+
+    pb = tpack.new_xdelta_hzr(4, ch, n, 3)
+    got = pb.compress_many(srcs)
+    assert got == want
+    assert pb.nr_planes == 4
+
+    # roundtrip each stream at the plane count it was encoded with
+    for s, stream, planes in zip(srcs, got, (3, 4, 4)):
+        pd = tpack.new_xdelta_hzr(4, ch, n, planes)
+        out, _ = pd.decompress(stream)
+        assert out == s
