@@ -139,6 +139,50 @@ class Tensor:
         return f"Tensor{tuple(self.a.shape)}<{self.dtype}>"
 
 
+class ArrayOfTensors:
+    """Resizable list of tensors with element-wise equality and JSON
+    round-trip (ZaxTensor.h:1491-1528 `array_of_tensors`)."""
+
+    def __init__(self, factory=None, size: int = 0):
+        self._factory = factory or tensor_i32
+        self.m_data = [self._factory() for _ in range(size)]
+
+    def __getitem__(self, idx: int):
+        return self.m_data[idx]
+
+    def __setitem__(self, idx: int, value):
+        self.m_data[idx] = value
+
+    def resize(self, size: int):
+        n = len(self.m_data)
+        if size < n:
+            del self.m_data[size:]
+        else:
+            self.m_data.extend(self._factory() for _ in range(size - n))
+
+    def size(self) -> int:
+        return len(self.m_data)
+
+    def __len__(self) -> int:
+        return len(self.m_data)
+
+    def __eq__(self, other) -> bool:
+        if len(self) != len(other):
+            return False
+        return all(a == b for a, b in zip(self.m_data, other.m_data))
+
+    # JSON: the reference serializes m_data as the top-level value
+    # (JSON_PROPERTY(m_data, "^"))
+    def to_json(self) -> str:
+        return "[%s]" % ", ".join(t.to_json() for t in self.m_data)
+
+    def from_json(self, text: str):
+        items = json.loads(text)
+        self.m_data = [self._factory().from_json(json.dumps(v))
+                       for v in items]
+        return self
+
+
 def _alias(dtype):
     def make(*shape, **kw):
         return Tensor(*shape, dtype=dtype, **kw)

@@ -194,16 +194,21 @@ def _entropy_streams(blocks_dev, toks, lengths_np, n_chunks: int,
     nb_per = nb // n_chunks
 
     if encoder is not None:  # sharded path (multi-chip mesh)
+        # per-shard device compaction: only live payload bytes cross
+        # the link, never (nb, 66 KiB) max-size buffers
         blocks_np = np.asarray(blocks_dev)
-        packed, total_bits, is_fill = encoder.encode_blocks(
-            blocks_np, lengths_np)
-        return [jax_coder.assemble(
-            blocks_np[k * nb_per:(k + 1) * nb_per],
-            lengths_np[k * nb_per:(k + 1) * nb_per],
-            packed[k * nb_per:(k + 1) * nb_per],
-            total_bits[k * nb_per:(k + 1) * nb_per],
-            is_fill[k * nb_per:(k + 1) * nb_per])
-            for k in range(n_chunks)]
+        (_, tight, comp_len, copy_np, copy_len, total_bits, is_fill,
+         fill_byte) = encoder.encode_blocks_compact(blocks_np, lengths_np)
+        hoff = np.concatenate(([0], np.cumsum(comp_len)[:-1]))
+        cbase_arr = np.concatenate(([0], np.cumsum(copy_len)[:-1]))
+        streams = []
+        for k in range(n_chunks):
+            s = slice(k * nb_per, (k + 1) * nb_per)
+            streams.append(jax_coder.assemble_compact(
+                lengths_np[s], tight[hoff[s.start]:], comp_len[s],
+                copy_np[cbase_arr[s.start]:], copy_len[s],
+                total_bits[s], is_fill[s], fill_byte[s]))
+        return streams
 
     if hist_np is None:
         hist_np = np.asarray(hist)
@@ -286,7 +291,19 @@ class _TpuPackerBase:
         segment-parallel speculative decoder on the accelerator."""
         c = self.cfg
         if self.device_decode:
-            from ..hzr import jax_decoder
+            import os as _os
+            mode = _os.environ.get("RSPT_DECODER", "")
+            if mode == "pallas" or (not mode
+                                    and jax.default_backend() == "tpu"):
+                from ..hzr import pallas_decoder as jax_decoder
+            elif mode == "interp":
+                from ..hzr import pallas_decoder
+                jax_decoder = type("m", (), {
+                    "decode_many": staticmethod(
+                        lambda s: pallas_decoder.decode_many(
+                            s, interpret=True))})
+            else:
+                from ..hzr import jax_decoder
             src = memoryview(bytes(comp)
                              if not isinstance(comp, (bytes, bytearray))
                              else comp)

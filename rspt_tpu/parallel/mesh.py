@@ -14,6 +14,7 @@ the same code runs over ICI+DCN (jax.devices() spans hosts).
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import jax
@@ -23,6 +24,175 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..hzr import jax_coder
 
 AXIS = "blocks"
+
+
+class ShardedHzrDecoder:
+    """hzr decode with the speculative-segment lane batch sharded over
+    the mesh's ``blocks`` axis (hzr_encode.c:528-539 block independence
+    is the sharding contract; segments subdivide blocks further).
+
+    Reuses the host stream walk + LUT construction of
+    hzr/jax_decoder.py and runs its two device stages under shard_map:
+    the alignment fixpoint exchanges one exit-position carry per shard
+    boundary over ICI (ppermute), and the emission sweep scatters each
+    shard's literals into a shard-local buffer; the host ORs the
+    shard buffers (literal positions are disjoint).
+    """
+
+    def __init__(self, mesh: Optional[Mesh] = None):
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.ndev = self.mesh.devices.size
+        self._built = {}
+
+    def _fns(self):
+        if self._built:
+            return self._built
+        from ..hzr import jax_decoder as jd
+        from .scans import _shift_from_left
+        mesh = self.mesh
+        import jax.numpy as jnp
+
+        def fixpoint(words, l1, l2, l2_base, block_of_lane, entry0,
+                     seg_end, pbits, dfirst):
+            nl = entry0.shape[0]
+            zero = jnp.zeros(nl, jnp.int32)
+            dummy = jnp.zeros(1, jnp.uint8)
+
+            def body(st):
+                entry, _, _ = st
+                exits, counts, _ = jd._sweep_impl(
+                    words, l1, l2, l2_base, block_of_lane, entry,
+                    seg_end, pbits, zero, zero, dummy, False)
+                prev = _shift_from_left(exits[-1], AXIS, jnp.int32(0))
+                shifted = jnp.concatenate([prev[None], exits[:-1]])
+                new_entry = jnp.where(dfirst, entry0, shifted)
+                changed = jax.lax.psum(
+                    jnp.any(new_entry != entry).astype(jnp.int32),
+                    AXIS) > 0
+                return new_entry, counts, changed
+
+            def cond(st):
+                return st[2]
+
+            entry, counts, _ = jax.lax.while_loop(
+                cond, body, (entry0, zero, jnp.bool_(True)))
+            return entry, counts
+
+        rep = P(None)
+
+        def make_emit(out_size: int):
+            def emit(words, l1, l2, l2_base, block_of_lane, entry,
+                     seg_end, pbits, out_bases, out_limit):
+                buf = jnp.zeros(out_size, jnp.uint8)
+                _, _, buf = jd._sweep_impl(
+                    words, l1, l2, l2_base, block_of_lane, entry,
+                    seg_end, pbits, out_bases, out_limit, buf, True)
+                return buf[None]
+
+            return jax.jit(jax.shard_map(
+                emit, mesh=mesh,
+                in_specs=(rep, rep, rep, rep) + (P(AXIS),) * 6,
+                out_specs=P(AXIS, None), check_vma=False))
+
+        self._built = {
+            "fixpoint": jax.jit(jax.shard_map(
+                fixpoint, mesh=mesh,
+                in_specs=(rep, rep, rep, rep) + (P(AXIS),) * 5,
+                out_specs=(P(AXIS), P(AXIS)), check_vma=False)),
+            "make_emit": functools.lru_cache(maxsize=8)(make_emit),
+        }
+        return self._built
+
+    def decode_many(self, datas) -> list:
+        from ..hzr import jax_decoder as jd
+        import jax.numpy as jnp
+        srcs = [np.frombuffer(memoryview(d).cast("B"), np.uint8)
+                if not isinstance(d, np.ndarray) else d.reshape(-1)
+                for d in datas]
+        if not srcs:
+            return []
+        spans, total = [], 0
+        for src in srcs:
+            sz = int.from_bytes(src[:4].tobytes(), "little")
+            spans.append((total, sz))
+            total += sz
+        out = np.zeros(total, np.uint8)
+        huff = []
+        for src, (gstart, ssize) in zip(srcs, spans):
+            jd._walk_stream(src, ssize, gstart, out, huff)
+        if not huff:
+            return [out[a:a + n].tobytes() for a, n in spans]
+
+        # host LUTs + lane arrays (identical to jd._device_decode)
+        nb = len(huff)
+        max_words = max(-(-p.size // 4) for p, *_ in huff) + 2
+        words = np.zeros((nb, max_words), np.int32)
+        l1 = np.zeros((nb, jd.L1_SIZE), np.int32)
+        l2_rows, l2_base = [], np.zeros(nb, np.int32)
+        for i, (payload, pbits, dbits, ooff, olen, tree) in \
+                enumerate(huff):
+            pw = np.zeros(max_words * 4, np.uint8)
+            pw[:payload.size] = payload
+            words[i] = pw.view("<u4").view(np.int32)
+            a, b = jd.build_lut(tree)
+            l1[i] = a
+            l2_base[i] = sum(r.shape[0] for r in l2_rows)
+            l2_rows.append(b)
+        l2 = np.concatenate(l2_rows, axis=0)
+
+        lane_block, lane_entry, lane_seg_end = [], [], []
+        seg_of_block = []
+        for i, (payload, pbits, dbits, ooff, olen, tree) in \
+                enumerate(huff):
+            nseg = max(1, -(-(pbits - dbits) // jd.SEG_BITS))
+            seg_of_block.append(nseg)
+            for s in range(nseg):
+                lane_block.append(i)
+                lane_entry.append(dbits + s * jd.SEG_BITS)
+                lane_seg_end.append(min(dbits + (s + 1) * jd.SEG_BITS,
+                                        pbits))
+        nl = len(lane_block)
+        nl_pad = -(-nl // self.ndev) * self.ndev
+        padn = nl_pad - nl
+        lane_block = np.asarray(lane_block + [0] * padn, np.int32)
+        lane_entry = np.asarray(lane_entry + [0] * padn, np.int32)
+        lane_seg_end = np.asarray(lane_seg_end + [0] * padn, np.int32)
+        lane_pbits = np.asarray(
+            [huff[b][1] for b in lane_block[:nl]] + [0] * padn, np.int32)
+        seg_starts = np.cumsum([0] + seg_of_block[:-1])
+        dfirst = np.zeros(nl_pad, bool)
+        dfirst[seg_starts] = True
+        dfirst[nl:] = True  # padding lanes pin to their (dead) entries
+
+        fns = self._fns()
+        entry, counts = fns["fixpoint"](
+            jnp.asarray(words), jnp.asarray(l1), jnp.asarray(l2),
+            jnp.asarray(l2_base), jnp.asarray(lane_block),
+            jnp.asarray(lane_entry), jnp.asarray(lane_seg_end),
+            jnp.asarray(lane_pbits), jnp.asarray(dfirst))
+
+        counts_np = np.asarray(counts)[:nl]
+        out_bases = np.zeros(nl_pad, np.int32)
+        li = 0
+        for i, nseg in enumerate(seg_of_block):
+            ooff, olen = huff[i][3], huff[i][4]
+            c = counts_np[li:li + nseg]
+            out_bases[li:li + nseg] = ooff + np.concatenate(
+                ([0], np.cumsum(c[:-1])))
+            li += nseg
+        out_limit = np.zeros(nl_pad, np.int32)
+        out_limit[:nl] = [huff[b][3] + huff[b][4]
+                          for b in lane_block[:nl]]
+
+        bufs = fns["make_emit"](max(total, 1))(
+            jnp.asarray(words), jnp.asarray(l1), jnp.asarray(l2),
+            jnp.asarray(l2_base), jnp.asarray(lane_block), entry,
+            jnp.asarray(lane_seg_end), jnp.asarray(lane_pbits),
+            jnp.asarray(out_bases), jnp.asarray(out_limit))
+        emitted = np.bitwise_or.reduce(np.asarray(bufs), axis=0)
+        for payload, pbits, dbits, ooff, olen, tree in huff:
+            out[ooff:ooff + olen] = emitted[ooff:ooff + olen]
+        return [out[a:a + n].tobytes() for a, n in spans]
 
 
 def make_mesh(devices=None) -> Mesh:
@@ -47,15 +217,16 @@ class ShardedHzrEncoder:
         self.mesh = mesh if mesh is not None else make_mesh()
         self.ndev = self.mesh.devices.size
         self.block_sharding = NamedSharding(self.mesh, P(AXIS))
-        self.tok = jax.jit(
-            jax_coder.tokenize_blocks.__wrapped__,
-            in_shardings=(self.block_sharding, self.block_sharding),
-            out_shardings=self.block_sharding)
-        self.pack = jax.jit(
-            jax_coder.pack_blocks.__wrapped__,
-            in_shardings=(self.block_sharding,) * 4
-            + (self.block_sharding, self.block_sharding, self.block_sharding),
-            out_shardings=self.block_sharding)
+        # shard_map (not GSPMD auto-sharding): every device runs the
+        # block kernels on its local shard, which keeps the Pallas
+        # bit-pack kernel legal under multi-chip execution
+        self.tok = jax.jit(jax.shard_map(
+            jax_coder.tokenize_blocks.__wrapped__, mesh=self.mesh,
+            in_specs=(P(AXIS), P(AXIS)), out_specs=P(AXIS)))
+        self.pack = jax.jit(jax.shard_map(
+            jax_coder.pack_blocks.__wrapped__, mesh=self.mesh,
+            in_specs=(P(AXIS),) * 7, out_specs=P(AXIS)))
+        self._compact = None
 
     def encode_blocks(self, blocks_np: np.ndarray, lengths_np: np.ndarray):
         nb = blocks_np.shape[0]
@@ -102,11 +273,86 @@ class ShardedHzrEncoder:
         packed[:, :desc_bytes.shape[1]] |= desc_bytes[:nb]
         return packed, fetch(total_bits)[:nb], is_fill[:nb]
 
+    def encode_blocks_compact(self, blocks_np: np.ndarray,
+                              lengths_np: np.ndarray):
+        """Sharded encode with PER-SHARD device compaction: every
+        device compacts its own blocks' payloads, and the host pulls
+        only the live payload bytes of each shard — never the
+        (nb, 66 KiB) max-size buffers (the round-1 d2h waste).
+
+        Returns assemble_compact() inputs:
+        (lengths, tight, comp_len, copy, copy_len, total_bits,
+        is_fill, fill_byte).
+        """
+        nb = blocks_np.shape[0]
+        nb_pad = pad_blocks(nb, self.ndev)
+        if nb_pad != nb:
+            blocks_np = np.concatenate(
+                [blocks_np, np.zeros((nb_pad - nb, jax_coder.B), np.uint8)])
+            lengths_np = np.concatenate(
+                [lengths_np, np.zeros(nb_pad - nb, np.int32)])
+        put = lambda a: jax.device_put(a, self.block_sharding)  # noqa: E731
+
+        blocks = put(blocks_np)
+        lengths = put(lengths_np.astype(np.int32))
+        syms, extras, ebits, tvalid, hist = self.tok(blocks, lengths)
+        hist_np = np.asarray(hist)
+        codes, cbits, desc_bytes, desc_bits, is_fill = \
+            jax_coder.host_tables(hist_np, lengths_np)
+        packed, total_bits = self.pack(
+            syms, extras, ebits, tvalid,
+            put(codes), put(cbits), put(desc_bits))
+
+        if self._compact is None:
+            from jax.sharding import PartitionSpec
+            axis = AXIS
+
+            def per_shard(packed, blocks, total_bits, lengths, is_fill):
+                return jax_coder.compact_payloads.__wrapped__(
+                    packed, blocks, total_bits, lengths, is_fill)
+
+            self._compact = jax.jit(jax.shard_map(
+                per_shard, mesh=self.mesh,
+                in_specs=(P(AXIS),) * 5,
+                out_specs=(P(AXIS), P(AXIS)), check_vma=False))
+        data, meta = self._compact(packed, blocks, total_bits, lengths,
+                                   put(is_fill))
+        # meta is per-shard [comp|copy|bits] groups; stitch on host
+        nb_loc = nb_pad // self.ndev
+        meta_np = np.asarray(meta).reshape(self.ndev, 3, nb_loc)
+        comp_len = meta_np[:, 0].reshape(-1)[:nb]
+        copy_len = meta_np[:, 1].reshape(-1)[:nb]
+        total_bits_np = meta_np[:, 2].reshape(-1)[:nb]
+        # fetch only each shard's live prefix (device-side slice)
+        tight_parts, copy_parts = [], []
+        for d, shard in enumerate(data.addressable_shards):
+            tc = int(meta_np[d, 0].sum())
+            tcopy = int(meta_np[d, 1].sum())
+            buf = np.asarray(shard.data[:tc + tcopy])
+            tight_parts.append(buf[:tc])
+            copy_parts.append(buf[tc:])
+        tight = np.concatenate(tight_parts) if tight_parts \
+            else np.zeros(0, np.uint8)
+        copy_np = np.concatenate(copy_parts) if copy_parts \
+            else np.zeros(0, np.uint8)
+        # OR-merge host-packed tree descriptions over payload heads
+        tight = tight.copy()
+        hoff = np.concatenate(([0], np.cumsum(comp_len)[:-1]))
+        for i in np.flatnonzero(comp_len):
+            dlen = min(jax_coder.DESC_STRIDE, int(comp_len[i]))
+            tight[hoff[i]:hoff[i] + dlen] |= desc_bytes[i, :dlen]
+        fill_byte = jax_coder.fill_bytes_from_hist(hist_np[:nb])
+        return (lengths_np[:nb], tight, comp_len, copy_np, copy_len,
+                total_bits_np, is_fill[:nb], fill_byte)
+
     def encode(self, data, out_capacity=None) -> bytes:
         buf = np.frombuffer(memoryview(data).cast("B"), dtype=np.uint8) \
             if not isinstance(data, np.ndarray) \
             else data.astype(np.uint8, copy=False)
         blocks_np, lengths_np = jax_coder._split_blocks(buf)
+        if jax.process_count() == 1:
+            args = self.encode_blocks_compact(blocks_np, lengths_np)
+            return jax_coder.assemble_compact(*args)
         packed, total_bits, is_fill = self.encode_blocks(blocks_np,
                                                          lengths_np)
         return jax_coder.assemble(blocks_np, lengths_np, packed, total_bits,

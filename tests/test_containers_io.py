@@ -77,3 +77,26 @@ def test_io_buffer_handoff():
     got = iob.get_next_filled_address()
     assert got is not None and got[0] == 1
     assert iob.get_next_filled_address() is None  # p2 not yet published
+
+
+def test_array_of_tensors():
+    """array_of_tensors parity (ZaxTensor.h:1491-1528): indexing,
+    resize, size, equality, JSON round-trip of the m_data vector."""
+    from rspt_tpu.containers.tensor import ArrayOfTensors, tensor_i32
+
+    arr = ArrayOfTensors(tensor_i32, 2)
+    assert arr.size() == len(arr) == 2
+    arr[0].resize(3)
+    arr[0][0], arr[0][1], arr[0][2] = 1, 2, 3
+    arr.resize(3)
+    assert arr.size() == 3
+    arr[2].resize(2)
+    arr[2][0] = 7
+
+    other = ArrayOfTensors(tensor_i32)
+    other.from_json(arr.to_json())
+    assert other == arr and arr == other
+    other[2][0] = 8
+    assert not (other == arr)
+    arr.resize(1)
+    assert arr.size() == 1 and not (arr == other)

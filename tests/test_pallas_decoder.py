@@ -1,0 +1,65 @@
+"""Pallas decoder (interpret mode) vs the Python spec encoder."""
+
+import numpy as np
+import pytest
+
+pytest.importorskip("jax")
+
+from rspt_tpu.hzr import pallas_decoder, pyref  # noqa: E402
+
+
+def roundtrip(payloads):
+    streams = [pyref.encode(p) for p in payloads]
+    outs = pallas_decoder.decode_many(streams, interpret=True)
+    for p, o in zip(payloads, outs):
+        assert o == p.tobytes()
+
+
+def test_literals_and_runs(rng):
+    data = rng.integers(0, 6, 700).astype(np.uint8)
+    data[100:180] = 0
+    data[400:420] = 0
+    roundtrip([data])
+
+
+def test_fill_copy_mix(rng):
+    fill = np.full(300, 9, np.uint8)
+    rnd = rng.integers(0, 256, 400).astype(np.uint8)  # COPY fallback
+    lit = rng.integers(0, 4, 500).astype(np.uint8)
+    roundtrip([fill, rnd, lit])
+
+
+def test_multi_stream_shared_batch(rng):
+    a = rng.integers(0, 8, 900).astype(np.uint8)
+    b = np.zeros(600, np.uint8)
+    b[::53] = rng.integers(1, 255, b[::53].size)
+    roundtrip([a, b])
+
+
+def test_long_zero_runs_sparse(rng):
+    """Sparse literals with long zero gaps exercise the oversized-chunk
+    scatter fallback in placement."""
+    data = np.zeros(3000, np.uint8)
+    idx = rng.choice(3000, 40, replace=False)
+    data[idx] = rng.integers(1, 255, 40)
+    roundtrip([data])
+
+
+def test_deep_codes(rng):
+    """Skewed histogram -> some codes deeper than 8 bits (L2 path)."""
+    vals = np.concatenate([
+        np.repeat(np.arange(1, 40, dtype=np.uint8),
+                  np.geomspace(1, 4000, 39).astype(int))])
+    rng.shuffle(vals)
+    roundtrip([vals])
+
+
+def test_padding_bit_speculation_regression():
+    """Trailing padding bits of a block can decode bogus symbols; their
+    emissions must be dropped at the block's output bound (this leaked
+    into the NEXT stream's first bytes before the out_limit clamp)."""
+    r = np.random.default_rng(4)
+    a = r.integers(0, 8, 900).astype(np.uint8)
+    b = np.zeros(600, np.uint8)
+    b[::53] = r.integers(1, 255, b[::53].size)
+    roundtrip([a, b])
