@@ -242,10 +242,11 @@ def _pack_tokens_pallas(nbits, val_lo32, val_hi32, desc_bits, n, nb,
     # out-of-range contributions (COPY-fallback blocks) are clamped
     # by bases/local; their garbage words are never read
     flags = jnp.any(nbits >= 34, axis=1).astype(jnp.int32)
+    live3 = jnp.any(prep(nbits) > 0, axis=2, keepdims=True)
     words3 = pack_bits_pallas(
         local3, prep(c0), prep(c1), prep(c2),
         bases[:, :, None], flags[:, None, None], nrows,
-        interpret=interpret)
+        interpret=interpret, live=live3.astype(jnp.int32))
     words = words3.reshape(nb, nrows * 128)[:, :nwords]
     packed = jax.lax.bitcast_convert_type(
         words, jnp.uint8).reshape(nb, nwords * 4)[:, :max_out]
@@ -273,8 +274,25 @@ def pack_blocks(syms, extras, ebits, tvalid, codes, code_bits, desc_bits):
     """
     nb, n = syms.shape
 
-    tok_codes = jnp.take_along_axis(codes, syms, axis=1).astype(jnp.uint32)
-    tok_cbits = jnp.take_along_axis(code_bits, syms, axis=1)
+    if jax.default_backend() == "tpu":
+        # per-token code lookup WITHOUT gather (XLA TPU gathers
+        # serialize — this one pair of take_along_axis calls measured
+        # 28 ms of the old 34 ms pack): combine both LUTs into one
+        # int32 word (code < 2^24 | cbits<<24, cbits <= 24) and do a
+        # single 261-lane masked reduction per token on the VPU.
+        comb = (codes.astype(jnp.uint32)
+                | (code_bits.astype(jnp.uint32) << jnp.uint32(24)))
+        sym_ids = jnp.arange(NUM_SYMBOLS, dtype=jnp.int32)[None, None, :]
+        tok_comb = jnp.sum(
+            jnp.where(syms[:, :, None] == sym_ids,
+                      comb[:, None, :].astype(jnp.int32), 0),
+            axis=2, dtype=jnp.int32).astype(jnp.uint32)
+        tok_codes = tok_comb & jnp.uint32(0xFFFFFF)
+        tok_cbits = (tok_comb >> jnp.uint32(24)).astype(jnp.int32)
+    else:
+        tok_codes = jnp.take_along_axis(codes, syms,
+                                        axis=1).astype(jnp.uint32)
+        tok_cbits = jnp.take_along_axis(code_bits, syms, axis=1)
     # combined value: code | extra << code_bits (≤ 23 + 14 = 37 bits),
     # carried as an 18/19-bit split in two uint32 lanes
     ex = extras.astype(jnp.uint32)
@@ -433,10 +451,10 @@ def host_tables(hist_np: np.ndarray, lengths_np: np.ndarray):
             codes[i], cbits[i], db, desc_bits[i] = t
             desc_bytes[i, :db.size] = db
     is_fill = is_fill | (np.asarray(lengths_np) == 0)
-    # lane-width invariant: f2 = bits 18.. of (code | extra<<cbits),
-    # shifted ≤ 7 → needs cbits + 14 ≤ 43 (Huffman depth over ≤64Ki
-    # tokens is Fibonacci-bounded at ≤ 23, so this cannot trip)
-    if cbits.size and int(cbits.max()) + 14 > 43:
+    # device-path invariants: the combined code|cbits<<24 LUT word and
+    # the f1/f2 lane split both need cbits ≤ 23 — guaranteed: Huffman
+    # depth over ≤64Ki+261 weights is Fibonacci-bounded at ≤ 23
+    if cbits.size and int(cbits.max()) > 23:
         raise ValueError("hzr: pathological code length")
     return codes, cbits, desc_bytes, desc_bits, is_fill
 

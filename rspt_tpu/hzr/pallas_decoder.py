@@ -54,13 +54,14 @@ try:
 except Exception:  # pragma: no cover
     _HAVE_PALLAS = False
 
-SEG_PER_BLOCK = 256    # max segments per block -> 2 lane rows
-W_SEG = 66             # window words per lane (64 + straddle)
+SEG_PER_BLOCK = 512    # max segments per block -> 4 lane rows
+W_SEG = 40             # window words per lane (segw<=38 + straddle)
+STEP_CHUNK = 128       # emission ring rows per DMA flush
+MAX_STEPS = 1088       # static cap: 1-bit/symbol floor on 1024-bit segs
+STEP_BUCKETS = (128, 256, 544, 1088)
 SLOT_CAP = 8           # deep (>8-bit) prefix slots per block
 L2_SIZE = SLOT_CAP * 256
-STEP_CHUNK = 128       # emission ring rows per DMA flush
-MAX_STEPS = 2176       # static cap: 1-bit/symbol floor on 2048-bit segs
-STEP_BUCKETS = (256, 512, 1088, 2176)
+K_PLACE = 128          # literals per byte-placement chunk
 FALLBACK_CAP = 8192    # compacted oversized-chunk literals per call
 
 _RLE_EBITS = (0, 0, 2, 4, 8, 14)
@@ -143,9 +144,16 @@ def _decode_kernel(win_ref, l1lo_ref, l1hi_ref, l2_ref, entry_ref,
     l2s = [l2_ref[i] for i in range(L2_SIZE // 128)]
 
     def fetch_word(wptr):
-        acc = jnp.zeros(shape, jnp.int32)
-        for w in range(W_SEG):
-            acc = acc + jnp.where(wptr == w, win_ref[w], 0)
+        # masked reduction over the word windows; a runtime fori (the
+        # leading dim of a 3D ref allows dynamic indexing) keeps the
+        # Mosaic statement count small — a 66-way unroll at every call
+        # site made remote compiles pathological
+        def body(w, acc):
+            return acc + jnp.where(wptr == w,
+                                   win_ref[pl.ds(w, 1)][0], 0)
+
+        acc = jax.lax.fori_loop(0, W_SEG, body,
+                                jnp.zeros(shape, jnp.int32))
         return pltpu.bitcast(acc, u32)
 
     def gather128(tbl, idx):
@@ -160,14 +168,18 @@ def _decode_kernel(win_ref, l1lo_ref, l1hi_ref, l2_ref, entry_ref,
         sh0 = (entry & 31).astype(u32)
         c0 = jnp.where(sh0 > 0, w0 >> sh0, w0)
         navail0 = jnp.where(active0, 32 - (entry & 31), 0)
+        # the loop carries `active` as int32: Mosaic cannot yield an
+        # i1 vector from a while region
         st0 = (entry, c0, ZERO, ZERO, navail0, wptr0 + 1,
-               jnp.zeros(shape, jnp.int32), jnp.int32(0), active0)
+               jnp.zeros(shape, jnp.int32), jnp.int32(0),
+               active0.astype(jnp.int32))
 
         def cond(st):
-            return jnp.any(st[8])
+            return jnp.any(st[8] != 0)
 
         def body(st):
-            pos, c0, c1, c2, navail, wptr, outc, step, active = st
+            pos, c0, c1, c2, navail, wptr, outc, step, active_i = st
+            active = active_i != 0
 
             # refill to >= 40 available bits (a step consumes <= 38)
             def rcond(rst):
@@ -211,12 +223,15 @@ def _decode_kernel(win_ref, l1lo_ref, l1hi_ref, l2_ref, entry_ref,
             cb = ((ent >> 16) & 0xFF).astype(u32)
 
             ridx = jnp.clip(sym - 255, 0, 5)
-            ebv = jnp.select([ridx == i for i in range(6)],
-                             [jnp.full(shape, e, jnp.int32)
-                              for e in _RLE_EBITS])
-            basev = jnp.select([ridx == i for i in range(6)],
-                               [jnp.full(shape, b, jnp.int32)
-                                for b in _RLE_BASE])
+
+            def pick(tbl):  # jnp.select lowers via argmax (unsupported)
+                r = jnp.full(shape, tbl[5], jnp.int32)
+                for i in range(5):
+                    r = jnp.where(ridx == i, tbl[i], r)
+                return r
+
+            ebv = pick(_RLE_EBITS)
+            basev = pick(_RLE_BASE)
             tail = (c0 >> cb) | jnp.where(cb > 0, c1 << (u32(32) - cb),
                                           u32(0))
             mask = (u32(1) << ebv.astype(u32)) - u32(1)
@@ -254,6 +269,7 @@ def _decode_kernel(win_ref, l1lo_ref, l1hi_ref, l2_ref, entry_ref,
                     dma.wait()
 
             pos_n = jnp.where(active, pos + consume, pos)
+            active_n = active & (pos_n < seg_end) & (pos_n < pbits)
             return (pos_n,
                     jnp.where(active, n0, c0),
                     jnp.where(active, n1, c1),
@@ -262,7 +278,7 @@ def _decode_kernel(win_ref, l1lo_ref, l1hi_ref, l2_ref, entry_ref,
                     wptr,
                     jnp.where(active, outc + nout, outc),
                     step + 1,
-                    active & (pos_n < seg_end) & (pos_n < pbits))
+                    active_n.astype(jnp.int32))
 
         out = jax.lax.while_loop(cond, body, st0)
         return out[0], out[6], out[7]
@@ -300,7 +316,7 @@ def _decode_kernel(win_ref, l1lo_ref, l1hi_ref, l2_ref, entry_ref,
         dma.wait()
 
     counts_ref[...] = counts
-    steps_ref[0, 0] = steps
+    steps_ref[t, 0] = steps
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -337,7 +353,7 @@ def _run_kernel(win, l1lo, l1hi, l2, entry, segend, pbits, first,
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((8, 128), lambda t: (t, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda t: (t, 0),
+            pl.BlockSpec((ntiles, 1), lambda t: (0, 0),
                          memory_space=pltpu.SMEM),
         ),
         scratch_shapes=[pltpu.VMEM((STEP_CHUNK, 8, 128), jnp.int32),
@@ -365,8 +381,7 @@ def _place_emissions(emis, steps_used, counts, block_first, out_off,
     Returns (words (nrows, 128) i32 — bitcast to the output bytes —
     and the fallback-overflow flag).
     """
-    from ..ops.pallas_kernels import K_PACK
-
+    K = K_PLACE
     ntiles = emis.shape[0]
     nl = ntiles * 8 * 128
     lanes = emis[:, :s_eff].transpose(0, 2, 3, 1).reshape(nl, s_eff)
@@ -401,7 +416,7 @@ def _place_emissions(emis, steps_used, counts, block_first, out_off,
     vals = jnp.where(live_f, (sym & 0xFF).reshape(1, S),
                      0).astype(jnp.uint32)
 
-    Sp = -(-S // K_PACK) * K_PACK
+    Sp = -(-S // K) * K
     pad = ((0, 0), (0, Sp - S))
     offs = jnp.pad(pos_f * 8, pad, mode="edge")
     nbits = jnp.pad(nbits, pad)
@@ -409,46 +424,56 @@ def _place_emissions(emis, steps_used, counts, block_first, out_off,
     live_p = jnp.pad(live_f, pad)
 
     # chunk span check (pack windows hold <= 126 words)
-    o3 = offs.reshape(1, Sp // K_PACK, K_PACK)
+    o3 = offs.reshape(1, Sp // K, K)
     span_ok = ((o3[:, :, -1] - o3[:, :, 0]) >> 5) <= 120
-    fits = jnp.repeat(span_ok, K_PACK, axis=1).reshape(1, Sp)
+    fits = jnp.repeat(span_ok, K, axis=1).reshape(1, Sp)
 
     words = _pack_fields(vals, jnp.where(fits, nbits, 0), offs, nrows,
-                         interpret)
+                         interpret, K)
 
     # fallback: oversized-chunk literals -> rank-compact via the same
     # packer (rank offsets are dense, so chunks always fit), then one
     # small scatter bounded by FALLBACK_CAP
     fb = (~fits) & live_p
-    rank0 = jnp.cumsum(fb.astype(jnp.int32), axis=1) - 1
-    rank = jnp.maximum(rank0, 0)          # monotone incl. dead slots
     nfb = jnp.sum(fb, dtype=jnp.int32)
-    nrows_fb = -(-(-(-FALLBACK_CAP // 128)) // 8) * 8
-    fb_val = _pack_fields(jnp.where(fb, vals, 0),
-                          jnp.where(fb, 32, 0), rank * 32, nrows_fb,
-                          interpret)
-    fb_pos = _pack_fields(
-        jnp.where(fb, offs.astype(jnp.uint32) >> 3, jnp.uint32(0)),
-        jnp.where(fb, 32, 0), rank * 32, nrows_fb, interpret)
-    fbv = fb_val.reshape(-1)[:FALLBACK_CAP]
-    fbp = fb_pos.reshape(-1)[:FALLBACK_CAP]
-    slot_live = jnp.arange(FALLBACK_CAP, dtype=jnp.int32) < nfb
-    word_ix = jnp.where(slot_live, fbp >> 2, nrows * 128)
-    shift = ((fbp & 3) * 8).astype(jnp.uint32)
-    contrib = (fbv.astype(jnp.uint32) << shift).astype(jnp.int32)
     flat = words.reshape(nrows * 128)
-    flat = flat.at[word_ix].add(jnp.where(slot_live, contrib, 0),
-                                mode="drop")
-    return flat.reshape(nrows, 128), nfb > FALLBACK_CAP
+
+    def with_fallback(flat):
+        rank0 = jnp.cumsum(fb.astype(jnp.int32), axis=1) - 1
+        rank = jnp.maximum(rank0, 0)      # monotone incl. dead slots
+        nrows_fb = -(-(-(-FALLBACK_CAP // 128)) // 8) * 8
+        fb_val = _pack_fields(jnp.where(fb, vals, 0),
+                              jnp.where(fb, 32, 0), rank * 32,
+                              nrows_fb, interpret, K)
+        fb_pos = _pack_fields(
+            jnp.where(fb, offs.astype(jnp.uint32) >> 3, jnp.uint32(0)),
+            jnp.where(fb, 32, 0), rank * 32, nrows_fb, interpret, K)
+        fbv = fb_val.reshape(-1)[:FALLBACK_CAP]
+        fbp = fb_pos.reshape(-1)[:FALLBACK_CAP]
+        slot_live = jnp.arange(FALLBACK_CAP, dtype=jnp.int32) < nfb
+        word_ix = jnp.where(slot_live, fbp >> 2, nrows * 128)
+        shift = ((fbp & 3) * 8).astype(jnp.uint32)
+        contrib = (fbv.astype(jnp.uint32) << shift).astype(jnp.int32)
+        return flat.at[word_ix].add(jnp.where(slot_live, contrib, 0),
+                                    mode="drop")
+
+    # the two extra pack passes only run when an oversized chunk exists
+    flat = jax.lax.cond(nfb > 0, with_fallback, lambda f: f, flat)
+    # the overflow flag rides in the (slack) last word: one d2h fetch
+    # instead of two (every host-visible scalar costs a full link RTT)
+    flat = flat.at[nrows * 128 - 1].set(
+        (nfb > FALLBACK_CAP).astype(jnp.int32))
+    return flat.reshape(nrows, 128)
 
 
-def _pack_fields(vals, nbits, offs, nrows, interpret):
+def _pack_fields(vals, nbits, offs, nrows, interpret, K=K_PLACE):
     """Adapter onto the encoder's Pallas packer for <=32-bit fields
     with monotone offsets (single logical block)."""
-    from ..ops.pallas_kernels import K_PACK, pack_bits_pallas
+    from ..ops.pallas_kernels import pack_bits_pallas
 
     S = vals.shape[1]
-    nchunks = S // K_PACK
+    nchunks = S // K
+    K_PACK = K
     nchunks_p = -(-nchunks // 8) * 8
     sh = (offs & 31).astype(jnp.uint32)
     inv = jnp.uint32(32) - sh
@@ -544,8 +569,12 @@ def decode_many(datas, interpret: bool = False) -> list:
     blk_rows = []
     for i, (payload, pbits, dbits, ooff, olen, l1, l2) in enumerate(dev):
         body_bits = max(pbits - dbits, 1)
-        segw = max(1, -(-body_bits // (SEG_PER_BLOCK * 32)))
-        nseg = min(-(-body_bits // (segw * 32)), SEG_PER_BLOCK)
+        body_words = -(-body_bits // 32)
+        # fixed ~32-word segments: small payloads must NOT spread over
+        # all 512 segments (that inflated the lane count 3x and the
+        # emission matrices with it)
+        segw = max(32, -(-body_words // SEG_PER_BLOCK))
+        nseg = -(-body_words // segw)
         nrow = -(-nseg // 128)
         blk_rows.append((segw, nseg, nrow))
         if (len(rows) % 8) + nrow > 8:
@@ -565,14 +594,16 @@ def decode_many(datas, interpret: bool = False) -> list:
     entry = np.zeros((nrows_l, 128), np.int32)
     segend = np.zeros((nrows_l, 128), np.int32)
     pbits_a = np.zeros((nrows_l, 128), np.int32)
-    first = np.zeros((nrows_l, 128), np.int32)
+    # default-pin every lane (padding rows never update); live rows
+    # overwrite their live prefix below
+    first = np.ones((nrows_l, 128), np.int32)
     lane_live = np.zeros(nl, bool)
     block_first = np.zeros(nl, np.int32)
     out_off_a = np.zeros(nl, np.int32)
     out_limit_a = np.zeros(nl, np.int32)
     lane_block = np.full(nl, -1, np.int32)
 
-    padded_words = {}
+    firsts = {}
     for r, (bi, seg_lo) in enumerate(rows):
         if bi < 0:
             continue
@@ -581,60 +612,58 @@ def decode_many(datas, interpret: bool = False) -> list:
         l1lo[r] = l1[:128]
         l1hi[r] = l1[128:]
         l2a[:, r, :] = l2.reshape(-1, 128)
-        if bi not in padded_words:
-            need = (dbits // 32) + nseg * segw + W_SEG + 2
-            pw = np.zeros(need * 4, np.uint8)
-            pw[:payload.size] = payload
-            padded_words[bi] = pw.view("<u4").view(np.int32)
-        wsrc = padded_words[bi]
-        for j in range(min(128, nseg - seg_lo)):
-            s = seg_lo + j
-            e0 = dbits + s * segw * 32 if s else dbits
-            # nominal entries are word-aligned except segment 0
-            entry[r, j] = e0
-            segend[r, j] = min(dbits + (s + 1) * segw * 32, pbits) \
-                if s + 1 < nseg else pbits
-            pbits_a[r, j] = pbits
-            first[r, j] = 1 if s == 0 else 0
-            wb = e0 >> 5
-            win[:, r, j] = wsrc[wb:wb + W_SEG]
-            li = r * 128 + j
-            lane_live[li] = True
-            lane_block[li] = bi
-            out_off_a[li] = ooff
-            out_limit_a[li] = ooff + olen
-
-    # block_first: first live lane index of each lane's block
-    firsts = {}
-    for li in range(nl):
-        b = lane_block[li]
-        if b >= 0 and b not in firsts:
-            firsts[b] = li
-    for li in range(nl):
-        b = lane_block[li]
-        block_first[li] = firsts[b] if b >= 0 else li
+        nj = min(128, nseg - seg_lo)
+        s = seg_lo + np.arange(nj)
+        e0 = dbits + s * segw * 32
+        entry[r, :nj] = e0
+        segend[r, :nj] = np.where(s + 1 < nseg,
+                                  dbits + (s + 1) * segw * 32, pbits)
+        pbits_a[r, :nj] = pbits
+        # live lanes (except each block's segment 0) take the previous
+        # lane's exit; dead tail lanes stay pinned — otherwise neighbor
+        # exits propagate down the dead tail one lane per sweep and the
+        # fixpoint takes ~128 extra sweeps
+        first[r, 1 if seg_lo == 0 else 0:nj] = 0
+        # per-lane word windows via one strided-view gather
+        need = (dbits // 32) + nseg * segw + W_SEG + 2
+        pw = np.zeros(need * 4, np.uint8)
+        pw[:payload.size] = payload
+        wsrc = pw.view("<u4").view(np.int32)
+        frames = np.lib.stride_tricks.sliding_window_view(wsrc, W_SEG)
+        win[:, r, :nj] = frames[e0 >> 5].T
+        li = r * 128
+        lane_live[li:li + nj] = True
+        lane_block[li:li + nj] = bi
+        out_off_a[li:li + nj] = ooff
+        out_limit_a[li:li + nj] = ooff + olen
+        if bi not in firsts:
+            firsts[bi] = li
+        block_first[li:li + nj] = firsts[bi]
+    dead = lane_block < 0
+    block_first[dead] = np.flatnonzero(dead) if dead.any() else 0
 
     emis, counts, steps = _run_kernel(
         jnp.asarray(win), jnp.asarray(l1lo), jnp.asarray(l1hi),
         jnp.asarray(l2a), jnp.asarray(entry), jnp.asarray(segend),
         jnp.asarray(pbits_a), jnp.asarray(first), interpret=interpret)
-    steps_np = np.asarray(steps).reshape(-1)
-    s_eff = _bucket_steps(int(steps_np.max(initial=1)))
+    # bucketed emission width: one scalar d2h (fixed link RTT here,
+    # microseconds on directly-attached chips) buys a much smaller
+    # placement problem than the static cap
+    s_eff = _bucket_steps(int(np.asarray(steps).max(initial=1)))
 
     # slack: the placement kernel clamps window bases at
     # nrows*128 - 256, so give the real data 256+ words of headroom
     nrows_out = -(-(total // 4 + 2 + 384) // 128)
     nrows_out = -(-nrows_out // 8) * 8
-    words, overflow = _place_emissions(
+    words = _place_emissions(
         emis, steps, counts, jnp.asarray(block_first),
         jnp.asarray(out_off_a), jnp.asarray(out_limit_a),
         jnp.asarray(lane_live), s_eff, nrows_out, interpret=interpret)
-    if bool(overflow):  # extremely sparse pathological data
+    words_np = np.asarray(words).reshape(-1)
+    if words_np[-1] != 0:  # fallback overflow: pathological sparsity
         from . import jax_decoder
         return jax_decoder.decode_many(datas)
-    emitted = np.asarray(
-        jax.lax.bitcast_convert_type(words.reshape(-1), jnp.uint8)
-    ).reshape(-1)[:total]
+    emitted = words_np.view("<u4").view(np.uint8)[:total]
     for payload, pbits, dbits, ooff, olen, l1, l2 in dev:
         out[ooff:ooff + olen] = emitted[ooff:ooff + olen]
     return [out[a:a + n].tobytes() for a, n in spans]

@@ -87,104 +87,85 @@ K_PACK = 64    # tokens per pack chunk
 W_PACK = 128   # window lanes: span of 64 tokens ≤ ceil(64*37/32)+2 = 76
 
 
-def _pack_kernel(local_ref, c0_ref, c1_ref, c2_ref, bases_ref, flags_ref,
-                 out_ref, dense_ref):
-    """Bit-pack one block's token stream.
-
-    Every bit position has exactly one writer, so packing is addition
-    of word-aligned contributions. Phase A builds per-chunk dense
-    128-word windows for ALL chunks at once (compare-accumulate over
-    the K=64 token slots — the lane axis is the window, the sublane
-    axis is the chunk batch). Phase B places windows into the output
-    word array sequentially (windows of adjacent chunks share a
-    boundary word): rotate by base&127 (dynamic pltpu.roll) and
-    read-add-write two 128-word rows.
-
-    local: (nchunks, K) word index of each token within its chunk's
-    window; c0/c1/c2: contributions to words local, local+1, local+2;
-    bases (nchunks, 1) window base word; flags (1,1): any token needs
-    a third word (rare: >33-bit fields). out: (nrows, 128) words.
-    """
-    nchunks = local_ref.shape[1]
-    # build in sub-batches of chunk rows so the accumulator stays in
-    # vector registers (a full (nchunks, 128) live value spills)
-    SUB = 128 if nchunks % 128 == 0 else 8
-    lanes = jax.lax.broadcasted_iota(jnp.int32, (SUB, W_PACK), 1)
-    has_c2 = flags_ref[0, 0, 0] != 0
-
-    def subbuild(sub, _):
-        rows = pl.ds(sub * SUB, SUB)
-        lo = local_ref[0, rows, :]
-        a0 = c0_ref[0, rows, :]
-        a1 = c1_ref[0, rows, :]
-        dense = jnp.zeros((SUB, W_PACK), jnp.int32)
-        # static-unrolled token loop: dynamic indexing along the lane
-        # axis is not lowerable, static width-1 lane slices are
-        for j in range(K_PACK):
-            lj = lo[:, j:j + 1]
-            dense = dense + jnp.where(lanes == lj, a0[:, j:j + 1], 0)
-            dense = dense + jnp.where(lanes == lj + 1, a1[:, j:j + 1], 0)
-
-        def add_c2(d):
-            a2 = c2_ref[0, rows, :]
-            for j in range(K_PACK):
-                lj = lo[:, j:j + 1]
-                d = d + jnp.where(lanes == lj + 2, a2[:, j:j + 1], 0)
-            return d
-
-        dense = jax.lax.cond(has_c2, add_c2, lambda d: d, dense)
-        dense_ref[rows, :] = dense
-        return 0
-
-    jax.lax.fori_loop(0, nchunks // SUB, subbuild, 0)
+def _place_windows_kernel(dense_ref, bases_ref, live_ref, out_ref):
+    """Sequential placement of per-chunk dense word windows into one
+    block's output word array. Windows of adjacent chunks share only
+    boundary words, so an in-order read-add-write is exact: rotate the
+    128-word window by base&127 (dynamic pltpu.roll) and add it into
+    two consecutive 128-word output rows. Dead chunks (no live fields
+    — sparse data) skip the whole body."""
+    nchunks = dense_ref.shape[1]
     nrows = out_ref.shape[1]
     out_ref[...] = jnp.zeros((1, nrows, 128), jnp.int32)
+    lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, W_PACK), 1)
 
     def place(c, _):
-        b = bases_ref[0, pl.ds(c, 1), 0:1][0, 0]
-        row = jnp.minimum(b >> 7, nrows - 2)
-        r = b & 127
-        win = dense_ref[pl.ds(c, 1), :]
-        rot = pltpu.roll(win, r, 1)
-        lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, W_PACK), 1)
-        lo = jnp.where(lane1 >= r, rot, 0)
-        hi = jnp.where(lane1 < r, rot, 0)
-        out_ref[0, pl.ds(row, 1), :] += lo
-        out_ref[0, pl.ds(row + 1, 1), :] += hi
+        lv = live_ref[0, pl.ds(c, 1), 0:1][0, 0]
+
+        @pl.when(lv != 0)
+        def _():
+            b = bases_ref[0, pl.ds(c, 1), 0:1][0, 0]
+            row = jnp.minimum(b >> 7, nrows - 2)
+            r = b & 127
+            win = dense_ref[0, pl.ds(c, 1), :]
+            rot = pltpu.roll(win, r, 1)
+            out_ref[0, pl.ds(row, 1), :] += jnp.where(lane1 >= r, rot, 0)
+            out_ref[0, pl.ds(row + 1, 1), :] += jnp.where(lane1 < r,
+                                                          rot, 0)
+
         return 0
 
     jax.lax.fori_loop(0, nchunks, place, 0)
 
 
+def _build_windows(local, c0, c1, c2, flags):
+    """Compare-accumulate dense window build, in plain XLA (the VPU is
+    the limit either way). Formulated as three minor-axis reductions:
+    dense[b,c,w] = sum_j [local[b,c,j]+d == w] * cd[b,c,j] with the
+    token axis MINOR so the XLA TPU reduce stays a fused lane
+    reduction (a 64-step unrolled loop variant compiled pathologically
+    slowly). local/c0/c1/c2: (nb, nchunks, K)."""
+    lanes = jnp.arange(W_PACK, dtype=jnp.int32)[None, None, :, None]
+    loc = local[:, :, None, :]  # (nb, nchunks, 1, K)
+
+    def term(vals, delta):
+        return jnp.sum(
+            jnp.where(loc + delta == lanes, vals[:, :, None, :], 0),
+            axis=3, dtype=jnp.int32)
+
+    dense = term(c0, 0) + term(c1, 1)
+    return jax.lax.cond(jnp.any(flags != 0),
+                        lambda d: d + term(c2, 2), lambda d: d, dense)
+
+
 @functools.partial(jax.jit, static_argnames=("nrows", "interpret"))
 def pack_bits_pallas(local, c0, c1, c2, bases, flags, nrows: int,
-                     interpret: bool = False):
+                     interpret: bool = False, live=None):
     """Per-block bit packing: (nb, nchunks, K) token contributions →
-    (nb, nrows, 128) int32 words. Grid over blocks."""
+    (nb, nrows, 128) int32 words. XLA window build + Pallas sequential
+    placement, grid over blocks. ``live``: optional (nb, nchunks, 1)
+    per-chunk liveness (dead chunks skipped in placement)."""
     nb, nchunks, _ = local.shape
+    dense = _build_windows(local, c0, c1, c2, flags)
+    dense = jax.lax.optimization_barrier(dense)
+    if live is None:
+        live = jnp.ones((nb, nchunks, 1), jnp.int32)
     out = pl.pallas_call(
-        _pack_kernel,
+        _place_windows_kernel,
         out_shape=jax.ShapeDtypeStruct((nb, nrows, 128), jnp.int32),
         grid=(nb,),
         in_specs=[
-            pl.BlockSpec((1, nchunks, K_PACK), lambda b: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, nchunks, K_PACK), lambda b: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, nchunks, K_PACK), lambda b: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, nchunks, K_PACK), lambda b: (b, 0, 0),
+            pl.BlockSpec((1, nchunks, W_PACK), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, nchunks, 1), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1), lambda b: (b, 0, 0),
-                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, nchunks, 1), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, nrows, 128), lambda b: (b, 0, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((nchunks, W_PACK), jnp.int32)],
         interpret=interpret,
-    )(local, c0, c1, c2, bases, flags)
+    )(dense, bases, live)
     return out
 
 

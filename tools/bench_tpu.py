@@ -1,0 +1,185 @@
+"""TPU-engine bench phase (run as a subprocess from bench.py).
+
+Prints one JSON line with:
+- device-compute encode/decode times — measured with K-iteration
+  in-jit loops (optimization_barrier dependency chains, full-result
+  consumption) and slope timing (t_K - t_1)/(K-1). Plain
+  block_until_ready timings are WRONG through the tunneled runtime:
+  it returns before device execution finishes (a 4k matmul "measured"
+  2354 TFLOP/s on a v5e), so only end-to-end d2h-synced differences
+  are trustworthy.
+- the host Huffman-step time and end-to-end compress/decompress wall
+  times (link-bound on the tunneled dev box; see docs/DESIGN.md §5).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bench import _enable_compile_cache, make_ecg  # noqa: E402
+
+_enable_compile_cache()
+
+import numpy as np  # noqa: E402
+
+
+def wall_best(fn, reps=3):
+    fn()
+    t = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn()
+        t = min(t, time.perf_counter() - t0)
+    return t
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from rspt_tpu.hzr import jax_coder
+    import rspt_tpu.hzr.pallas_decoder as pd
+    from rspt_tpu.packers import tpu as tpack
+    from rspt_tpu.packers.tpu import _pass1_xdelta
+
+    def loop_time(make_body, iters=9, reps=5):
+        """Per-iteration device time via the K-loop slope."""
+        @jax.jit
+        def run(x0, k_arr):
+            return jax.lax.fori_loop(
+                0, k_arr.shape[0], lambda i, acc: make_body(acc), x0)
+
+        out = {}
+        for K in (1, iters):
+            karr = jnp.zeros(K)
+            float(run(jnp.float32(0), karr))  # compile + sync
+            b = float("inf")
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                float(run(jnp.float32(0), karr))
+                b = min(b, time.perf_counter() - t0)
+            out[K] = b
+        return max((out[iters] - out[1]) / (iters - 1), 1e-7)
+
+    def s(x):
+        return jnp.sum(x.astype(jnp.int32)).astype(jnp.float32)
+
+    ch, n, bps, planes = 12, 34199, 4, 3
+    sig, native = make_ecg(ch, n)
+    nbytes = len(native)
+    out = {"nbytes": nbytes, "backend": jax.default_backend()}
+
+    # --- end-to-end (includes link transfers + host steps) -----------
+    p = tpack.new_xdelta_hzr(bps, ch, n, planes)
+    comp = p.compress(native)
+    out["e2e_enc_s"] = wall_best(lambda: p.compress(native))
+    dec, _ = p.decompress(comp)
+    assert dec == native, "tpu roundtrip mismatch"
+    out["e2e_dec_s"] = wall_best(lambda: p.decompress(comp))
+    out["comp_len"] = len(comp)
+
+    # --- device-compute encode (slope-timed) -------------------------
+    raw = jax.device_put(np.frombuffer(native, np.uint8))
+    f1, lengths_np = _pass1_xdelta(n, ch, bps, planes)
+    small, blocks, toks = f1(raw)
+    syms, extras, ebits, tvalid, hist = toks
+    hist_np = np.asarray(hist)
+    codes, cbits, desc_bytes, desc_bits, is_fill = jax_coder.host_tables(
+        hist_np, lengths_np)
+    out["t_tables_host_s"] = wall_best(
+        lambda: jax_coder.host_tables(hist_np, lengths_np))
+    cd, cb, db = jax.device_put((codes, cbits, desc_bits))
+
+    def pass1_body(acc):
+        rb, a = jax.lax.optimization_barrier((raw, acc))
+        sm, bl, tk = f1.__wrapped__(rb)
+        sy, ex, eb, tv, hi = tk
+        return (a + s(sm) + s(bl) + s(sy) + s(ex) + s(eb) + s(tv)
+                + s(hi))
+
+    t_pass1 = loop_time(pass1_body)
+
+    def pack_body(acc):
+        s_, a = jax.lax.optimization_barrier((syms, acc))
+        packed, tb = jax_coder.pack_blocks.__wrapped__(
+            s_, extras, ebits, tvalid, cd, cb, db)
+        return a + s(packed) + s(tb)
+
+    t_pack = loop_time(pack_body)
+
+    packed_dev, tb_dev = jax_coder.pack_blocks(
+        syms, extras, ebits, tvalid, cd, cb, db)
+    lengths_d = jax.device_put(lengths_np.astype(np.int32))
+    fill_d = jax.device_put(is_fill)
+
+    def compact_body(acc):
+        p_, a = jax.lax.optimization_barrier((packed_dev, acc))
+        data, meta = jax_coder.compact_payloads.__wrapped__(
+            p_, blocks, tb_dev, lengths_d, fill_d)
+        return a + s(meta) + s(data[:1024])
+
+    t_compact = loop_time(compact_body)
+    dev_enc = t_pass1 + t_pack + t_compact
+    out.update(t_pass1_s=t_pass1, t_pack_s=t_pack,
+               t_compact_s=t_compact, device_enc_s=dev_enc,
+               device_enc_gbps=nbytes / dev_enc / 1e9)
+
+    # --- device-compute decode (Pallas kernel + placement) -----------
+    src = memoryview(comp)
+    pos = 1
+    streams = []
+    for _ in range(planes):
+        clen = int.from_bytes(src[pos:pos + 4], "little")
+        pos += 4
+        streams.append(bytes(src[pos:pos + clen]))
+        pos += clen
+    plane_bytes = sum(int.from_bytes(st[:4], "little") for st in streams)
+    outs = pd.decode_many(streams)
+    assert all(len(o) == int.from_bytes(st[:4], "little")
+               for o, st in zip(outs, streams))
+    out["dec_e2e_s"] = wall_best(lambda: pd.decode_many(streams))
+
+    holder = {}
+    orig_run, orig_place = pd._run_kernel, pd._place_emissions
+
+    def run_spy(*a, **k):
+        holder["run"] = (a, k)
+        return orig_run(*a, **k)
+
+    def place_spy(*a, **k):
+        holder["place"] = (a, k)
+        return orig_place(*a, **k)
+
+    pd._run_kernel, pd._place_emissions = run_spy, place_spy
+    pd.decode_many(streams)
+    pd._run_kernel, pd._place_emissions = orig_run, orig_place
+    ra, rk = holder["run"]
+
+    def kern_body(acc):
+        win, a = jax.lax.optimization_barrier((ra[0], acc))
+        emis, counts, steps = orig_run.__wrapped__(win, *ra[1:], **rk)
+        return a + s(counts) + s(steps) + s(emis[:, :64])
+
+    t_kernel = loop_time(kern_body, iters=5, reps=3)
+    pa, pkw = holder["place"]
+
+    def place_body(acc):
+        e, a = jax.lax.optimization_barrier((pa[0], acc))
+        words = orig_place.__wrapped__(e, *pa[1:], **pkw)
+        return a + s(words)
+
+    t_place = loop_time(place_body, iters=5, reps=3)
+    dev_dec = t_kernel + t_place
+    out.update(t_dec_kernel_s=t_kernel, t_dec_place_s=t_place,
+               device_dec_s=dev_dec,
+               device_dec_gbps=nbytes / dev_dec / 1e9,
+               device_dec_plane_MBps=plane_bytes / dev_dec / 1e6)
+
+    print(json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main()
