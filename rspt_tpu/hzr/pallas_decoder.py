@@ -411,7 +411,11 @@ def _place_emissions(emis, steps_used, counts, block_first, out_off,
     S = nl * s_eff
     live_f = live.reshape(1, S)
     pos_f = jnp.where(live_f, pos.reshape(1, S), 0)
-    pos_f = jax.lax.associative_scan(jnp.maximum, pos_f, axis=1)
+    # running max by doubling (associative_scan lowers poorly on TPU)
+    pp = 1
+    while pp < S:
+        pos_f = jnp.maximum(pos_f, jnp.pad(pos_f, ((0, 0), (pp, 0)))[:, :S])
+        pp *= 2
     nbits = jnp.where(live_f, 8, 0)
     vals = jnp.where(live_f, (sym & 0xFF).reshape(1, S),
                      0).astype(jnp.uint32)
@@ -570,10 +574,11 @@ def decode_many(datas, interpret: bool = False) -> list:
     for i, (payload, pbits, dbits, ooff, olen, l1, l2) in enumerate(dev):
         body_bits = max(pbits - dbits, 1)
         body_words = -(-body_bits // 32)
-        # fixed ~32-word segments: small payloads must NOT spread over
-        # all 512 segments (that inflated the lane count 3x and the
-        # emission matrices with it)
-        segw = max(32, -(-body_words // SEG_PER_BLOCK))
+        # segment size scales with payload: small (highly compressed,
+        # short-code) payloads take short segments so their lockstep
+        # step count — and with it the emission buckets — stays low,
+        # without spreading tiny payloads over all 512 segments
+        segw = max(8, -(-body_words // SEG_PER_BLOCK))
         nseg = -(-body_words // segw)
         nrow = -(-nseg // 128)
         blk_rows.append((segw, nseg, nrow))

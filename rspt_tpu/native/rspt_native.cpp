@@ -121,11 +121,21 @@ struct BitWriter {
     inline void put64(uint64_t value, int bits) {  // bits <= 56
         cache |= value << nbits;
         nbits += bits;
-        while (nbits >= 8) {
-            if (p >= end) { failed = true; nbits = 0; return; }
-            *p++ = (uint8_t)cache;
-            cache >>= 8;
-            nbits -= 8;
+        if (nbits >= 8) {
+            int nb = nbits >> 3;
+            if (p + 8 <= end) {  // bulk spill: one unaligned store
+                memcpy(p, &cache, 8);
+                p += nb;
+                cache >>= nb * 8;
+                nbits &= 7;
+            } else {
+                while (nbits >= 8) {
+                    if (p >= end) { failed = true; nbits = 0; return; }
+                    *p++ = (uint8_t)cache;
+                    cache >>= 8;
+                    nbits -= 8;
+                }
+            }
         }
     }
     inline void flush_partial() {
@@ -187,41 +197,64 @@ struct BitReader {
 // Tokenizer + histogram (single fused pass)
 // ---------------------------------------------------------------------------
 
-struct Token {
-    uint16_t sym;
-    uint16_t extra;
-};
+// Length of the zero run at in[k] (capped, never crossing the block
+// edge), with 8-byte word skipping for long runs.
+static inline size_t zero_run_len(const uint8_t* in, size_t n, size_t k) {
+    size_t lim = n - k;
+    if (lim > kMaxZeroRun) lim = kMaxZeroRun;
+    size_t z = 1;
+    while (z + 8 <= lim) {
+        uint64_t w;
+        memcpy(&w, in + k + z, 8);
+        if (w != 0) {
+#if defined(__GNUC__)
+            z += (size_t)(__builtin_ctzll(w) >> 3);
+#else
+            while (z < lim && in[k + z] == 0) ++z;
+#endif
+            return z;
+        }
+        z += 8;
+    }
+    while (z < lim && in[k + z] == 0) ++z;
+    return z;
+}
 
-// Tokenize a block. Returns token count; fills hist[261].
-size_t tokenize(const uint8_t* in, size_t n, Token* toks, uint32_t* hist) {
+// Histogram pass without materializing tokens (4-way split literal
+// counters dodge store-forward stalls on repeated bytes).
+static void histogram_runs(const uint8_t* in, size_t n, uint32_t* hist) {
+    uint32_t h[4][256];
+    memset(h, 0, sizeof(h));
     memset(hist, 0, kNumSyms * sizeof(uint32_t));
-    size_t t = 0;
     size_t k = 0;
     while (k < n) {
+        // literal stretch: unrolled 4-way until a zero shows up
+        while (k + 4 <= n) {
+            uint8_t b0 = in[k], b1 = in[k + 1], b2 = in[k + 2],
+                    b3 = in[k + 3];
+            if (!(b0 && b1 && b2 && b3)) break;
+            h[0][b0]++;
+            h[1][b1]++;
+            h[2][b2]++;
+            h[3][b3]++;
+            k += 4;
+        }
+        if (k >= n) break;
         uint8_t b = in[k];
         if (b != 0) {
-            toks[t].sym = b;
-            toks[t].extra = 0;
-            hist[b]++;
-            ++t;
+            h[0][b]++;
             ++k;
             continue;
         }
-        // zero run, greedy, capped (runs never cross the block edge)
-        size_t z = 1;
-        size_t lim = n - k;
-        if (lim > kMaxZeroRun) lim = kMaxZeroRun;
-        while (z < lim && in[k + z] == 0) ++z;
+        size_t z = zero_run_len(in, n, k);
         uint16_t sym, extra;
         uint8_t ebits;
         classify_run((uint32_t)z, sym, extra, ebits);
-        toks[t].sym = sym;
-        toks[t].extra = extra;
         hist[sym]++;
-        ++t;
         k += z;
     }
-    return t;
+    for (int s = 1; s < 256; ++s)
+        hist[s] += h[0][s] + h[1][s] + h[2][s] + h[3][s];
 }
 
 inline uint8_t extra_bits_of(uint16_t sym) {
@@ -343,10 +376,13 @@ inline void write_block_header(uint8_t* hdr, uint16_t size_minus_1,
 }
 
 // Returns encoded size incl. header, or 0 on buffer overflow.
+// Two passes over the raw bytes (histogram, then re-derive runs and
+// emit directly) — no materialized token array: the 4 B/token
+// write+read traffic was the encoder's hottest memory stream.
 size_t encode_block(const uint8_t* in, size_t in_size, uint8_t* out,
-                    size_t cap, Token* toks) {
+                    size_t cap) {
     uint32_t hist[kNumSyms];
-    size_t ntok = tokenize(in, in_size, toks, hist);
+    histogram_runs(in, in_size, hist);
 
     if (only_single_code(hist)) {  // FILL
         if (cap < kBlockHeaderSize + 1) return 0;
@@ -369,14 +405,22 @@ size_t encode_block(const uint8_t* in, size_t in_size, uint8_t* out,
     store_tree(tree, bw, codes, code_bits);
 
     if (!bw.failed) {
-        for (size_t i = 0; i < ntok; ++i) {
-            uint16_t s = toks[i].sym;
-            int eb = extra_bits_of(s);
-            // code then extra bits as one LSB-first field
-            bw.put64((uint64_t)codes[s] |
-                         ((uint64_t)toks[i].extra << code_bits[s]),
-                     code_bits[s] + eb);
-            if (bw.failed) break;
+        size_t k = 0;
+        while (k < in_size && !bw.failed) {
+            uint8_t b = in[k];
+            if (b != 0) {
+                bw.put64(codes[b], code_bits[b]);
+                ++k;
+                continue;
+            }
+            size_t z = zero_run_len(in, in_size, k);
+            uint16_t sym, extra;
+            uint8_t ebits;
+            classify_run((uint32_t)z, sym, extra, ebits);
+            bw.put64((uint64_t)codes[sym] |
+                         ((uint64_t)extra << code_bits[sym]),
+                     code_bits[sym] + ebits);
+            k += z;
         }
     }
     if (!bw.failed) bw.flush_partial();
@@ -563,12 +607,10 @@ int rn_hzr_encode(const uint8_t* in, size_t in_size, uint8_t* out,
     uint32_t sz = (uint32_t)in_size;
     memcpy(out, &sz, 4);
     size_t pos = kHeaderSize;
-    std::vector<Token> toks(kMaxBlockSize);
     for (size_t start = 0; start < in_size; start += kMaxBlockSize) {
         size_t bs = in_size - start;
         if (bs > kMaxBlockSize) bs = kMaxBlockSize;
-        size_t e = encode_block(in + start, bs, out + pos, cap - pos,
-                                toks.data());
+        size_t e = encode_block(in + start, bs, out + pos, cap - pos);
         if (e == 0) return 1;
         pos += e;
     }
@@ -853,7 +895,6 @@ int rn_encode_planes_blocks_mt(const uint8_t* planes, size_t plane_len,
     std::atomic<int> next(0);
     // dynamic work stealing: block costs vary wildly (COPY vs Huffman)
     auto work = [&]() {
-        std::vector<Token> toks(kMaxBlockSize);
         int i;
         while ((i = next.fetch_add(1)) < nb) {
             int plane = i / (int)nb_per;
@@ -864,7 +905,7 @@ int rn_encode_planes_blocks_mt(const uint8_t* planes, size_t plane_len,
             if (blen == 0) continue;
             size_t r = encode_block(planes + (size_t)plane * plane_len + off,
                                     blen, scratch.data() + (size_t)i * bcap,
-                                    bcap, toks.data());
+                                    bcap);
             if (!r) rcs[i] = 1;
             blens[i] = r;
         }
@@ -1443,7 +1484,6 @@ int rn_stream_filter_pack(const uint8_t* src, size_t ns, size_t nframes,
     std::vector<int> rcs(nitems, 0);
     std::atomic<size_t> next(0);
     auto ework = [&]() {
-        std::vector<Token> toks(kMaxBlockSize);
         size_t i;
         while ((i = next.fetch_add(1)) < nitems) {
             size_t off = item_b[i] * kMaxBlockSize;
@@ -1451,7 +1491,7 @@ int rn_stream_filter_pack(const uint8_t* src, size_t ns, size_t nframes,
             const uint8_t* pl = planes.data() + item_f[i] * 4 * F +
                                 item_k[i] * F + off;
             size_t r = encode_block(pl, blen, scratch.data() + i * bcap,
-                                    bcap, toks.data());
+                                    bcap);
             if (!r) rcs[i] = 1;
             blens[i] = r;
         }

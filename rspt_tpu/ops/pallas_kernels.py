@@ -83,8 +83,8 @@ def fwht_pallas(x, interpret: bool = False):
     return out[:rows].reshape(shape)
 
 
-K_PACK = 64    # tokens per pack chunk
-W_PACK = 128   # window lanes: span of 64 tokens ≤ ceil(64*37/32)+2 = 76
+K_PACK = 96    # tokens per pack chunk
+W_PACK = 128   # window lanes: span of 96 tokens ≤ ceil(96*37/32)+2 = 113
 
 
 def _place_windows_kernel(dense_ref, bases_ref, live_ref, out_ref):
