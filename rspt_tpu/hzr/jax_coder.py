@@ -30,6 +30,7 @@ shards that axis over a device mesh.
 
 from __future__ import annotations
 
+import functools
 from typing import List, Optional, Tuple
 
 import numpy as np
@@ -66,6 +67,38 @@ MAX_OUT = B + 512  # packed payload width (cap before COPY fallback + slack)
 # Pass 1 — tokenize + histogram (device)
 # ---------------------------------------------------------------------------
 
+def _running_scan(a, op, fill, reverse: bool):
+    """Inclusive running op (max/min) along axis 1 by explicit doubling
+    (associative_scan's TPU lowering measured 13x slower). Two-level
+    when the width allows: 128-lane-local scans plus a tiny cross-row
+    carry — 7+1 full-array passes instead of log2(n)."""
+    nb, n = a.shape
+
+    def leaf(x, width, pad_lo):
+        p = 1
+        while p < width:
+            pad = ((0, 0),) * (x.ndim - 1) + (((p, 0),) if pad_lo
+                                              else ((0, p),))
+            sl = (Ellipsis, slice(None, width)) if pad_lo \
+                else (Ellipsis, slice(p, None))
+            x = op(x, jnp.pad(x, pad, constant_values=fill)[sl])
+            p *= 2
+        return x
+
+    pad_lo = not reverse
+    if n % 128 or n <= 128:
+        return leaf(a, n, pad_lo)
+    nr = n // 128
+    m = leaf(a.reshape(nb, nr, 128), 128, pad_lo)
+    rowv = m[..., -1] if pad_lo else m[..., 0]
+    # exclusive cross-row carry (tiny: nr elements per block)
+    shift = ((0, 0), (1, 0)) if pad_lo else ((0, 0), (0, 1))
+    c = jnp.pad(rowv, shift, constant_values=fill)
+    c = c[:, :nr] if pad_lo else c[:, 1:]
+    c = leaf(c, nr, pad_lo)
+    return op(m, c[..., None]).reshape(nb, n)
+
+
 @jax.jit
 def tokenize_blocks(blocks: jnp.ndarray, lengths: jnp.ndarray):
     """Vectorized RLE tokenization of padded blocks.
@@ -86,27 +119,19 @@ def tokenize_blocks(blocks: jnp.ndarray, lengths: jnp.ndarray):
     iszero = (x == 0) & inblk
 
     # scans as explicit doubling (pad+slice shifts): measured 13x
-    # faster than lax.associative_scan's TPU lowering on these shapes
+    # faster than lax.associative_scan's TPU lowering on these shapes.
+    # Two-level (128-lane-local + tiny cross-row carry) halves the
+    # full-array passes: 7+1 instead of 16 on 64 KiB blocks.
     # last non-zero (or out-of-block) index strictly before i
-    lnb = jnp.where(iszero, jnp.int32(-1), idx)
-    p = 1
-    while p < n:
-        lnb = jnp.maximum(
-            lnb, jnp.pad(lnb, ((0, 0), (p, 0)),
-                         constant_values=-1)[:, :n])
-        p *= 2
+    lnb = _running_scan(jnp.where(iszero, jnp.int32(-1), idx),
+                        jnp.maximum, -1, reverse=False)
     lnb_excl = jnp.concatenate(
         [jnp.full((nb, 1), -1, jnp.int32), lnb[:, :-1]], axis=1)
     run_start = lnb_excl + 1
 
     # first non-zero (or out-of-block) index at/after i
-    fna = jnp.where(iszero, jnp.int32(n), idx)
-    p = 1
-    while p < n:
-        fna = jnp.minimum(
-            fna, jnp.pad(fna, ((0, 0), (0, p)),
-                         constant_values=n)[:, p:])
-        p *= 2
+    fna = _running_scan(jnp.where(iszero, jnp.int32(n), idx),
+                        jnp.minimum, n, reverse=True)
     # for a zero at i, the run it belongs to ends just before the first
     # non-zero at/after i — clamp to the block end
     run_end = jnp.minimum(fna, lengths[:, None]) - 1
@@ -145,13 +170,21 @@ def tokenize_blocks(blocks: jnp.ndarray, lengths: jnp.ndarray):
             (syms, extras, ebits, tvalid, is_lit, is_chunk_start, run_sym))
 
     if jax.default_backend() == "tpu":
-        # Histogram without scatter (TPU scatters serialize): literals
-        # via a compare-reduce over the 256-lane axis on the VPU, the 5
-        # RLE symbols via masked popcounts.
+        # Histogram without scatter (TPU scatters serialize). Literals
+        # via nibble decomposition onto the MXU: hist[v] = Σ_s
+        # onehot_hi[s, v>>4]·onehot_lo[s, v&15] — 32 compares per slot
+        # (vs 256 for the flat compare-reduce) and the (16, S)x(S, 16)
+        # contraction rides the MXU; counts ≤ 65536 are exact in f32.
+        # The 5 RLE symbols via masked popcounts.
         lit_syms = jnp.where(is_lit, x, jnp.int32(-1))
-        lanes = jnp.arange(256, dtype=jnp.int32)[None, None, :]
-        lit_m = lit_syms.reshape(nb, -1, 1)
-        hist_lit = jnp.sum((lit_m == lanes), axis=1, dtype=jnp.int32)
+        io16 = jnp.arange(16, dtype=jnp.int32)
+        # dead slots carry -1: arithmetic >>4 keeps them -1, matching
+        # no hi-nibble lane, so their lo-nibble (15) contributes 0
+        oh = (lit_syms[:, :, None] >> 4 == io16).astype(jnp.float32)
+        ol = ((lit_syms[:, :, None] & 15) == io16).astype(jnp.float32)
+        hist16 = jnp.einsum("bsh,bsl->bhl", oh, ol,
+                            preferred_element_type=jnp.float32)
+        hist_lit = hist16.reshape(nb, 256).astype(jnp.int32)
         run_hist = [
             jnp.sum(is_chunk_start & (run_sym == s), axis=1,
                     dtype=jnp.int32)
@@ -208,31 +241,38 @@ import os as _os
 _PACK_MODE = _os.environ.get("RSPT_PACK_PALLAS", "")
 
 
-def _pack_tokens_pallas(nbits, val_lo32, val_hi32, desc_bits, n, nb,
-                        max_out, interpret):
-    """Token-level Pallas bit packing (ops/pallas_kernels.pack_bits_pallas).
+def _pack_tokens_pallas_from_toks(syms, extras, ebits, tvalid, codes,
+                                  code_bits, desc_bits, n, nb, max_out,
+                                  interpret):
+    """Token-level Pallas bit packing, LUT stage included.
 
-    Each ≤37-bit token contributes to ≤3 consecutive output words; the
-    kernel builds per-chunk (K=64 tokens) dense 128-word windows with
-    compare-accumulate and places them sequentially (VMEM-resident, one
-    rotate + two row adds per chunk) — replacing the XLA formulation
-    whose chunked scan measured 104 ms/1.24 MB on the chip."""
-    from ..ops.pallas_kernels import K_PACK, pack_bits_pallas
+    Stage 1 (ops/pallas_kernels.token_values_pallas): per-token code
+    lookup via in-kernel 128-lane gathers (the XLA 261-lane masked
+    reduction it replaces was VPU-bound) + group-local bit prefixes, so
+    the only XLA scan left is over the tiny (nb, ngroups) group totals.
+    Stage 2 (pack_bits_pallas): each ≤37-bit token contributes to ≤3
+    consecutive output words; per-chunk (K tokens) dense 128-word
+    windows by compare-accumulate, placed sequentially (VMEM-resident,
+    one rotate + two row adds per chunk)."""
+    from ..ops.pallas_kernels import (K_PACK, pack_bits_pallas,
+                                      token_values_pallas)
 
-    # prefix-sum by doubling (associative_scan/cumsum lower poorly on
-    # TPU for these shapes)
-    ends = nbits
+    comb = (jax.lax.bitcast_convert_type(codes, jnp.int32)
+            & jnp.int32(0xFFFFFF)) | (code_bits.astype(jnp.int32) << 24)
+    nbits, lo, hi, excl, tot = token_values_pallas(
+        syms, extras, ebits, tvalid, comb, interpret=interpret)
+    ng = tot.shape[1]
+    # exclusive prefix of the 64 group totals — doubling on a tiny array
+    gb = tot
     p = 1
-    n_tok = nbits.shape[1]
-    while p < n_tok:
-        ends = ends + jnp.pad(ends, ((0, 0), (p, 0)))[:, :n_tok]
+    while p < ng:
+        gb = gb + jnp.pad(gb, ((0, 0), (p, 0)))[:, :ng]
         p *= 2
-    ends = desc_bits[:, None] + ends
-    offs = ends - nbits
-    total_bits = ends[:, -1]
-    live = nbits > 0
-    lo = jnp.where(live, val_lo32, jnp.uint32(0))
-    hi = jnp.where(live, val_hi32, jnp.uint32(0))
+    group_base = desc_bits[:, None] + gb - tot
+    total_bits = group_base[:, -1] + tot[:, -1]
+    offs = (group_base[:, :, None]
+            + excl.reshape(nb, ng, 1024)).reshape(nb, -1)
+    n_tok = offs.shape[1]  # padded to the group grid
     sh = (offs & 31).astype(jnp.uint32)
     inv = jnp.uint32(32) - sh
     c0 = (lo << sh).astype(jnp.int32)
@@ -243,12 +283,12 @@ def _pack_tokens_pallas(nbits, val_lo32, val_hi32, desc_bits, n, nb,
     nwords = max_out // 4 + 1
     nrows = -(-(nwords + 128) // 128)
     nrows = -(-nrows // 8) * 8  # sublane-tile multiple
-    n_pad = -(-n // K_PACK) * K_PACK
+    n_pad = -(-n_tok // K_PACK) * K_PACK
     nchunks = n_pad // K_PACK
     nchunks_p = -(-nchunks // 8) * 8
 
     def prep(a, fill=0):
-        a = jnp.pad(a, ((0, 0), (0, n_pad - n)), constant_values=fill)
+        a = jnp.pad(a, ((0, 0), (0, n_pad - n_tok)), constant_values=fill)
         a = a.reshape(nb, nchunks, K_PACK)
         return jnp.pad(a, ((0, 0), (0, nchunks_p - nchunks), (0, 0)))
 
@@ -272,8 +312,9 @@ def _pack_tokens_pallas(nbits, val_lo32, val_hi32, desc_bits, n, nb,
     return packed, total_bits
 
 
-@jax.jit
-def pack_blocks(syms, extras, ebits, tvalid, codes, code_bits, desc_bits):
+@functools.partial(jax.jit, static_argnames=("platform",))
+def pack_blocks(syms, extras, ebits, tvalid, codes, code_bits, desc_bits,
+                platform=None):
     """Pack each block's token bitstream starting at bit offset
     ``desc_bits`` (the host-packed tree description is OR-merged in by
     the caller).
@@ -293,7 +334,16 @@ def pack_blocks(syms, extras, ebits, tvalid, codes, code_bits, desc_bits):
     """
     nb, n = syms.shape
 
-    if jax.default_backend() == "tpu":
+    # `platform` pins the target (e.g. a CPU mesh under shard_map while
+    # the default backend is the TPU plugin); None = default backend.
+    plat = platform or jax.default_backend()
+    mode = _PACK_MODE or ("pallas" if plat == "tpu" else "xla")
+    if mode in ("pallas", "interp"):
+        return _pack_tokens_pallas_from_toks(
+            syms, extras, ebits, tvalid, codes, code_bits, desc_bits,
+            n, nb, n + 512, interpret=(mode == "interp"))
+
+    if plat == "tpu":
         # per-token code lookup WITHOUT gather (XLA TPU gathers
         # serialize — this one pair of take_along_axis calls measured
         # 28 ms of the old 34 ms pack): combine both LUTs into one
@@ -320,13 +370,6 @@ def pack_blocks(syms, extras, ebits, tvalid, codes, code_bits, desc_bits):
     val_hi32 = jnp.where(tok_cbits > 0, ex >> (jnp.uint32(32) - cb),
                          jnp.uint32(0))
     nbits = jnp.where(tvalid, tok_cbits + ebits, 0)
-
-    mode = _PACK_MODE or ("pallas" if jax.default_backend() == "tpu"
-                          else "xla")
-    if mode in ("pallas", "interp"):
-        return _pack_tokens_pallas(nbits, val_lo32, val_hi32, desc_bits,
-                                   n, nb, n + 512,
-                                   interpret=(mode == "interp"))
 
     lo_mask = jnp.uint32((1 << _LO_BITS) - 1)
     f1_val = val_lo32 & lo_mask
@@ -366,7 +409,7 @@ def pack_blocks(syms, extras, ebits, tvalid, codes, code_bits, desc_bits):
     hi = jnp.where(inr, hi, 0)
     word = jnp.minimum(word, nwords - 2)
 
-    if jax.default_backend() == "tpu":
+    if plat == "tpu":
         # Dense accumulation without scatter (XLA TPU scatter
         # serializes: measured 115 ms vs ~1 ms for this formulation).
         # Fields are offset-sorted, so chunks of K consecutive fields

@@ -169,6 +169,105 @@ def pack_bits_pallas(local, c0, c1, c2, bases, flags, nrows: int,
     return out
 
 
+def _token_values_kernel(syms_ref, extras_ref, ebits_ref, tvalid_ref,
+                         lut_ref, nbits_ref, lo_ref, hi_ref, excl_ref):
+    """Per-token Huffman code lookup + field build + LOCAL bit-offset
+    prefix for one (8, 128) slot group.
+
+    Replaces the XLA 261-lane masked reduction (the VPU-bound stage of
+    pack_blocks) with three 128-lane `take_along_axis` gathers — the
+    same primitive the Pallas decoder's LUTs ride — and folds the
+    giant (nb, 65536) doubling prefix down to an in-register (8, 128)
+    prefix plus a tiny per-group XLA scan.
+    """
+    u32 = jnp.uint32
+    sym = syms_ref[0, 0]
+    extra = extras_ref[0, 0]
+    ebit = ebits_ref[0, 0]
+    tval = tvalid_ref[0, 0]
+    idx = sym & 127
+    g0 = jnp.take_along_axis(lut_ref[0, 0], idx, axis=1)
+    g1 = jnp.take_along_axis(lut_ref[0, 1], idx, axis=1)
+    g2 = jnp.take_along_axis(lut_ref[0, 2], idx, axis=1)
+    e = jnp.where(sym < 128, g0, jnp.where(sym < 256, g1, g2))
+    code = pltpu.bitcast(e, u32) & u32(0xFFFFFF)
+    cb = jnp.right_shift(e, 24)              # 0..24
+    live = tval != 0
+    nbits = jnp.where(live, cb + ebit, 0)
+    exu = pltpu.bitcast(extra, u32)
+    cbu = pltpu.bitcast(cb, u32)
+    lo = code | (exu << cbu)
+    # extra <= 14 bits: for cb <= 18 the high spill is naturally 0;
+    # clamp the shift at 31 only to keep cb=0 (dead/FILL slots) defined
+    # (i32 min — Mosaic has no unsigned min lowering)
+    hi = exu >> pltpu.bitcast(jnp.minimum(32 - cb, 31), u32)
+    lo = jnp.where(live, lo, u32(0))
+    hi = jnp.where(live, hi, u32(0))
+
+    # inclusive prefix of nbits over the group in (row, lane) order
+    lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+    v = nbits
+    p = 1
+    while p < 128:
+        v = v + jnp.where(lane >= p, pltpu.roll(v, p, 1), 0)
+        p *= 2
+    tot = jnp.broadcast_to(v[:, 127:128], (8, 128))
+    c = jnp.where(row >= 1, pltpu.roll(tot, 1, 0), 0)
+    q = 1
+    while q < 8:
+        c = c + jnp.where(row >= q + 1, pltpu.roll(c, q, 0), 0)
+        q *= 2
+    excl = v + c - nbits
+
+    nbits_ref[0, 0] = nbits
+    lo_ref[0, 0] = pltpu.bitcast(lo, jnp.int32)
+    hi_ref[0, 0] = pltpu.bitcast(hi, jnp.int32)
+    excl_ref[0, 0] = excl
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def token_values_pallas(syms, extras, ebits, tvalid, comb,
+                        interpret: bool = False):
+    """Token field values + group-local bit offsets.
+
+    syms/extras/ebits/tvalid: (nb, ntok); comb: (nb, nsym<=384) int32
+    packed (code | cbits<<24) per-block LUT. Returns PADDED
+    (nb, ntok_p) arrays nbits/lo/hi/excl (lo/hi uint32) plus the
+    (nb, ngroups) per-group bit totals; ntok_p = ngroups*1024.
+    """
+    nb, ntok = syms.shape
+    ng = -(-ntok // 1024)
+    ntok_p = ng * 1024
+
+    def pad4(a):
+        a = jnp.pad(a.astype(jnp.int32), ((0, 0), (0, ntok_p - ntok)))
+        return a.reshape(nb, ng, 8, 128)
+
+    lut = jnp.zeros((nb, 3 * 128), jnp.int32)
+    lut = lut.at[:, :comb.shape[1]].set(comb.astype(jnp.int32))
+    lut4 = jnp.broadcast_to(lut.reshape(nb, 3, 1, 128), (nb, 3, 8, 128))
+
+    spec = pl.BlockSpec((1, 1, 8, 128), lambda b, g: (b, g, 0, 0),
+                        memory_space=pltpu.VMEM)
+    nbits, lo, hi, excl = pl.pallas_call(
+        _token_values_kernel,
+        out_shape=tuple(jax.ShapeDtypeStruct((nb, ng, 8, 128), jnp.int32)
+                        for _ in range(4)),
+        grid=(nb, ng),
+        in_specs=[spec, spec, spec, spec,
+                  pl.BlockSpec((1, 3, 8, 128), lambda b, g: (b, 0, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=(spec, spec, spec, spec),
+        interpret=interpret,
+    )(pad4(syms), pad4(extras), pad4(ebits), pad4(tvalid), lut4)
+    tot = excl[:, :, 7, 127] + nbits[:, :, 7, 127]
+    flat = lambda a: a.reshape(nb, ntok_p)  # noqa: E731
+    u32 = functools.partial(jax.lax.bitcast_convert_type,
+                            new_dtype=jnp.uint32)
+    return (flat(nbits), u32(flat(lo)), u32(flat(hi)), flat(excl), tot)
+
+
 def _xdelta_fused_kernel(x_ref, prev_ref, o_ref):
     """delta → offset(−128) → xor on a (R, T) tile block, with the
     carried previous element per tile (the cross-tile scan state).

@@ -223,8 +223,11 @@ class ShardedHzrEncoder:
         self.tok = jax.jit(jax.shard_map(
             jax_coder.tokenize_blocks.__wrapped__, mesh=self.mesh,
             in_specs=(P(AXIS), P(AXIS)), out_specs=P(AXIS)))
+        plat = self.mesh.devices.flat[0].platform
         self.pack = jax.jit(jax.shard_map(
-            jax_coder.pack_blocks.__wrapped__, mesh=self.mesh,
+            functools.partial(jax_coder.pack_blocks.__wrapped__,
+                              platform=plat),
+            mesh=self.mesh,
             in_specs=(P(AXIS),) * 7, out_specs=P(AXIS)))
         self._compact = None
 

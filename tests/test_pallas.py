@@ -32,3 +32,24 @@ def test_xdelta_fused_matches(rng):
         got = np.asarray(pk.xdelta_preprocess_pallas(x, interpret=INTERP))
         want = nops.xor_encode(nops.offset32(nops.delta_encode(x), -128))
         np.testing.assert_array_equal(got, want)
+
+
+def test_interp_pack_path_bit_exact(rng, monkeypatch):
+    """The fused Pallas pack path (token_values_pallas LUT/prefix kernel
+    + pack_bits_pallas placement) is byte-identical to the Python spec
+    in interpreter mode (hzr_encode.c:411-457 semantics)."""
+    from rspt_tpu.hzr import jax_coder, pyref
+    monkeypatch.setattr(jax_coder, "_PACK_MODE", "interp")
+    cases = [
+        rng.choice(np.frombuffer(b"the quick brown fox 0123", np.uint8),
+                   50000).astype(np.uint8),
+        np.concatenate([np.concatenate([
+            np.full(r, 0, np.uint8),
+            rng.integers(1, 256, 17, np.int64).astype(np.uint8)])
+            for r in (1, 2, 3, 6, 7, 22, 23, 278, 279, 16662, 40000)]),
+        rng.integers(0, 256, 70000, np.int64).astype(np.uint8),
+        rng.integers(0, 5, 100, np.int64).astype(np.uint8),
+        np.zeros(5000, np.uint8),
+    ]
+    for data in cases:
+        assert jax_coder.encode(data) == pyref.encode(data)

@@ -1,13 +1,21 @@
 """Mesh scaling-efficiency benchmark (BASELINE "≥80% scaling").
 
-Measures the sharded hzr encode+decode over 1..N devices. On the
-virtual CPU mesh, a plain in-process sweep is meaningless — XLA CPU
-parallelizes intra-op across every core even with one device, so
-adding virtual devices shows no speedup. Instead each mesh size runs
-in a subprocess pinned (taskset) to exactly `nd` physical cores: the
-measurement is then "does sharding over nd devices use nd cores as
-well as one device uses one core" — the actual data-parallel scaling
-question, with core count as the resource.
+Measures the sharded hzr encode+decode over 1..8 mesh devices. On the
+virtual CPU mesh a plain in-process sweep is meaningless — XLA CPU
+parallelizes intra-op across every core even with one device — so each
+mesh size runs in a subprocess pinned (taskset) to min(nd, ncores)
+physical cores: the measurement is "does sharding over nd devices use
+the available cores as well as one device uses one core". Efficiency
+is therefore speedup / min(nd, ncores): with 4 host cores the 8-device
+point checks that an oversubscribed mesh holds 4-core throughput (pure
+sharding overhead), not that it doubles it.
+
+Two timings per point:
+- full:   ShardedHzrEncoder.encode() / ShardedHzrDecoder.decode_many()
+          including the serial host glue (Huffman tables, assemble).
+- device: the jitted sharded token+pack step only (what actually
+          scales with chips; the host glue is constant ~ms work that
+          overlaps device compute in a pipelined deployment).
 
 On a real multi-chip slice set RSPT_SCALING_TPU=1 to sweep real
 devices in-process instead.
@@ -27,8 +35,10 @@ import os, sys, time, json
 sys.path.insert(0, {root!r})
 import numpy as np, jax
 jax.config.update("jax_platforms", "cpu")
+import jax.numpy as jnp
+from rspt_tpu.hzr import jax_coder
 from rspt_tpu.parallel.mesh import (ShardedHzrDecoder, ShardedHzrEncoder,
-                                    make_mesh)
+                                    make_mesh, pad_blocks)
 nd = {nd}
 rng = np.random.default_rng(7)
 data = rng.integers(0, 40, 8 * 1024 * 1024, dtype=np.int64).astype(np.uint8)
@@ -36,61 +46,124 @@ mesh = make_mesh(jax.devices()[:nd])
 enc = ShardedHzrEncoder(mesh)
 stream = enc.encode(data)
 reps = 3
-t0 = time.perf_counter()
-for _ in range(reps):
-    enc.encode(data)
-te = (time.perf_counter() - t0) / reps
+
+def best(fn):
+    fn()
+    t = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn()
+        t = min(t, time.perf_counter() - t0)
+    return t
+
+te = best(lambda: enc.encode(data))
+
+# device-step only: the sharded tokenize+pack jits, synced
+blocks_np, lengths_np = jax_coder._split_blocks(data)
+nb = blocks_np.shape[0]
+nb_pad = pad_blocks(nb, nd)
+if nb_pad != nb:
+    blocks_np = np.concatenate(
+        [blocks_np, np.zeros((nb_pad - nb, jax_coder.B), np.uint8)])
+    lengths_np = np.concatenate(
+        [lengths_np, np.zeros(nb_pad - nb, np.int32)])
+put = lambda a: jax.device_put(a, enc.block_sharding)
+blocks = put(blocks_np)
+lengths = put(lengths_np.astype(np.int32))
+toks = enc.tok(blocks, lengths)
+syms, extras, ebits, tvalid, hist = toks
+codes, cbits, desc_bytes, desc_bits, is_fill = jax_coder.host_tables(
+    np.asarray(hist), lengths_np)
+cd, cb, db = put(codes), put(cbits), put(desc_bits)
+
+def dev_step():
+    t = enc.tok(blocks, lengths)
+    p, tb = enc.pack(t[0], t[1], t[2], t[3], cd, cb, db)
+    jax.block_until_ready((p, tb))
+
+tdev = best(dev_step)
+
 dec = ShardedHzrDecoder(mesh)
+# spy on the two device stages so the device-step decode can be
+# replayed (and timed) without the serial host glue around it
+holder = {{}}
+fns = dec._fns()
+orig_fix, orig_make = fns["fixpoint"], fns["make_emit"]
+
+def fix_spy(*a):
+    holder["fix"] = a
+    return orig_fix(*a)
+
+def make_spy(out_size):
+    emit = orig_make(out_size)
+    def emit_spy(*a):
+        holder["emit"] = (emit, a)
+        return emit(*a)
+    return emit_spy
+
+fns["fixpoint"], fns["make_emit"] = fix_spy, make_spy
 out = dec.decode_many([stream])[0]
 assert out == data.tobytes()
-t0 = time.perf_counter()
-for _ in range(reps):
-    dec.decode_many([stream])
-td = (time.perf_counter() - t0) / reps
+td = best(lambda: dec.decode_many([stream]))
+
+def dec_step():
+    entry, counts = orig_fix(*holder["fix"])
+    emit, a = holder["emit"]
+    jax.block_until_ready((entry, counts, emit(*a)))
+
+tddev = best(dec_step)
 print(json.dumps({{"enc_gbps": data.size / te / 1e9,
-                   "dec_gbps": data.size / td / 1e9}}))
+                   "enc_dev_gbps": data.size / tdev / 1e9,
+                   "dec_gbps": data.size / td / 1e9,
+                   "dec_dev_gbps": data.size / tddev / 1e9}}))
 """
 
 
 def main():
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     ncores = os.cpu_count() or 4
-    if os.environ.get("RSPT_SCALING_TPU"):
-        # real chips: no pinning games, plain sweep
-        counts = None
     results = {}
-    base_e = base_d = None
+    base = {}
     for nd in [1, 2, 4, 8]:
-        if nd > ncores:
-            break
+        cores = min(nd, ncores)
         env = dict(os.environ)
         env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
                             + f" --xla_force_host_platform_device_count={nd}"
                             ).strip()
         code = WORKER.format(root=root, nd=nd)
-        cmd = ["taskset", "-c", f"0-{nd - 1}", sys.executable, "-c", code]
+        cmd = ["taskset", "-c", f"0-{cores - 1}", sys.executable, "-c", code]
         r = subprocess.run(cmd, env=env, capture_output=True, text=True,
-                           timeout=1200)
+                           timeout=1800)
         if r.returncode != 0:
             print(f"{nd} devices failed: {r.stderr[-300:]}",
                   file=sys.stderr)
             continue
         got = json.loads(r.stdout.strip().splitlines()[-1])
-        ge, gd = got["enc_gbps"], got["dec_gbps"]
-        if base_e is None:
-            base_e, base_d = ge, gd
-        results[nd] = {
-            "encode_gbps": round(ge, 4),
-            "encode_scaling_efficiency": round(ge / (base_e * nd), 3),
-            "decode_gbps": round(gd, 4),
-            "decode_scaling_efficiency": round(gd / (base_d * nd), 3),
-        }
-        print(f"{nd} devices/cores: encode {ge:.4f} GB/s "
-              f"(eff {ge / (base_e * nd):.1%}), decode {gd:.4f} GB/s "
-              f"(eff {gd / (base_d * nd):.1%})", file=sys.stderr)
-    print(json.dumps({"metric": "sharded_hzr_scaling_1core_per_device",
-                      "host_cores": ncores,
-                      "results": results}))
+        if not base:
+            base = got
+        entry = {}
+        for key, label in (("enc_gbps", "encode"),
+                           ("enc_dev_gbps", "encode_device_step"),
+                           ("dec_gbps", "decode"),
+                           ("dec_dev_gbps", "decode_device_step")):
+            g = got[key]
+            entry[f"{label}_gbps"] = round(g, 4)
+            entry[f"{label}_scaling_efficiency"] = round(
+                g / (base[key] * cores), 3)
+        results[nd] = entry
+        print(f"{nd} devices ({cores} cores): "
+              f"encode {entry['encode_gbps']} GB/s "
+              f"(eff {entry['encode_scaling_efficiency']:.1%}), "
+              f"device-step {entry['encode_device_step_gbps']} GB/s "
+              f"(eff {entry['encode_device_step_scaling_efficiency']:.1%}), "
+              f"decode {entry['decode_gbps']} GB/s "
+              f"(eff {entry['decode_scaling_efficiency']:.1%})",
+              file=sys.stderr)
+    print(json.dumps({
+        "metric": "sharded_hzr_scaling_1core_per_device",
+        "host_cores": ncores,
+        "efficiency_basis": "speedup / min(nd, host_cores)",
+        "results": results}))
 
 
 if __name__ == "__main__":
