@@ -250,11 +250,13 @@ def _pack_tokens_pallas_from_toks(syms, extras, ebits, tvalid, codes,
     lookup via in-kernel 128-lane gathers (the XLA 261-lane masked
     reduction it replaces was VPU-bound) + group-local bit prefixes, so
     the only XLA scan left is over the tiny (nb, ngroups) group totals.
-    Stage 2 (pack_bits_pallas): each ≤37-bit token contributes to ≤3
-    consecutive output words; per-chunk (K tokens) dense 128-word
-    windows by compare-accumulate, placed sequentially (VMEM-resident,
-    one rotate + two row adds per chunk)."""
-    from ..ops.pallas_kernels import (K_PACK, pack_bits_pallas,
+    Stage 2 (chunk_windows_pallas): per-chunk (K tokens) dense 128-word
+    windows by prefix-sum + binary-search gather-diff.
+    Stage 3 (merge_place_pallas): 8-chunk super-windows merged in
+    registers and placed sequentially (VMEM-resident)."""
+    from ..ops.pallas_kernels import (GROUP_TOK, GSIZE, K_PACK, R_CW,
+                                      chunk_windows_pallas,
+                                      merge_place_pallas,
                                       token_values_pallas)
 
     comb = (jax.lax.bitcast_convert_type(codes, jnp.int32)
@@ -271,7 +273,7 @@ def _pack_tokens_pallas_from_toks(syms, extras, ebits, tvalid, codes,
     group_base = desc_bits[:, None] + gb - tot
     total_bits = group_base[:, -1] + tot[:, -1]
     offs = (group_base[:, :, None]
-            + excl.reshape(nb, ng, 1024)).reshape(nb, -1)
+            + excl.reshape(nb, ng, GROUP_TOK)).reshape(nb, -1)
     n_tok = offs.shape[1]  # padded to the group grid
     sh = (offs & 31).astype(jnp.uint32)
     inv = jnp.uint32(32) - sh
@@ -281,31 +283,45 @@ def _pack_tokens_pallas_from_toks(syms, extras, ebits, tvalid, codes,
     c2 = jnp.where(sh > 0, hi >> inv, jnp.uint32(0)).astype(jnp.int32)
 
     nwords = max_out // 4 + 1
-    nrows = -(-(nwords + 128) // 128)
+    # +2048 words of slack so a valid group base near the end of the
+    # stream still has a full 16-row placement span below the clamp
+    nrows = -(-(nwords + 2048) // 128)
     nrows = -(-nrows // 8) * 8  # sublane-tile multiple
     n_pad = -(-n_tok // K_PACK) * K_PACK
     nchunks = n_pad // K_PACK
-    nchunks_p = -(-nchunks // 8) * 8
+    nchunks_p = -(-nchunks // R_CW) * R_CW  # window-kernel tile mult.
 
     def prep(a, fill=0):
         a = jnp.pad(a, ((0, 0), (0, n_pad - n_tok)), constant_values=fill)
         a = a.reshape(nb, nchunks, K_PACK)
-        return jnp.pad(a, ((0, 0), (0, nchunks_p - nchunks), (0, 0)))
+        a = jnp.pad(a, ((0, 0), (0, nchunks_p - nchunks), (0, 0)),
+                    constant_values=fill)
+        # window kernel tiles are 128 token lanes; lanes K_PACK..127 of
+        # every chunk are dead (lane 127 dead also keeps the 7-step
+        # binary-search cnt saturation at 127 lossless)
+        return jnp.pad(a, ((0, 0), (0, 0), (0, 128 - K_PACK)),
+                       constant_values=fill)
 
     word = jnp.right_shift(offs, 5)
-    base_bits = offs[:, ::K_PACK]
-    bases = jnp.right_shift(base_bits, 5)
-    bases = jnp.clip(bases, 0, nrows * 128 - 256)
-    bases = jnp.pad(bases, ((0, 0), (0, nchunks_p - nchunks)))
-    local3 = jnp.clip(prep(word) - bases[:, :, None], 0, 125)
-    # out-of-range contributions (COPY-fallback blocks) are clamped
-    # by bases/local; their garbage words are never read
-    flags = jnp.any(nbits >= 34, axis=1).astype(jnp.int32)
-    live3 = jnp.any(prep(nbits) > 0, axis=2, keepdims=True)
-    words3 = pack_bits_pallas(
-        local3, prep(c0), prep(c1), prep(c2),
-        bases[:, :, None], flags[:, None, None], nrows,
-        interpret=interpret, live=live3.astype(jnp.int32))
+    bases = jnp.right_shift(offs[:, ::K_PACK], 5)
+    bases = jnp.pad(bases, ((0, 0), (0, nchunks_p - nchunks)),
+                    mode="edge")  # keep monotone for the group deltas
+    # sorted within-chunk word indices; pad tokens park at the clamp
+    # (contributions are 0 there). Out-of-range offsets (COPY-fallback
+    # blocks) are clamped everywhere; their garbage words are never
+    # read.
+    local = jnp.clip(prep(word, fill=1 << 22) - bases[:, :, None],
+                     0, 126)
+    gbase = jnp.clip(bases[:, ::GSIZE], 0, nrows * 128 - 2048)
+    d = jnp.clip(bases - jnp.repeat(gbase, GSIZE, axis=1), 0, 1023)
+    live = jnp.any(prep(nbits) > 0, axis=2)
+    glive = jnp.any(live.reshape(nb, -1, GSIZE), axis=2)
+    densew = chunk_windows_pallas(local, prep(c0), prep(c1), prep(c2),
+                                  interpret=interpret)
+    words3 = merge_place_pallas(
+        densew, d[:, :, None], gbase[:, :, None],
+        glive[:, :, None].astype(jnp.int32), nrows,
+        interpret=interpret)
     words = words3.reshape(nb, nrows * 128)[:, :nwords]
     packed = jax.lax.bitcast_convert_type(
         words, jnp.uint8).reshape(nb, nwords * 4)[:, :max_out]

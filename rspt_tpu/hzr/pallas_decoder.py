@@ -61,7 +61,8 @@ MAX_STEPS = 1088       # static cap: 1-bit/symbol floor on 1024-bit segs
 STEP_BUCKETS = (128, 256, 544, 1088)
 SLOT_CAP = 8           # deep (>8-bit) prefix slots per block
 L2_SIZE = SLOT_CAP * 256
-K_PLACE = 128          # literals per byte-placement chunk
+K_PLACE = 96           # literals per byte-placement chunk (96 real +
+                       # 32 dead lanes per 128-lane window-kernel row)
 FALLBACK_CAP = 8192    # compacted oversized-chunk literals per call
 
 _RLE_EBITS = (0, 0, 2, 4, 8, 14)
@@ -471,14 +472,18 @@ def _place_emissions(emis, steps_used, counts, block_first, out_off,
 
 
 def _pack_fields(vals, nbits, offs, nrows, interpret, K=K_PLACE):
-    """Adapter onto the encoder's Pallas packer for <=32-bit fields
-    with monotone offsets (single logical block)."""
-    from ..ops.pallas_kernels import pack_bits_pallas
+    """Adapter onto the encoder's Pallas pack kernels for <=32-bit
+    fields with monotone offsets (single logical block). Window build
+    is the shared O(K log K) chunk_windows kernel; placement is the
+    PER-CHUNK kernel, not merge_place — the decoder's offset stream
+    jumps by a whole block's output span at block boundaries, which
+    breaks merge_place's within-group d<=1023 contract."""
+    from ..ops.pallas_kernels import (R_CW, chunk_windows_pallas,
+                                      place_chunks_pallas)
 
     S = vals.shape[1]
     nchunks = S // K
-    K_PACK = K
-    nchunks_p = -(-nchunks // 8) * 8
+    nchunks_p = -(-nchunks // R_CW) * R_CW
     sh = (offs & 31).astype(jnp.uint32)
     inv = jnp.uint32(32) - sh
     live = nbits > 0
@@ -488,19 +493,28 @@ def _pack_fields(vals, nbits, offs, nrows, interpret, K=K_PLACE):
     c2 = jnp.zeros_like(c0)
 
     word = jnp.right_shift(offs, 5)
-    bases = jnp.right_shift(offs[:, ::K_PACK], 5)
+    bases = jnp.right_shift(offs[:, ::K], 5)
     bases = jnp.clip(bases, 0, nrows * 128 - 256)
 
-    def prep(a):
-        a = a.reshape(1, nchunks, K_PACK)
-        return jnp.pad(a, ((0, 0), (0, nchunks_p - nchunks), (0, 0)))
+    def prep(a, fill=0):
+        a = a.reshape(1, nchunks, K)
+        a = jnp.pad(a, ((0, 0), (0, nchunks_p - nchunks), (0, 0)),
+                    constant_values=fill)
+        # pad to the kernel's 128 token lanes (lane 127 stays dead —
+        # keeps the binary-search cnt saturation lossless)
+        return jnp.pad(a, ((0, 0), (0, 0), (0, 128 - K)),
+                       constant_values=fill)
 
     bases_p = jnp.pad(bases, ((0, 0), (0, nchunks_p - nchunks)))
-    local = jnp.clip(prep(word) - bases_p[:, :, None], 0, 125)
-    flags = jnp.zeros((1,), jnp.int32)
-    out = pack_bits_pallas(local, prep(c0), prep(c1), prep(c2),
-                           bases_p[:, :, None], flags[:, None, None],
-                           nrows, interpret=interpret)
+    local = jnp.clip(prep(word, fill=1 << 22) - bases_p[:, :, None],
+                     0, 125)
+    live_c = jnp.any(prep(jnp.where(live, 1, 0)) > 0, axis=2,
+                     keepdims=True)
+    dense = chunk_windows_pallas(local, prep(c0), prep(c1), prep(c2),
+                                 interpret=interpret)
+    out = place_chunks_pallas(dense, bases_p[:, :, None],
+                              live_c.astype(jnp.int32), nrows,
+                              interpret=interpret)
     return out.reshape(nrows, 128)
 
 
