@@ -1,8 +1,11 @@
 """Slope-timed breakdown of the pack_blocks stages on the real chip.
 
-Stages: token_values_pallas (LUT+local prefix kernel), the XLA glue
-(group prefix + contribution build + chunk prep), _build_windows
-(compare-accumulate), _place_windows kernel. Run on the chip only.
+Stages: token_values_pallas (LUT + group-local bit prefix kernel), the
+XLA glue (group prefix + shifted contributions + chunk prep),
+chunk_windows_pallas (prefix-sum/binary-search window build),
+merge_place_pallas (grouped super-window placement). Run on the chip
+only (wall timings through the axon tunnel are untrustworthy —
+CLAUDE.md; this uses the K-iteration in-jit slope method).
 """
 
 import json
@@ -76,8 +79,14 @@ def main():
     nbits, lo, hi, excl, tot = pk.token_values_pallas(
         syms, extras, ebits, tvalid, comb)
 
-    # glue: group prefix + shifted contributions + chunk prep
-    from rspt_tpu.ops.pallas_kernels import K_PACK
+    # glue: group prefix + shifted contributions + chunk prep (mirrors
+    # _pack_tokens_pallas_from_toks between the three kernels)
+    from rspt_tpu.ops.pallas_kernels import GROUP_TOK, GSIZE, K_PACK, R_CW
+
+    max_out = ntok + 512
+    nwords = max_out // 4 + 1
+    nrows = -(-(nwords + 2048) // 128)
+    nrows = -(-nrows // 8) * 8
 
     def glue(nbits, lo, hi, excl, tot, desc_bits):
         ng = tot.shape[1]
@@ -89,7 +98,7 @@ def main():
         group_base = desc_bits[:, None] + gb - tot
         total_bits = group_base[:, -1] + tot[:, -1]
         offs = (group_base[:, :, None]
-                + excl.reshape(nb, ng, 1024)).reshape(nb, -1)
+                + excl.reshape(nb, ng, GROUP_TOK)).reshape(nb, -1)
         n_tok = offs.shape[1]
         sh = (offs & 31).astype(jnp.uint32)
         inv = jnp.uint32(32) - sh
@@ -97,29 +106,32 @@ def main():
         c1 = (jnp.where(sh > 0, lo >> inv, jnp.uint32(0))
               | (hi << sh)).astype(jnp.int32)
         c2 = jnp.where(sh > 0, hi >> inv, jnp.uint32(0)).astype(jnp.int32)
-        nwords = (ntok + 512) // 4 + 1
-        nrows_ = -(-(nwords + 128) // 128)
-        nrows_ = -(-nrows_ // 8) * 8
         n_pad = -(-n_tok // K_PACK) * K_PACK
         nchunks = n_pad // K_PACK
-        nchunks_p = -(-nchunks // 8) * 8
+        nchunks_p = -(-nchunks // R_CW) * R_CW
 
         def prep(a, fill=0):
             a = jnp.pad(a, ((0, 0), (0, n_pad - n_tok)),
                         constant_values=fill)
             a = a.reshape(nb, nchunks, K_PACK)
-            return jnp.pad(a, ((0, 0), (0, nchunks_p - nchunks), (0, 0)))
+            a = jnp.pad(a, ((0, 0), (0, nchunks_p - nchunks), (0, 0)),
+                        constant_values=fill)
+            return jnp.pad(a, ((0, 0), (0, 0), (0, 128 - K_PACK)),
+                           constant_values=fill)
 
         word = jnp.right_shift(offs, 5)
-        base_bits = offs[:, ::K_PACK]
-        bases = jnp.right_shift(base_bits, 5)
-        bases = jnp.clip(bases, 0, nrows_ * 128 - 256)
-        bases = jnp.pad(bases, ((0, 0), (0, nchunks_p - nchunks)))
-        local3 = jnp.clip(prep(word) - bases[:, :, None], 0, 125)
-        flags = jnp.any(nbits >= 34, axis=1).astype(jnp.int32)
-        live3 = jnp.any(prep(nbits) > 0, axis=2, keepdims=True)
-        return (local3, prep(c0), prep(c1), prep(c2), bases[:, :, None],
-                flags[:, None, None], live3.astype(jnp.int32), total_bits)
+        bases = jnp.right_shift(offs[:, ::K_PACK], 5)
+        bases = jnp.pad(bases, ((0, 0), (0, nchunks_p - nchunks)),
+                        mode="edge")
+        local = jnp.clip(prep(word, fill=1 << 22) - bases[:, :, None],
+                         0, 126)
+        gbase = jnp.clip(bases[:, ::GSIZE], 0, nrows * 128 - 2048)
+        d = jnp.clip(bases - jnp.repeat(gbase, GSIZE, axis=1), 0, 1023)
+        live = jnp.any(prep(nbits) > 0, axis=2)
+        glive = jnp.any(live.reshape(nb, -1, GSIZE), axis=2)
+        return (local, prep(c0), prep(c1), prep(c2), d[:, :, None],
+                gbase[:, :, None], glive[:, :, None].astype(jnp.int32),
+                total_bits)
 
     glue_j = jax.jit(glue)
 
@@ -130,51 +142,25 @@ def main():
 
     res["t_glue_s"] = loop_time(glue_body)
 
-    # real glue path from _pack_tokens_pallas_from_toks internals is
-    # equivalent; time build_windows + place separately on its outputs
-    (localr, c0p, c1p, c2p, bases, flags, live3, total_bits) = \
+    (localr, c0p, c1p, c2p, dw, gbase, glive, total_bits) = \
         jax.block_until_ready(glue_j(nbits, lo, hi, excl, tot, db))
 
     def build_body(acc):
         l_, a = jax.lax.optimization_barrier((localr, acc))
-        dense = pk._build_windows(l_, c0p, c1p, c2p, flags)
+        dense = pk.chunk_windows_pallas.__wrapped__(l_, c0p, c1p, c2p)
         return a + s(dense)
 
-    res["t_build_windows_s"] = loop_time(build_body)
+    res["t_chunk_windows_s"] = loop_time(build_body)
 
-    dense = jax.jit(pk._build_windows)(localr, c0p, c1p, c2p, flags)
-    nwords = (ntok + 512) // 4 + 1
-    nrows = -(-(nwords + 128) // 128)
-    nrows = -(-nrows // 8) * 8
+    dense = pk.chunk_windows_pallas(localr, c0p, c1p, c2p)
 
     def place_body(acc):
         d_, a = jax.lax.optimization_barrier((dense, acc))
-        out = pl_place(d_, bases, live3)
+        out = pk.merge_place_pallas.__wrapped__(d_, dw, gbase, glive,
+                                                nrows)
         return a + s(out)
 
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    nchunks_p = localr.shape[1]
-
-    def pl_place(dense, bases, live):
-        return pl.pallas_call(
-            pk._place_windows_kernel,
-            out_shape=jax.ShapeDtypeStruct((nb, nrows, 128), jnp.int32),
-            grid=(nb,),
-            in_specs=[
-                pl.BlockSpec((1, nchunks_p, pk.W_PACK), lambda b: (b, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, nchunks_p, 1), lambda b: (b, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, nchunks_p, 1), lambda b: (b, 0, 0),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_specs=pl.BlockSpec((1, nrows, 128), lambda b: (b, 0, 0),
-                                   memory_space=pltpu.VMEM),
-        )(dense, bases, live)
-
-    res["t_place_s"] = loop_time(place_body)
+    res["t_merge_place_s"] = loop_time(place_body)
 
     def full_body(acc):
         s_, a = jax.lax.optimization_barrier((syms, acc))
