@@ -241,6 +241,66 @@ import os as _os
 _PACK_MODE = _os.environ.get("RSPT_PACK_PALLAS", "")
 
 
+def _pack_tokens_pallas_v2(syms, extras, ebits, tvalid, codes,
+                           code_bits, desc_bits, n, nb, max_out,
+                           interpret):
+    """Token-level Pallas bit packing, single pass over the tokens.
+
+    Stage 1 (ops/pallas_kernels.token_group_windows_pallas): per
+    8192-token group — Huffman LUT lookup, GROUP-LOCAL bit prefix, and
+    2-row dense word windows per 128-token chunk, all in registers.
+    Stage 2 (super_place_pallas): 32-chunk super-windows merged via
+    one-hot MXU matmuls, bit-shifted by the group's global misalignment
+    (so stage 1 never needed the cross-group scan), and placed with one
+    RMW per super. The only XLA between them is an 8-element-per-block
+    doubling scan of the group bit totals plus (nb, nchunks) index
+    arithmetic — no full-size HBM intermediate exists anywhere.
+    """
+    from ..ops.pallas_kernels import (ACC_ROWS, D_CLAMP, SUP_CHUNKS,
+                                      super_place_pallas,
+                                      token_group_windows_pallas)
+
+    comb = (jax.lax.bitcast_convert_type(codes, jnp.int32)
+            & jnp.int32(0xFFFFFF)) | (code_bits.astype(jnp.int32) << 24)
+    w0, w1, cbase, clive, gtot = token_group_windows_pallas(
+        syms, extras, ebits, tvalid, comb, interpret=interpret)
+    nc = cbase.shape[1]
+    ng = gtot.shape[1]
+
+    # exclusive scan of the group bit totals — doubling on (nb, ng<=16)
+    gb = gtot
+    p = 1
+    while p < ng:
+        gb = gb + jnp.pad(gb, ((0, 0), (p, 0)))[:, :ng]
+        p *= 2
+    group_base = desc_bits[:, None] + gb - gtot       # (nb, ng) bits
+    total_bits = group_base[:, -1] + gtot[:, -1]
+
+    nwords = max_out // 4 + 1
+    nrows = -(-nwords // 128)
+    nrows = -(-(nrows + ACC_ROWS) // 8) * 8
+
+    nsup = nc // SUP_CHUNKS
+    sup_per_g = nsup // ng
+    superbase = cbase[:, ::SUP_CHUNKS]                # (nb, nsup) words
+    d = jnp.clip(cbase - jnp.repeat(superbase, SUP_CHUNKS, axis=1),
+                 0, D_CLAMP)
+    gb_s = jnp.repeat(group_base, sup_per_g, axis=1)  # (nb, nsup) bits
+    wbase = jnp.clip(jnp.right_shift(gb_s, 5) + superbase,
+                     0, (nrows - ACC_ROWS) * 128)
+    sbits = gb_s & 31
+    slive = jnp.any(clive.reshape(nb, nsup, SUP_CHUNKS) > 0, axis=2)
+
+    words3 = super_place_pallas(
+        w0, w1, d[:, :, None], d.reshape(nb, nsup, SUP_CHUNKS),
+        wbase[:, :, None], sbits[:, :, None],
+        slive[:, :, None].astype(jnp.int32), nrows, interpret=interpret)
+    words = words3.reshape(nb, nrows * 128)[:, :nwords]
+    packed = jax.lax.bitcast_convert_type(
+        words, jnp.uint8).reshape(nb, nwords * 4)[:, :max_out]
+    return packed, total_bits
+
+
 def _pack_tokens_pallas_from_toks(syms, extras, ebits, tvalid, codes,
                                   code_bits, desc_bits, n, nb, max_out,
                                   interpret):
@@ -355,7 +415,7 @@ def pack_blocks(syms, extras, ebits, tvalid, codes, code_bits, desc_bits,
     plat = platform or jax.default_backend()
     mode = _PACK_MODE or ("pallas" if plat == "tpu" else "xla")
     if mode in ("pallas", "interp"):
-        return _pack_tokens_pallas_from_toks(
+        return _pack_tokens_pallas_v2(
             syms, extras, ebits, tvalid, codes, code_bits, desc_bits,
             n, nb, n + 512, interpret=(mode == "interp"))
 

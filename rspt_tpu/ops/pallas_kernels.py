@@ -403,6 +403,323 @@ def token_values_pallas(syms, extras, ebits, tvalid, comb,
     return (flat(nbits), u32(flat(lo)), u32(flat(hi)), flat(excl), tot)
 
 
+CHUNK_TOK = 128   # tokens per pack chunk = one lane row of the token grid
+SUP_CHUNKS = 32   # chunks merged per super-window placement
+ACC_ROWS = 48     # super accumulator rows (real span ≤ 41, rest slack)
+# Real-data bounds: a token is ≤ 37 bits (Huffman depth ≤ 23 by the
+# Fibonacci bound on ≤64Ki counts, + ≤14 extra bits), so a chunk spans
+# ≤ ceil(128*37/32)+2 = 150 words (2 window rows) and a super's last
+# chunk starts ≤ 31*148 = 4588 words in (rc ≤ 37). Garbage offsets
+# (COPY-fallback blocks) are clamped to rc ≤ 39 so every roll/slice
+# below stays in bounds; their output is never read.
+D_CLAMP = 40 * 128 - 1
+
+
+def _token_windows_kernel(syms_ref, extras_ref, ebits_ref, tvalid_ref,
+                          lut_ref, w0_ref, w1_ref, cbase_ref, clive_ref,
+                          gtot_ref):
+    """Tokens → per-chunk dense bit windows for one 8192-token group,
+    entirely in registers (pack pass 2, stage 1 of 2).
+
+    Fuses the old token_values_pallas + XLA glue + chunk_windows_pallas
+    chain: Huffman LUT lookup, GROUP-LOCAL exclusive bit prefix,
+    word-aligned contribution split, and the prefix-sum/binary-search
+    window build — with no HBM round-trip for any intermediate. Bit
+    offsets are group-local (the description offset and the cross-group
+    scan are applied later: the whole group span is bit-rotated by
+    group_base&31 during placement), so this single pass replaces the
+    old two passes over the token arrays.
+
+    Grid (nb, ng); chunk = one (1,128) lane row; window = 2 rows of 128
+    words (chunk span ≤ 150 < 256). Outputs per chunk row: w0/w1 window
+    rows, base word, liveness; per group: total bits.
+    """
+    u32 = jnp.uint32
+    sym = syms_ref[0, 0]
+    extra = extras_ref[0, 0]
+    ebit = ebits_ref[0, 0]
+    tval = tvalid_ref[0, 0]
+    idx = sym & 127
+    g0 = jnp.take_along_axis(lut_ref[0, 0], idx, axis=1)
+    g1 = jnp.take_along_axis(lut_ref[0, 1], idx, axis=1)
+    g2 = jnp.take_along_axis(lut_ref[0, 2], idx, axis=1)
+    e = jnp.where(sym < 128, g0, jnp.where(sym < 256, g1, g2))
+    code = pltpu.bitcast(e, u32) & u32(0xFFFFFF)
+    cb = jnp.right_shift(e, 24)              # 0..24
+    live = tval != 0
+    nbits = jnp.where(live, cb + ebit, 0)
+    exu = pltpu.bitcast(extra, u32)
+    cbu = pltpu.bitcast(cb, u32)
+    lo = code | (exu << cbu)
+    hi = exu >> pltpu.bitcast(jnp.minimum(32 - cb, 31), u32)
+    lo = jnp.where(live, lo, u32(0))
+    hi = jnp.where(live, hi, u32(0))
+
+    # group-local exclusive bit prefix in (row, lane) order
+    R = sym.shape[0]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (R, 128), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (R, 128), 0)
+    v = nbits
+    p = 1
+    while p < 128:
+        v = v + jnp.where(lane >= p, pltpu.roll(v, p, 1), 0)
+        p *= 2
+    tot = jnp.broadcast_to(v[:, 127:128], (R, 128))
+    c = jnp.where(row >= 1, pltpu.roll(tot, 1, 0), 0)
+    q = 1
+    while q < R:
+        c = c + jnp.where(row >= q + 1, pltpu.roll(c, q, 0), 0)
+        q *= 2
+    excl = v + c - nbits
+    gtot_ref[...] = (excl + nbits)[R - 1:R, 127:128]
+
+    # word-aligned contributions at the group-local alignment
+    sh = pltpu.bitcast(excl & 31, u32)
+    inv = u32(32) - sh
+    c0 = pltpu.bitcast(lo << sh, jnp.int32)
+    c1 = pltpu.bitcast(jnp.where(sh > 0, lo >> inv, u32(0))
+                       | (hi << sh), jnp.int32)
+    c2 = pltpu.bitcast(jnp.where(sh > 0, hi >> inv, u32(0)), jnp.int32)
+    word = jnp.right_shift(excl, 5)
+    base = word[:, 0:1]
+    cbase_ref[0, 0] = base
+    clive_ref[0, 0] = jnp.any(nbits > 0, axis=1, keepdims=True
+                              ).astype(jnp.int32)
+    loc = jnp.clip(word - base, 0, 254)
+
+    # per-row INCLUSIVE prefixes of the contribution planes (all 128
+    # lanes hold live tokens, so counts reach 128 and the gather below
+    # is at cnt-1 — an exclusive prefix could not represent "all")
+    def iprefix(cp):
+        vv = cp
+        pp = 1
+        while pp < 128:
+            vv = vv + jnp.where(lane >= pp, pltpu.roll(vv, pp, 1), 0)
+            pp *= 2
+        return vv
+
+    e0 = iprefix(c0)
+    e1 = iprefix(c1)
+    e2 = iprefix(c2)
+
+    # cnt[w] = #{j: loc[j] <= w} ∈ [0,128]: 7-step binary search (loc
+    # sorted within each row) reaches 127; the all-lanes case is the
+    # explicit loc[127] <= w test
+    l127 = loc[:, 127:128]
+
+    def search(target):
+        cnt = jnp.zeros((R, 128), jnp.int32)
+        for b in (64, 32, 16, 8, 4, 2, 1):
+            t = cnt + b
+            vb = jnp.take_along_axis(loc, t - 1, axis=1)
+            cnt = jnp.where(vb <= target, t, cnt)
+        return jnp.where(l127 <= target, 128, cnt)
+
+    def gsum(e, cnt):          # Σ_{loc<=w} = incl[cnt-1], 0 at cnt=0
+        g = jnp.take_along_axis(e, jnp.clip(cnt - 1, 0, 127), axis=1)
+        return jnp.where(cnt == 0, 0, g)
+
+    cnt_lo = search(lane)
+    cnt_hi = search(lane + 128)
+    g0l = gsum(e0, cnt_lo)
+    g1l = gsum(e1, cnt_lo)
+    g2l = gsum(e2, cnt_lo)
+    g0h = gsum(e0, cnt_hi)
+    g1h = gsum(e1, cnt_hi)
+    g2h = gsum(e2, cnt_hi)
+
+    def back_l(g, k):          # g[w-k] within the low row, zero below
+        return jnp.where(lane < k, 0, pltpu.roll(g, k, 1))
+
+    def back_h(gh, gl, k):     # g[w-k] for the high row, spilling into
+        return jnp.where(lane < k, pltpu.roll(gl, k, 1),   # the low row
+                         pltpu.roll(gh, k, 1))
+
+    w0_ref[0, 0] = (g0l - back_l(g0l, 1)
+                    + back_l(g1l, 1) - back_l(g1l, 2)
+                    + back_l(g2l, 2) - back_l(g2l, 3))
+    w1_ref[0, 0] = (g0h - back_h(g0h, g0l, 1)
+                    + back_h(g1h, g1l, 1) - back_h(g1h, g1l, 2)
+                    + back_h(g2h, g2l, 2) - back_h(g2h, g2l, 3))
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def token_group_windows_pallas(syms, extras, ebits, tvalid, comb,
+                               interpret: bool = False):
+    """Tokens → 2-row chunk windows + bases + group bit totals.
+
+    syms/extras/ebits/tvalid: (nb, ntok); comb: (nb, nsym<=384) packed
+    (code | cbits<<24) LUT. Returns w0/w1 (nb, nchunks, 128) int32
+    window rows, cbase/clive (nb, nchunks) int32 (group-local base
+    word / liveness per chunk), gtot (nb, ngroups) int32 bit totals;
+    nchunks = ngroups * R_TV.
+    """
+    nb, ntok = syms.shape
+    ng = -(-ntok // GROUP_TOK)
+    ntok_p = ng * GROUP_TOK
+
+    def pad4(a):
+        a = jnp.pad(a.astype(jnp.int32), ((0, 0), (0, ntok_p - ntok)))
+        return a.reshape(nb, ng, R_TV, 128)
+
+    lut = jnp.zeros((nb, 3 * 128), jnp.int32)
+    lut = lut.at[:, :comb.shape[1]].set(comb.astype(jnp.int32))
+    lut4 = jnp.broadcast_to(lut.reshape(nb, 3, 1, 128),
+                            (nb, 3, R_TV, 128))
+
+    spec = pl.BlockSpec((1, 1, R_TV, 128), lambda b, g: (b, g, 0, 0),
+                        memory_space=pltpu.VMEM)
+    cspec = pl.BlockSpec((1, 1, R_TV, 1), lambda b, g: (b, g, 0, 0),
+                         memory_space=pltpu.VMEM)
+    w0, w1, cbase, clive, gtot = pl.pallas_call(
+        _token_windows_kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((nb, ng, R_TV, 128), jnp.int32),
+            jax.ShapeDtypeStruct((nb, ng, R_TV, 128), jnp.int32),
+            jax.ShapeDtypeStruct((nb, ng, R_TV, 1), jnp.int32),
+            jax.ShapeDtypeStruct((nb, ng, R_TV, 1), jnp.int32),
+            jax.ShapeDtypeStruct((nb, ng), jnp.int32),
+        ),
+        grid=(nb, ng),
+        in_specs=[spec, spec, spec, spec,
+                  pl.BlockSpec((1, 3, R_TV, 128),
+                               lambda b, g: (b, 0, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=(spec, spec, cspec, cspec,
+                   pl.BlockSpec((1, 1), lambda b, g: (b, g),
+                                memory_space=pltpu.VMEM)),
+        interpret=interpret,
+    )(pad4(syms), pad4(extras), pad4(ebits), pad4(tvalid), lut4)
+    nc = ng * R_TV
+    return (w0.reshape(nb, nc, 128), w1.reshape(nb, nc, 128),
+            cbase.reshape(nb, nc), clive.reshape(nb, nc), gtot)
+
+
+def _super_place_kernel(w0_ref, w1_ref, drow_ref, dlane_ref, wbase_ref,
+                        sbits_ref, slive_ref, out_ref):
+    """Merge SUP_CHUNKS chunk windows per super in registers and place
+    into the block's output words (pack pass 2, stage 2 of 2).
+
+    Per super: per-chunk lane rotation by the within-super word delta
+    (7-step barrel roll), row expansion of the three rotated planes via
+    one-hot MXU matmuls (words split into exact 16-bit f32 halves; each
+    bit has one writer, so sums of halves stay < 2^16 and the f32
+    accumulation is exact), then the whole span is bit-shifted by its
+    group's global misalignment (group_base & 31) — which is what lets
+    stage 1 build windows before the cross-group bit scan is known —
+    lane-rotated to the global word base, and added into the output
+    with a single read-modify-write. One dynamic iteration per super.
+    """
+    nsup = wbase_ref.shape[1]
+    u32 = jnp.uint32
+    out_ref[...] = jnp.zeros(out_ref.shape, jnp.int32)
+    lane32 = jax.lax.broadcasted_iota(jnp.int32, (SUP_CHUNKS, 128), 1)
+    laneA = jax.lax.broadcasted_iota(jnp.int32, (ACC_ROWS, 128), 1)
+    rowiota = jax.lax.broadcasted_iota(jnp.int32, (ACC_ROWS, SUP_CHUNKS),
+                                       0)
+
+    def body(s, _):
+        lv = slive_ref[0, pl.ds(s, 1), 0:1][0, 0]
+
+        @pl.when(lv != 0)
+        def _():
+            dcol = drow_ref[0, pl.ds(s * SUP_CHUNKS, SUP_CHUNKS), 0:1]
+            t = dcol & 127                       # (SUP, 1)
+            r0 = w0_ref[0, pl.ds(s * SUP_CHUNKS, SUP_CHUNKS), :]
+            r1 = w1_ref[0, pl.ds(s * SUP_CHUNKS, SUP_CHUNKS), :]
+            for k in (1, 2, 4, 8, 16, 32, 64):
+                m = (t & k) != 0
+                r0 = jnp.where(m, pltpu.roll(r0, k, 1), r0)
+                r1 = jnp.where(m, pltpu.roll(r1, k, 1), r1)
+            ge = lane32 >= t
+            s0 = jnp.where(ge, r0, 0)
+            s1 = jnp.where(ge, r1, r0)
+            s2 = jnp.where(ge, 0, r1)
+
+            dl = dlane_ref[0, pl.ds(s, 1), :]    # (1, SUP)
+            rc = jnp.right_shift(dl, 7)
+            x0 = (rowiota == rc).astype(jnp.float32)
+
+            def halves(sp):
+                up = pltpu.bitcast(sp, u32)
+                lo16 = pltpu.bitcast(up & u32(0xFFFF), jnp.int32)
+                hi16 = pltpu.bitcast(up >> u32(16), jnp.int32)
+                return lo16.astype(jnp.float32), hi16.astype(jnp.float32)
+
+            s0l, s0h = halves(s0)
+            s1l, s1h = halves(s1)
+            s2l, s2h = halves(s2)
+            dot = functools.partial(jnp.dot,
+                                    preferred_element_type=jnp.float32)
+            acc_l = (dot(x0, s0l) + pltpu.roll(dot(x0, s1l), 1, 0)
+                     + pltpu.roll(dot(x0, s2l), 2, 0))
+            acc_h = (dot(x0, s0h) + pltpu.roll(dot(x0, s1h), 1, 0)
+                     + pltpu.roll(dot(x0, s2h), 2, 0))
+            acc = acc_l.astype(jnp.int32) | (acc_h.astype(jnp.int32)
+                                             << 16)
+
+            # bit-shift the whole span by the group misalignment
+            sb = sbits_ref[0, pl.ds(s, 1), 0:1][0, 0]
+            au = pltpu.bitcast(acc, u32)
+            prev = pltpu.roll(acc, 1, 1)
+            prev = jnp.where(laneA == 0, pltpu.roll(prev, 1, 0), prev)
+            pu = pltpu.bitcast(prev, u32)
+            sbu = sb.astype(u32)           # scalar, 0..31
+            inv = ((32 - sb) & 31).astype(u32)
+            acc2 = pltpu.bitcast(
+                jnp.where(sb > 0, (au << sbu) | (pu >> inv), au),
+                jnp.int32)
+
+            b = wbase_ref[0, pl.ds(s, 1), 0:1][0, 0]
+            row0 = jnp.right_shift(b, 7)
+            r = b & 127
+            rot = pltpu.roll(acc2, r, 1)
+            los = jnp.where(laneA >= r, rot, 0)
+            his = jnp.where(laneA < r, rot, 0)
+            out_ref[0, pl.ds(row0, ACC_ROWS), :] += (
+                los + pltpu.roll(his, 1, 0))
+
+        return 0
+
+    jax.lax.fori_loop(0, nsup, body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("nrows", "interpret"))
+def super_place_pallas(w0, w1, drow, dlane, wbase, sbits, slive,
+                       nrows: int, interpret: bool = False):
+    """Place chunk windows into per-block word arrays.
+
+    w0/w1: (nb, nchunks, 128) window rows; drow: (nb, nchunks, 1)
+    within-super word deltas (clamped to D_CLAMP); dlane:
+    (nb, nsup, SUP_CHUNKS) same deltas lane-major; wbase: (nb, nsup, 1)
+    global word base per super, pre-clamped to (nrows-ACC_ROWS)*128;
+    sbits: (nb, nsup, 1) group bit misalignment (0..31); slive:
+    (nb, nsup, 1) int32. Returns (nb, nrows, 128) int32 words.
+    """
+    nb, nc, _ = w0.shape
+    nsup = nc // SUP_CHUNKS
+    wspec = pl.BlockSpec((1, nc, 128), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM)
+    sspec = pl.BlockSpec((1, nsup, 1), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _super_place_kernel,
+        out_shape=jax.ShapeDtypeStruct((nb, nrows, 128), jnp.int32),
+        grid=(nb,),
+        in_specs=[
+            wspec, wspec,
+            pl.BlockSpec((1, nc, 1), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nsup, SUP_CHUNKS), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            sspec, sspec, sspec,
+        ],
+        out_specs=pl.BlockSpec((1, nrows, 128), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(w0, w1, drow, dlane, wbase, sbits, slive)
+
+
 def _xdelta_fused_kernel(x_ref, prev_ref, o_ref):
     """delta → offset(−128) → xor on a (R, T) tile block, with the
     carried previous element per tile (the cross-tile scan state).
