@@ -388,9 +388,13 @@ def _pack_tokens_pallas_from_toks(syms, extras, ebits, tvalid, codes,
     return packed, total_bits
 
 
-@functools.partial(jax.jit, static_argnames=("platform",))
-def pack_blocks(syms, extras, ebits, tvalid, codes, code_bits, desc_bits,
-                platform=None):
+def _resolve_pack_mode(platform=None):
+    plat = platform or jax.default_backend()
+    return _PACK_MODE or ("pallas" if plat == "tpu" else "xla"), plat
+
+
+def _pack_blocks_impl(syms, extras, ebits, tvalid, codes, code_bits,
+                      desc_bits, platform=None, mode=None):
     """Pack each block's token bitstream starting at bit offset
     ``desc_bits`` (the host-packed tree description is OR-merged in by
     the caller).
@@ -412,8 +416,14 @@ def pack_blocks(syms, extras, ebits, tvalid, codes, code_bits, desc_bits,
 
     # `platform` pins the target (e.g. a CPU mesh under shard_map while
     # the default backend is the TPU plugin); None = default backend.
-    plat = platform or jax.default_backend()
-    mode = _PACK_MODE or ("pallas" if plat == "tpu" else "xla")
+    # `mode` must already be resolved when called through the jitted
+    # `pack_blocks` (it is part of the jit cache key — resolving from
+    # the _PACK_MODE global at trace time silently reuses whatever
+    # executable was traced first for these shapes).
+    if mode is None:
+        mode, plat = _resolve_pack_mode(platform)
+    else:
+        plat = platform or jax.default_backend()
     if mode in ("pallas", "interp"):
         return _pack_tokens_pallas_v2(
             syms, extras, ebits, tvalid, codes, code_bits, desc_bits,
@@ -541,6 +551,30 @@ def pack_blocks(syms, extras, ebits, tvalid, codes, code_bits, desc_bits,
     packed = jax.lax.bitcast_convert_type(
         words, jnp.uint8).reshape(nb, nwords * 4)[:, :max_out]
     return packed, total_bits
+
+
+_pack_blocks_jit = jax.jit(_pack_blocks_impl,
+                           static_argnames=("platform", "mode"))
+
+
+def pack_blocks(syms, extras, ebits, tvalid, codes, code_bits, desc_bits,
+                platform=None, mode=None):
+    """Jitted pack dispatch. The backend mode is resolved HERE, outside
+    jit, and passed as a static argument — so "pallas"/"xla"/"interp"
+    each get their own executable. (Resolving inside the traced body
+    made the mode invisible to the jit cache: whichever mode compiled
+    first for a shape silently served every later mode, which let a
+    broken kernel masquerade as byte-exact on chip.)"""
+    if mode is None:
+        mode, platform = _resolve_pack_mode(platform)
+    return _pack_blocks_jit(syms, extras, ebits, tvalid, codes,
+                            code_bits, desc_bits, platform=platform,
+                            mode=mode)
+
+
+# in-jit callers (shard_map bodies, fused profiling/bench loops) use
+# pack_blocks.__wrapped__; keep that surface on the plain impl
+pack_blocks.__wrapped__ = _pack_blocks_impl
 
 # ---------------------------------------------------------------------------
 # Orchestrator — bit-exact hzr_encode over batched blocks

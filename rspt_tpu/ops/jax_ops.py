@@ -309,7 +309,10 @@ def dct_forward(src_i32, cos_table, cs, quality=128.0):
     n = src_i32.shape[-1]
     ratio1 = np.float64(np.sqrt(2.0 / n))
     x = src_i32.astype(jnp.float32)
-    s = jnp.dot(x, cos_table, preferred_element_type=jnp.float32)
+    # HIGHEST: the default TPU MXU f32 dot rounds operands to bf16,
+    # which is catastrophic for full-magnitude sample values
+    s = jnp.dot(x, cos_table, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
     scale = cs.astype(jnp.float32) * np.float32(ratio1 / quality)
     return jnp.trunc(s * scale).astype(jnp.int32)
 
@@ -320,7 +323,8 @@ def dct_inverse(dct_i32, cos_table, cs, quality=128.0):
     n = dct_i32.shape[-1]
     ratio1 = np.float64(np.sqrt(2.0 / n))
     w = cs.astype(jnp.float32) * dct_i32.astype(jnp.float32)
-    s = jnp.dot(w, cos_table.T, preferred_element_type=jnp.float32)
+    s = jnp.dot(w, cos_table.T, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
     return jnp.trunc(s * np.float32(ratio1 * quality)).astype(jnp.int32)
 
 

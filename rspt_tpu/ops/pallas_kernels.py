@@ -471,7 +471,10 @@ def _token_windows_kernel(syms_ref, extras_ref, ebits_ref, tvalid_ref,
         c = c + jnp.where(row >= q + 1, pltpu.roll(c, q, 0), 0)
         q *= 2
     excl = v + c - nbits
-    gtot_ref[...] = (excl + nbits)[R - 1:R, 127:128]
+    # group bit total, broadcast over the (R, 1) column block (a (1, 1)
+    # block shape is rejected by the Mosaic tiling check)
+    gtot_ref[0, 0] = jnp.broadcast_to((excl + nbits)[R - 1:R, 127:128],
+                                      (R, 1))
 
     # word-aligned contributions at the group-local alignment
     sh = pltpu.bitcast(excl & 31, u32)
@@ -578,21 +581,20 @@ def token_group_windows_pallas(syms, extras, ebits, tvalid, comb,
             jax.ShapeDtypeStruct((nb, ng, R_TV, 128), jnp.int32),
             jax.ShapeDtypeStruct((nb, ng, R_TV, 1), jnp.int32),
             jax.ShapeDtypeStruct((nb, ng, R_TV, 1), jnp.int32),
-            jax.ShapeDtypeStruct((nb, ng), jnp.int32),
+            jax.ShapeDtypeStruct((nb, ng, R_TV, 1), jnp.int32),
         ),
         grid=(nb, ng),
         in_specs=[spec, spec, spec, spec,
                   pl.BlockSpec((1, 3, R_TV, 128),
                                lambda b, g: (b, 0, 0, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=(spec, spec, cspec, cspec,
-                   pl.BlockSpec((1, 1), lambda b, g: (b, g),
-                                memory_space=pltpu.VMEM)),
+        out_specs=(spec, spec, cspec, cspec, cspec),
         interpret=interpret,
     )(pad4(syms), pad4(extras), pad4(ebits), pad4(tvalid), lut4)
     nc = ng * R_TV
     return (w0.reshape(nb, nc, 128), w1.reshape(nb, nc, 128),
-            cbase.reshape(nb, nc), clive.reshape(nb, nc), gtot)
+            cbase.reshape(nb, nc), clive.reshape(nb, nc),
+            gtot[:, :, 0, 0])
 
 
 def _super_place_kernel(w0_ref, w1_ref, drow_ref, dlane_ref, wbase_ref,
@@ -649,8 +651,14 @@ def _super_place_kernel(w0_ref, w1_ref, drow_ref, dlane_ref, wbase_ref,
             s0l, s0h = halves(s0)
             s1l, s1h = halves(s1)
             s2l, s2h = halves(s2)
+            # HIGHEST precision is required for exactness: the default
+            # MXU f32 dot rounds operands to bf16 (8-bit mantissa), and
+            # the 16-bit halves here need all 16 bits. Interpret mode
+            # computes full f32 either way — this divergence only shows
+            # up on real hardware.
             dot = functools.partial(jnp.dot,
-                                    preferred_element_type=jnp.float32)
+                                    preferred_element_type=jnp.float32,
+                                    precision=jax.lax.Precision.HIGHEST)
             acc_l = (dot(x0, s0l) + pltpu.roll(dot(x0, s1l), 1, 0)
                      + pltpu.roll(dot(x0, s2l), 2, 0))
             acc_h = (dot(x0, s0h) + pltpu.roll(dot(x0, s1h), 1, 0)
