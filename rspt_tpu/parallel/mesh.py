@@ -87,12 +87,16 @@ class ShardedHzrDecoder:
                 _, _, buf = jd._sweep_impl(
                     words, l1, l2, l2_base, block_of_lane, entry,
                     seg_end, pbits, out_bases, out_limit, buf, True)
-                return buf[None]
+                # shards write disjoint output positions, so sum == OR:
+                # reduce on-device over ICI and return ONE replicated
+                # buffer — the host pulls out_size bytes instead of
+                # ndev full-size buffers it then has to OR serially
+                return jax.lax.psum(buf, AXIS)
 
             return jax.jit(jax.shard_map(
                 emit, mesh=mesh,
                 in_specs=(rep, rep, rep, rep) + (P(AXIS),) * 6,
-                out_specs=P(AXIS, None), check_vma=False))
+                out_specs=rep, check_vma=False))
 
         self._built = {
             "fixpoint": jax.jit(jax.shard_map(
@@ -189,7 +193,7 @@ class ShardedHzrDecoder:
             jnp.asarray(l2_base), jnp.asarray(lane_block), entry,
             jnp.asarray(lane_seg_end), jnp.asarray(lane_pbits),
             jnp.asarray(out_bases), jnp.asarray(out_limit))
-        emitted = np.bitwise_or.reduce(np.asarray(bufs), axis=0)
+        emitted = np.asarray(bufs)
         for payload, pbits, dbits, ooff, olen, tree in huff:
             out[ooff:ooff + olen] = emitted[ooff:ooff + olen]
         return [out[a:a + n].tobytes() for a, n in spans]
