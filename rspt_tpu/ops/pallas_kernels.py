@@ -642,29 +642,29 @@ def _super_place_kernel(w0_ref, w1_ref, drow_ref, dlane_ref, wbase_ref,
             rc = jnp.right_shift(dl, 7)
             x0 = (rowiota == rc).astype(jnp.float32)
 
-            def halves(sp):
+            # Words are split into exact 8-bit quarters: the default
+            # MXU f32 dot rounds operands to bf16 (8-bit mantissa), so
+            # 16-bit halves are NOT exact on real hardware (interpret
+            # mode computes full f32 and hides it). One-hot × [0,255]
+            # products and their disjoint-bit column sums (≤ 255) stay
+            # exact in bf16×bf16→f32, and a single-pass dot beats the
+            # 6-pass Precision.HIGHEST alternative.
+            def quarters(sp):
                 up = pltpu.bitcast(sp, u32)
-                lo16 = pltpu.bitcast(up & u32(0xFFFF), jnp.int32)
-                hi16 = pltpu.bitcast(up >> u32(16), jnp.int32)
-                return lo16.astype(jnp.float32), hi16.astype(jnp.float32)
+                return [pltpu.bitcast((up >> u32(8 * q)) & u32(0xFF),
+                                      jnp.int32).astype(jnp.float32)
+                        for q in range(4)]
 
-            s0l, s0h = halves(s0)
-            s1l, s1h = halves(s1)
-            s2l, s2h = halves(s2)
-            # HIGHEST precision is required for exactness: the default
-            # MXU f32 dot rounds operands to bf16 (8-bit mantissa), and
-            # the 16-bit halves here need all 16 bits. Interpret mode
-            # computes full f32 either way — this divergence only shows
-            # up on real hardware.
+            q0 = quarters(s0)
+            q1 = quarters(s1)
+            q2 = quarters(s2)
             dot = functools.partial(jnp.dot,
-                                    preferred_element_type=jnp.float32,
-                                    precision=jax.lax.Precision.HIGHEST)
-            acc_l = (dot(x0, s0l) + pltpu.roll(dot(x0, s1l), 1, 0)
-                     + pltpu.roll(dot(x0, s2l), 2, 0))
-            acc_h = (dot(x0, s0h) + pltpu.roll(dot(x0, s1h), 1, 0)
-                     + pltpu.roll(dot(x0, s2h), 2, 0))
-            acc = acc_l.astype(jnp.int32) | (acc_h.astype(jnp.int32)
-                                             << 16)
+                                    preferred_element_type=jnp.float32)
+            acc = jnp.zeros((ACC_ROWS, 128), jnp.int32)
+            for q in range(4):
+                acc_q = (dot(x0, q0[q]) + pltpu.roll(dot(x0, q1[q]), 1, 0)
+                         + pltpu.roll(dot(x0, q2[q]), 2, 0))
+                acc = acc | (acc_q.astype(jnp.int32) << (8 * q))
 
             # bit-shift the whole span by the group misalignment
             sb = sbits_ref[0, pl.ds(s, 1), 0:1][0, 0]

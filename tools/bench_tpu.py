@@ -138,8 +138,9 @@ def main():
         pos += clen
     plane_bytes = sum(int.from_bytes(st[:4], "little") for st in streams)
     outs = pd.decode_many(streams)
-    assert all(len(o) == int.from_bytes(st[:4], "little")
-               for o, st in zip(outs, streams))
+    from rspt_tpu.hzr import pyref
+    assert all(o == pyref.decode(st) for o, st in zip(outs, streams)), \
+        "device decoder output differs from the spec decoder"
     out["dec_e2e_s"] = wall_best(lambda: pd.decode_many(streams))
 
     holder = {}
