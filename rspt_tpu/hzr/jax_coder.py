@@ -243,7 +243,7 @@ _PACK_MODE = _os.environ.get("RSPT_PACK_PALLAS", "")
 
 def _pack_tokens_pallas_v2(syms, extras, ebits, tvalid, codes,
                            code_bits, desc_bits, n, nb, max_out,
-                           interpret):
+                           interpret, tokw=None):
     """Token-level Pallas bit packing, single pass over the tokens.
 
     Stage 1 (ops/pallas_kernels.token_group_windows_pallas): per
@@ -258,12 +258,17 @@ def _pack_tokens_pallas_v2(syms, extras, ebits, tvalid, codes,
     """
     from ..ops.pallas_kernels import (ACC_ROWS, D_CLAMP, SUP_CHUNKS,
                                       super_place_pallas,
-                                      token_group_windows_pallas)
+                                      token_group_windows_pallas,
+                                      token_group_windows_tokw_pallas)
 
     comb = (jax.lax.bitcast_convert_type(codes, jnp.int32)
             & jnp.int32(0xFFFFFF)) | (code_bits.astype(jnp.int32) << 24)
-    w0, w1, cbase, clive, gtot = token_group_windows_pallas(
-        syms, extras, ebits, tvalid, comb, interpret=interpret)
+    if tokw is not None:
+        w0, w1, cbase, clive, gtot = token_group_windows_tokw_pallas(
+            tokw, comb, interpret=interpret)
+    else:
+        w0, w1, cbase, clive, gtot = token_group_windows_pallas(
+            syms, extras, ebits, tvalid, comb, interpret=interpret)
     nc = cbase.shape[1]
     ng = gtot.shape[1]
 
@@ -575,6 +580,78 @@ def pack_blocks(syms, extras, ebits, tvalid, codes, code_bits, desc_bits,
 # in-jit callers (shard_map bodies, fused profiling/bench loops) use
 # pack_blocks.__wrapped__; keep that surface on the plain impl
 pack_blocks.__wrapped__ = _pack_blocks_impl
+
+
+def _unpack_tokw(tokw):
+    """Packed token words → (syms, extras, ebits, tvalid) fields."""
+    syms = tokw & 511
+    ebits = jnp.right_shift(tokw, 9) & 15
+    extras = jnp.right_shift(tokw, 13) & 16383
+    tvalid = (jnp.right_shift(tokw, 27) & 1) != 0
+    return syms, extras, ebits, tvalid
+
+
+def _pack_blocks_tokw_impl(tokw, codes, code_bits, desc_bits,
+                           platform=None, mode=None):
+    """pack_blocks over the fused tokenizer's packed token words.
+
+    Pallas modes read the words directly (one HBM stream); the XLA
+    fallback unpacks the four field arrays first."""
+    if mode is None:
+        mode, platform = _resolve_pack_mode(platform)
+    nb, n = tokw.shape
+    if mode in ("pallas", "interp"):
+        return _pack_tokens_pallas_v2(
+            None, None, None, None, codes, code_bits, desc_bits,
+            n, nb, n + 512, interpret=(mode == "interp"), tokw=tokw)
+    syms, extras, ebits, tvalid = _unpack_tokw(tokw)
+    return _pack_blocks_impl(syms, extras, ebits, tvalid, codes,
+                             code_bits, desc_bits, platform=platform,
+                             mode=mode)
+
+
+_pack_blocks_tokw_jit = jax.jit(_pack_blocks_tokw_impl,
+                                static_argnames=("platform", "mode"))
+
+
+def pack_blocks_tokw(tokw, codes, code_bits, desc_bits, platform=None,
+                     mode=None):
+    if mode is None:
+        mode, platform = _resolve_pack_mode(platform)
+    return _pack_blocks_tokw_jit(tokw, codes, code_bits, desc_bits,
+                                 platform=platform, mode=mode)
+
+
+pack_blocks_tokw.__wrapped__ = _pack_blocks_tokw_impl
+
+
+def hist_from_tokw(tokw):
+    """(nb, ntok) packed token words → (nb, 261) histograms.
+
+    hist[0] counts single-zero tokens (they carry sym 0 — matching the
+    tokenizer's run_sym==0 quirk); literals are the valid sym<256
+    tokens, RLE symbols 256..260 are counted directly. Same MXU nibble
+    decomposition as tokenize_blocks (counts ≤ 64Ki exact in f32)."""
+    nb = tokw.shape[0]
+    sym = tokw & 511
+    valid = (jnp.right_shift(tokw, 27) & 1) != 0
+    if jax.default_backend() == "tpu":
+        lit_syms = jnp.where(valid & (sym < 256), sym, jnp.int32(-1))
+        io16 = jnp.arange(16, dtype=jnp.int32)
+        oh = (lit_syms[:, :, None] >> 4 == io16).astype(jnp.float32)
+        ol = ((lit_syms[:, :, None] & 15) == io16).astype(jnp.float32)
+        hist16 = jnp.einsum("bsh,bsl->bhl", oh, ol,
+                            preferred_element_type=jnp.float32)
+        hist_lit = hist16.reshape(nb, 256).astype(jnp.int32)
+    else:
+        lit_syms = jnp.where(valid & (sym < 256), sym, jnp.int32(256))
+        hist_lit = jax.vmap(
+            lambda s: jnp.zeros(257, jnp.int32).at[s].add(1))(
+                lit_syms)[:, :256]
+    run_hist = [jnp.sum(valid & (sym == s), axis=1, dtype=jnp.int32)
+                for s in (256, 257, 258, 259, 260)]
+    return jnp.concatenate([hist_lit, jnp.stack(run_hist, axis=1)],
+                           axis=1)
 
 # ---------------------------------------------------------------------------
 # Orchestrator — bit-exact hzr_encode over batched blocks

@@ -434,11 +434,26 @@ def _token_windows_kernel(syms_ref, extras_ref, ebits_ref, tvalid_ref,
     words (chunk span ≤ 150 < 256). Outputs per chunk row: w0/w1 window
     rows, base word, liveness; per group: total bits.
     """
+    _windows_core(syms_ref[0, 0], extras_ref[0, 0], ebits_ref[0, 0],
+                  tvalid_ref[0, 0], lut_ref, w0_ref, w1_ref, cbase_ref,
+                  clive_ref, gtot_ref)
+
+
+def _tokw_windows_kernel(tokw_ref, lut_ref, w0_ref, w1_ref, cbase_ref,
+                         clive_ref, gtot_ref):
+    """Same as _token_windows_kernel, reading the fused tokenizer's
+    packed token words (sym|ebits<<9|extra<<13|valid<<27) — one HBM
+    input stream instead of four."""
+    w = tokw_ref[0, 0]
+    _windows_core(w & 511, jnp.right_shift(w, 13) & 16383,
+                  jnp.right_shift(w, 9) & 15,
+                  jnp.right_shift(w, 27) & 1, lut_ref, w0_ref, w1_ref,
+                  cbase_ref, clive_ref, gtot_ref)
+
+
+def _windows_core(sym, extra, ebit, tval, lut_ref, w0_ref, w1_ref,
+                  cbase_ref, clive_ref, gtot_ref):
     u32 = jnp.uint32
-    sym = syms_ref[0, 0]
-    extra = extras_ref[0, 0]
-    ebit = ebits_ref[0, 0]
-    tval = tvalid_ref[0, 0]
     idx = sym & 127
     g0 = jnp.take_along_axis(lut_ref[0, 0], idx, axis=1)
     g1 = jnp.take_along_axis(lut_ref[0, 1], idx, axis=1)
@@ -591,6 +606,48 @@ def token_group_windows_pallas(syms, extras, ebits, tvalid, comb,
         out_specs=(spec, spec, cspec, cspec, cspec),
         interpret=interpret,
     )(pad4(syms), pad4(extras), pad4(ebits), pad4(tvalid), lut4)
+    nc = ng * R_TV
+    return (w0.reshape(nb, nc, 128), w1.reshape(nb, nc, 128),
+            cbase.reshape(nb, nc), clive.reshape(nb, nc),
+            gtot[:, :, 0, 0])
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def token_group_windows_tokw_pallas(tokw, comb, interpret: bool = False):
+    """token_group_windows_pallas over packed token words (one input
+    stream — 4x less HBM read than the four-array form)."""
+    nb, ntok = tokw.shape
+    ng = -(-ntok // GROUP_TOK)
+    ntok_p = ng * GROUP_TOK
+    t4 = jnp.pad(tokw.astype(jnp.int32),
+                 ((0, 0), (0, ntok_p - ntok))).reshape(nb, ng, R_TV, 128)
+
+    lut = jnp.zeros((nb, 3 * 128), jnp.int32)
+    lut = lut.at[:, :comb.shape[1]].set(comb.astype(jnp.int32))
+    lut4 = jnp.broadcast_to(lut.reshape(nb, 3, 1, 128),
+                            (nb, 3, R_TV, 128))
+
+    spec = pl.BlockSpec((1, 1, R_TV, 128), lambda b, g: (b, g, 0, 0),
+                        memory_space=pltpu.VMEM)
+    cspec = pl.BlockSpec((1, 1, R_TV, 1), lambda b, g: (b, g, 0, 0),
+                         memory_space=pltpu.VMEM)
+    w0, w1, cbase, clive, gtot = pl.pallas_call(
+        _tokw_windows_kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((nb, ng, R_TV, 128), jnp.int32),
+            jax.ShapeDtypeStruct((nb, ng, R_TV, 128), jnp.int32),
+            jax.ShapeDtypeStruct((nb, ng, R_TV, 1), jnp.int32),
+            jax.ShapeDtypeStruct((nb, ng, R_TV, 1), jnp.int32),
+            jax.ShapeDtypeStruct((nb, ng, R_TV, 1), jnp.int32),
+        ),
+        grid=(nb, ng),
+        in_specs=[spec,
+                  pl.BlockSpec((1, 3, R_TV, 128),
+                               lambda b, g: (b, 0, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=(spec, spec, cspec, cspec, cspec),
+        interpret=interpret,
+    )(t4, lut4)
     nc = ng * R_TV
     return (w0.reshape(nb, nc, 128), w1.reshape(nb, nc, 128),
             cbase.reshape(nb, nc), clive.reshape(nb, nc),
@@ -788,3 +845,172 @@ def xdelta_preprocess_pallas(flat_i32, interpret: bool = False):
         interpret=interpret,
     )(padded, carries)
     return out.reshape(-1)[:n]
+
+# ---------------------------------------------------------------------------
+# Fused pass-1 tokenizer: plane extract + RLE tokenize in VMEM
+# ---------------------------------------------------------------------------
+#
+# The XLA pass-1 pipeline (plane_split → blockify → tokenize_blocks,
+# hzr_encode.c:133-173 run semantics) materializes the byte planes,
+# the block batch, and FOUR (nb, 64Ki) int32 token arrays in HBM, and
+# its 8-bit relayouts lower poorly on TPU. This kernel reads each
+# 64 Ki-sample int32 slab once, extracts every plane's byte lane
+# in-register, runs the zero-run scans as in-VMEM doubling rolls, and
+# emits ONE packed token word per byte position:
+#
+#   word = sym(9) | ebits(4)<<9 | extra(14)<<13 | valid(1)<<27
+#
+# plus the plane bytes packed 4-per-int32 (for the COPY-fallback path
+# and the device decoder's oracle). Histograms and the verify flag are
+# cheap XLA reductions over the token words (hzr/jax_coder.py).
+
+_MZR = 16662          # MAX_ZERO_RUN (formats/hzr_constants.py:41)
+_TOK_ROWS = 512       # 64 KiB block = (512, 128) bytes
+
+
+def _tok_fscan_max(v, fill):
+    """Row-major inclusive max-scan over a (R, 128) tile."""
+    R = v.shape[0]
+    lane = jax.lax.broadcasted_iota(jnp.int32, v.shape, 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, v.shape, 0)
+    p = 1
+    while p < 128:
+        v = jnp.maximum(v, jnp.where(lane >= p, pltpu.roll(v, p, 1),
+                                     fill))
+        p *= 2
+    tot = jnp.broadcast_to(v[:, 127:128], v.shape)
+    c = jnp.where(row >= 1, pltpu.roll(tot, 1, 0), fill)
+    q = 1
+    while q < R:
+        c = jnp.maximum(c, jnp.where(row >= q + 1, pltpu.roll(c, q, 0),
+                                     fill))
+        q *= 2
+    return jnp.maximum(v, c)
+
+
+def _tok_rscan_min(v, fill):
+    """Row-major inclusive (suffix) min-scan over a (R, 128) tile."""
+    R = v.shape[0]
+    lane = jax.lax.broadcasted_iota(jnp.int32, v.shape, 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, v.shape, 0)
+    p = 1
+    while p < 128:
+        v = jnp.minimum(v, jnp.where(lane < 128 - p,
+                                     pltpu.roll(v, 128 - p, 1), fill))
+        p *= 2
+    tot = jnp.broadcast_to(v[:, 0:1], v.shape)
+    c = jnp.where(row < R - 1, pltpu.roll(tot, R - 1, 0), fill)
+    q = 1
+    while q < R:
+        c = jnp.minimum(c, jnp.where(row < R - q - 1,
+                                     pltpu.roll(c, R - q, 0), fill))
+        q *= 2
+    return jnp.minimum(v, c)
+
+
+def _make_tokenize_kernel(nr_planes: int, nb_per: int, tail_len: int):
+    B_ = _TOK_ROWS * 128
+
+    def kernel(slab_ref, tokw_ref, bw_ref):
+        j = pl.program_id(0)
+        slab = slab_ref[0]
+        R = _TOK_ROWS
+        lane = jax.lax.broadcasted_iota(jnp.int32, (R, 128), 1)
+        row = jax.lax.broadcasted_iota(jnp.int32, (R, 128), 0)
+        idx = row * 128 + lane
+        limit = jnp.where(j == nb_per - 1, tail_len, B_)
+        inblk = idx < limit
+        # packed-byte gather indices (lane l of the word tile collects
+        # bytes 4l..4l+3; lanes ≥ 32 are dead)
+        gidx = [jnp.minimum(lane * 4 + k, 127) for k in range(4)]
+
+        for p in range(nr_planes):
+            byte = jnp.right_shift(slab, 8 * p) & 255
+            g = [jnp.take_along_axis(byte, gidx[k], axis=1)
+                 for k in range(4)]
+            bw_ref[p, 0] = (g[0] | (g[1] << 8) | (g[2] << 16)
+                            | (g[3] << 24))[:, :32]
+
+            iszero = (byte == 0) & inblk
+            # last non-zero (or out-of-block) strictly before i
+            lnb = _tok_fscan_max(jnp.where(iszero, -1, idx), -1)
+            prev = pltpu.roll(lnb, 1, 1)
+            prev = jnp.where(lane == 0, pltpu.roll(prev, 1, 0), prev)
+            run_start = jnp.where(idx == 0, -1, prev) + 1
+            # first non-zero (or out-of-block) at/after i
+            fna = _tok_rscan_min(jnp.where(iszero, B_, idx), B_)
+            run_end = jnp.minimum(fna, limit) - 1
+
+            off = idx - run_start
+            is_cs = iszero & (off % _MZR == 0)
+            L = jnp.minimum(run_end - idx + 1, _MZR)
+            run_sym = jnp.where(
+                L == 1, 0, jnp.where(
+                    L == 2, 256, jnp.where(
+                        L <= 6, 257, jnp.where(
+                            L <= 22, 258, jnp.where(
+                                L <= 278, 259, 260)))))
+            run_extra = jnp.where(
+                L <= 2, 0, jnp.where(
+                    L <= 6, L - 3, jnp.where(
+                        L <= 22, L - 7, jnp.where(
+                            L <= 278, L - 23, L - 279))))
+            run_ebits = jnp.where(
+                L <= 2, 0, jnp.where(
+                    L <= 6, 2, jnp.where(
+                        L <= 22, 4, jnp.where(L <= 278, 8, 14))))
+
+            is_lit = (~iszero) & inblk
+            tval = is_lit | is_cs
+            sym = jnp.where(is_lit, byte,
+                            jnp.where(is_cs, run_sym, 0))
+            extra = jnp.where(is_cs, run_extra, 0)
+            ebits = jnp.where(is_cs, run_ebits, 0)
+            tokw_ref[p, 0] = (sym | (ebits << 9) | (extra << 13)
+                              | (tval.astype(jnp.int32) << 27))
+
+    return kernel
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("nr_planes", "plane_len", "interpret"))
+def tokenize_planes_pallas(flat_i32, nr_planes: int, plane_len: int,
+                           interpret: bool = False):
+    """Fused plane-extract + tokenize (hzr_encode.c:133-173 runs).
+
+    flat_i32: (plane_len,) int32 signal (already through whatever
+    pre-transform the packer applies). Returns
+      tokw   (nr_planes*nb_per, 64Ki) int32 packed token words,
+      bwords (nr_planes*nb_per, 16Ki) int32 plane bytes 4-per-word
+    in the plane-major block order the packers use.
+    """
+    B_ = _TOK_ROWS * 128
+    nb_per = max(1, -(-plane_len // B_))
+    tail = plane_len - (nb_per - 1) * B_
+    xp = jnp.zeros(nb_per * B_, jnp.int32).at[:plane_len].set(
+        flat_i32[:plane_len].astype(jnp.int32))
+    x4 = xp.reshape(nb_per, _TOK_ROWS, 128)
+
+    tokw, bw = pl.pallas_call(
+        _make_tokenize_kernel(nr_planes, nb_per, tail),
+        out_shape=(
+            jax.ShapeDtypeStruct((nr_planes, nb_per, _TOK_ROWS, 128),
+                                 jnp.int32),
+            jax.ShapeDtypeStruct((nr_planes, nb_per, _TOK_ROWS, 32),
+                                 jnp.int32),
+        ),
+        grid=(nb_per,),
+        in_specs=[pl.BlockSpec((1, _TOK_ROWS, 128), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=(
+            pl.BlockSpec((nr_planes, 1, _TOK_ROWS, 128),
+                         lambda b: (0, b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nr_planes, 1, _TOK_ROWS, 32),
+                         lambda b: (0, b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(x4)
+    nb = nr_planes * nb_per
+    return (tokw.reshape(nb, B_), bw.reshape(nb, _TOK_ROWS * 32))

@@ -82,11 +82,58 @@ def _pass1_hzr(ns: int, ch: int, bps: int, nr_planes: int):
     return f, lengths
 
 
+def _fused_pass1_mode() -> str:
+    """'' (off) / 'on' / 'interp' — resolved once per factory call.
+    RSPT_FUSED_PASS1=0 disables, =interp forces the interpreter
+    (CPU tests); default: on for the TPU backend."""
+    import os as _os
+    v = _os.environ.get("RSPT_FUSED_PASS1", "")
+    if v == "0":
+        return ""
+    if v == "interp":
+        return "interp"
+    if v == "1" or jax.default_backend() == "tpu":
+        return "on"
+    return ""
+
+
 @functools.lru_cache(maxsize=64)
 def _pass1_xdelta(ns: int, ch: int, bps: int, nr_planes: int,
                   use_pallas: bool = False):
     plane_len = ch * ns
     _, lengths = _block_layout(plane_len, nr_planes)
+
+    fmode = _fused_pass1_mode()
+    if fmode:
+        from ..ops import pallas_kernels as pk
+        interp_tok = fmode == "interp"
+
+        @jax.jit
+        def f_fused(raw):
+            enc = jops.native_to_i32(raw, ns, ch, bps).reshape(-1)
+            enc = jops.xor_encode(jops.offset32(
+                jops.delta_encode(enc), -128))
+            enc = jax.lax.optimization_barrier(enc)
+            # verify-and-grow check: enc fits in nr_planes signed bytes
+            # (== the reference's plane_merge(plane_split) round-trip,
+            # signal_packer_xdelta_hzr.cpp:59-71)
+            if nr_planes < 4:
+                sh = jnp.int32(32 - 8 * nr_planes)
+                ok = jnp.all(jnp.right_shift(
+                    jnp.left_shift(enc, sh), sh) == enc)
+            else:
+                ok = jnp.bool_(True)
+            tokw, bwords = pk.tokenize_planes_pallas(
+                enc, nr_planes, plane_len, interpret=interp_tok)
+            blocks = jax.lax.bitcast_convert_type(
+                bwords, jnp.uint8).reshape(tokw.shape[0], -1)
+            hist = jax_coder.hist_from_tokw(tokw)
+            small = jnp.concatenate([hist.reshape(-1),
+                                     ok.astype(jnp.int32)[None]])
+            return small, blocks, (tokw, hist)
+
+        return f_fused, lengths
+
     if use_pallas:
         from ..ops.pallas_kernels import xdelta_preprocess_pallas
         interp = jax.default_backend() != "tpu"
@@ -138,9 +185,7 @@ def _pass1_xdelta_batch(ns: int, ch: int, bps: int, nr_planes: int,
         small, blocks, toks = jax.vmap(f_single)(raws)
         nb = nr_planes * nb_per
         blocks = blocks.reshape(batch * nb, jax_coder.B)
-        toks = tuple(t.reshape(batch * nb, -1) if t.ndim == 3
-                     else t.reshape(batch * nb, -1) for t in toks[:4]) \
-            + (toks[4].reshape(batch * nb, -1),)
+        toks = tuple(t.reshape(batch * nb, -1) for t in toks)
         return small.reshape(batch, -1), blocks, toks
 
     tiled = np.tile(lengths, batch)
@@ -189,8 +234,13 @@ def _entropy_streams(blocks_dev, toks, lengths_np, n_chunks: int,
     (byte planes for a single payload; payload×plane for a batch) and
     one complete hzr stream is assembled per chunk.
     """
-    syms, extras, ebits, tvalid, hist = toks
-    nb = syms.shape[0]
+    tokw = None
+    if len(toks) == 2:     # fused pass-1 form: (token words, hist)
+        tokw, hist = toks
+        nb = tokw.shape[0]
+    else:
+        syms, extras, ebits, tvalid, hist = toks
+        nb = syms.shape[0]
     nb_per = nb // n_chunks
 
     if encoder is not None:  # sharded path (multi-chip mesh)
@@ -215,8 +265,12 @@ def _entropy_streams(blocks_dev, toks, lengths_np, n_chunks: int,
     codes, cbits, desc_bytes, desc_bits, is_fill = \
         jax_coder.host_tables(hist_np, lengths_np)
     codes_d, cbits_d, dbits_d = jax.device_put((codes, cbits, desc_bits))
-    packed_dev, total_bits_dev = jax_coder.pack_blocks(
-        syms, extras, ebits, tvalid, codes_d, cbits_d, dbits_d)
+    if tokw is not None:
+        packed_dev, total_bits_dev = jax_coder.pack_blocks_tokw(
+            tokw, codes_d, cbits_d, dbits_d)
+    else:
+        packed_dev, total_bits_dev = jax_coder.pack_blocks(
+            syms, extras, ebits, tvalid, codes_d, cbits_d, dbits_d)
     # device-side compaction: the host pulls only real payload bytes +
     # COPY-fallback blocks (no max-size buffers, no raw-block transfer;
     # FILL bytes are recovered from the histograms)

@@ -53,3 +53,78 @@ def test_interp_pack_path_bit_exact(rng, monkeypatch):
     ]
     for data in cases:
         assert jax_coder.encode(data) == pyref.encode(data)
+
+
+def test_tokenize_planes_pallas_matches(rng):
+    """Fused plane-extract+tokenize kernel vs tokenize_blocks oracle
+    (hzr_encode.c:133-173 run semantics) across plane counts and
+    tails, including runs crossing tile rows and the MAX_ZERO_RUN cap."""
+    import jax.numpy as jnp
+    from rspt_tpu.hzr import jax_coder
+
+    B = jax_coder.B
+    for planes, plane_len in [(3, 2 * B + 17172), (1, 1000), (4, B),
+                              (2, B + 1)]:
+        n = plane_len
+        x = rng.integers(-(2**23), 2**23, n, dtype=np.int64)
+        x[rng.random(n) < 0.6] = 0        # long-ish zero runs
+        zr = min(n, 17000)
+        x[:zr] = 0                        # > MAX_ZERO_RUN run
+        x = x.astype(np.int32)
+
+        tokw, bwords = pk.tokenize_planes_pallas(
+            jnp.asarray(x), planes, plane_len, interpret=INTERP)
+        tokw = np.asarray(tokw)
+        blocks_got = np.asarray(jax.lax.bitcast_convert_type(
+            bwords, jnp.uint8)).reshape(tokw.shape[0], -1)
+
+        # oracle: plane split + blockify + tokenize
+        nb_per = max(1, -(-plane_len // B))
+        lengths = np.full(planes * nb_per, B, np.int32)
+        if plane_len % B:
+            lengths[nb_per - 1::nb_per] = plane_len % B
+        pl_bytes = np.stack([((x.astype(np.uint32) >> (8 * k)) & 0xFF)
+                             .astype(np.uint8) for k in range(planes)])
+        padded = np.zeros((planes, nb_per * B), np.uint8)
+        padded[:, :plane_len] = pl_bytes
+        blocks = padded.reshape(planes * nb_per, B)
+        syms, extras, ebits, tvalid, hist = (
+            np.asarray(a) for a in jax_coder.tokenize_blocks(
+                jnp.asarray(blocks), jnp.asarray(lengths)))
+
+        np.testing.assert_array_equal(blocks_got, blocks)
+        np.testing.assert_array_equal(tokw & 511,
+                                      np.where(tvalid, syms, 0) |
+                                      np.where(~tvalid & (syms != 0), 0, 0))
+        np.testing.assert_array_equal((tokw >> 27) & 1, tvalid)
+        np.testing.assert_array_equal(
+            np.where(tvalid, (tokw >> 9) & 15, 0),
+            np.where(tvalid, ebits, 0))
+        np.testing.assert_array_equal(
+            np.where(tvalid, (tokw >> 13) & 16383, 0),
+            np.where(tvalid, extras, 0))
+        hist_got = np.asarray(jax_coder.hist_from_tokw(
+            jnp.asarray(tokw)))
+        np.testing.assert_array_equal(hist_got, hist)
+
+
+def test_fused_pass1_stream_bit_exact(rng, monkeypatch):
+    """Full TPU-engine compress through the fused pass-1 (interpret
+    mode) is byte-identical to the host engine."""
+    monkeypatch.setenv("RSPT_FUSED_PASS1", "interp")
+    from rspt_tpu.hzr import jax_coder
+    monkeypatch.setattr(jax_coder, "_PACK_MODE", "interp")
+    from rspt_tpu.packers import host as hpack
+    from rspt_tpu.packers import tpu as tpack
+
+    # unusual shape: dodges stale lru_cache entries built without the
+    # fused env flag earlier in the session
+    ch, n, bps = 3, 23456, 4
+    sig = np.cumsum(rng.normal(0, 400, (ch, n)), axis=1).astype(np.int32)
+    native = np.ascontiguousarray(sig.T).astype("<i4").tobytes()
+    p = tpack.new_xdelta_hzr(bps, ch, n, 3)
+    comp = p.compress(native)
+    ph = hpack.new_xdelta_hzr(bps, ch, n, 3)
+    assert comp == ph.compress(native)
+    out, _ = p.decompress(comp)
+    assert out == native

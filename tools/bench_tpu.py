@@ -85,7 +85,8 @@ def main():
     raw = jax.device_put(np.frombuffer(native, np.uint8))
     f1, lengths_np = _pass1_xdelta(n, ch, bps, planes)
     small, blocks, toks = f1(raw)
-    syms, extras, ebits, tvalid, hist = toks
+    fused = len(toks) == 2   # fused pass-1: (token words, hist)
+    hist = toks[-1]
     hist_np = np.asarray(hist)
     codes, cbits, desc_bytes, desc_bits, is_fill = jax_coder.host_tables(
         hist_np, lengths_np)
@@ -96,22 +97,33 @@ def main():
     def pass1_body(acc):
         rb, a = jax.lax.optimization_barrier((raw, acc))
         sm, bl, tk = f1.__wrapped__(rb)
-        sy, ex, eb, tv, hi = tk
-        return (a + s(sm) + s(bl) + s(sy) + s(ex) + s(eb) + s(tv)
-                + s(hi))
+        return a + s(sm) + s(bl) + sum(s(t) for t in tk)
 
     t_pass1 = loop_time(pass1_body)
 
-    def pack_body(acc):
-        s_, a = jax.lax.optimization_barrier((syms, acc))
-        packed, tb = jax_coder.pack_blocks.__wrapped__(
-            s_, extras, ebits, tvalid, cd, cb, db)
-        return a + s(packed) + s(tb)
+    if fused:
+        tokw = toks[0]
+
+        def pack_body(acc):
+            t_, a = jax.lax.optimization_barrier((tokw, acc))
+            packed, tb = jax_coder.pack_blocks_tokw.__wrapped__(
+                t_, cd, cb, db)
+            return a + s(packed) + s(tb)
+
+        packed_dev, tb_dev = jax_coder.pack_blocks_tokw(tokw, cd, cb, db)
+    else:
+        syms, extras, ebits, tvalid, _ = toks
+
+        def pack_body(acc):
+            s_, a = jax.lax.optimization_barrier((syms, acc))
+            packed, tb = jax_coder.pack_blocks.__wrapped__(
+                s_, extras, ebits, tvalid, cd, cb, db)
+            return a + s(packed) + s(tb)
+
+        packed_dev, tb_dev = jax_coder.pack_blocks(
+            syms, extras, ebits, tvalid, cd, cb, db)
 
     t_pack = loop_time(pack_body)
-
-    packed_dev, tb_dev = jax_coder.pack_blocks(
-        syms, extras, ebits, tvalid, cd, cb, db)
     lengths_d = jax.device_put(lengths_np.astype(np.int32))
     fill_d = jax.device_put(is_fill)
 

@@ -1,0 +1,59 @@
+"""Fresh-process chip parity check for the fused pass-1 path.
+
+Runs the TPU engine (fused pass-1 + pallas pack, the real-chip
+defaults) FIRST in this process, then compares byte-for-byte against
+the host engine — the verification protocol for any new device kernel
+(trace-time-global jit aliasing makes in-process mode flips unsound).
+Exercises plane counts 1-4, odd tails, multi-block planes, and a
+decompress round-trip.
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bench import _enable_compile_cache, make_ecg  # noqa: E402
+
+_enable_compile_cache()
+
+import numpy as np  # noqa: E402
+
+
+def main():
+    import jax
+
+    from rspt_tpu.packers import host as hpack
+    from rspt_tpu.packers import tpu as tpack
+
+    print("backend:", jax.default_backend(), flush=True)
+    rng = np.random.default_rng(7)
+
+    cases = [("ecg12", 12, 34199, 4, 3), ("small", 3, 23456, 4, 3),
+             ("p1", 2, 40000, 2, 1), ("p4", 4, 70001, 4, 4),
+             ("p2", 1, 65536, 4, 2)]
+    for name, ch, n, bps, planes in cases:
+        if name == "ecg12":
+            _, native = make_ecg(ch, n)
+        else:
+            sig = np.cumsum(rng.normal(0, 300, (ch, n)), axis=1)
+            sig = sig.astype(np.int32) >> (0 if bps == 4 else 8)
+            native = np.ascontiguousarray(
+                sig.T).astype(f"<i{bps}").tobytes()
+        pt = tpack.new_xdelta_hzr(bps, ch, n, planes)
+        comp_t = pt.compress(native)          # device path traced FIRST
+        ph = hpack.new_xdelta_hzr(bps, ch, n, planes)
+        comp_h = ph.compress(native)
+        ok = comp_t == comp_h
+        out, _ = pt.decompress(comp_t)
+        rt = out == native
+        print(f"{name}: bytes_equal={ok} roundtrip={rt} "
+              f"len={len(comp_t)}", flush=True)
+        if not (ok and rt):
+            print("FAIL", flush=True)
+            sys.exit(1)
+    print("ALL OK", flush=True)
+
+
+if __name__ == "__main__":
+    main()

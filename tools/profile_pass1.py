@@ -121,9 +121,8 @@ def main():
     def f1_body(acc):
         r, acc = jax.lax.optimization_barrier((raw, acc))
         small, bl, toks = f1.__wrapped__(r)
-        sy, ex, eb, tv, hi = toks
-        return (acc + s(small) + s(bl[:, :64]) + s(sy[:, :64])
-                + s(ex[:, :64]) + s(eb[:, :64]) + s(tv[:, :64]) + s(hi))
+        return (acc + s(small) + s(bl[:, :64])
+                + sum(s(t if t.ndim < 2 else t[:, :64]) for t in toks))
 
     t("pass1 full (as dispatched)", f1_body)
 
