@@ -46,8 +46,16 @@ def native_to_i32(native_u8, nr_samples: int, nr_channels: int,
     """Interleaved native bytes ``[s0c0][s0c1]...`` → (channels, samples)
     int32 with sign extension (reference: utils.cpp:123-191)."""
     bps = bytes_per_sample
-    b = native_u8[: nr_samples * nr_channels * bps].reshape(
-        nr_samples, nr_channels, bps)
+    flat = native_u8[: nr_samples * nr_channels * bps]
+    if not reverse_byte_order and bps in (1, 2, 4):
+        # Little-endian sample words: one bitcast replaces the byte
+        # gather/OR assembly (8-bit relayouts lower poorly on TPU);
+        # widening from i8/i16 sign-extends.
+        it = {1: jnp.int8, 2: jnp.int16, 4: jnp.int32}[bps]
+        v = jax.lax.bitcast_convert_type(
+            flat.reshape(nr_samples, nr_channels, bps), it)
+        return v.reshape(nr_samples, nr_channels).astype(jnp.int32).T
+    b = flat.reshape(nr_samples, nr_channels, bps)
     if reverse_byte_order:
         b = b[..., ::-1]
     v = jnp.zeros((nr_samples, nr_channels), dtype=jnp.uint32)

@@ -1,0 +1,181 @@
+"""Interleaved A/B stage profiler for the encode path on the real chip.
+
+The tunneled chip's effective speed varies ~2x between processes
+minutes apart (shared tenancy / clock), so cross-process comparisons
+are meaningless. This times every stage VARIANT in one process with
+the K-loop slope method, interleaving the variants round-robin over
+several outer rounds and taking per-variant minima — load noise then
+cancels out of the comparison.
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bench import _enable_compile_cache, make_ecg  # noqa: E402
+
+_enable_compile_cache()
+
+import numpy as np  # noqa: E402
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from rspt_tpu.hzr import jax_coder
+    from rspt_tpu.ops import jax_ops as jops
+    from rspt_tpu.ops import pallas_kernels as pk
+
+    def s(x):
+        return jnp.sum(x.astype(jnp.int32)).astype(jnp.float32)
+
+    ch, n, bps, planes = 12, 34199, 4, 3
+    sig, native = make_ecg(ch, n)
+    raw = jax.device_put(np.frombuffer(native, np.uint8))
+    plane_len = ch * n
+    B = jax_coder.B
+    nb_per = -(-plane_len // B)
+    lengths_np = np.full(planes * nb_per, B, np.int32)
+    if plane_len % B:
+        lengths_np[nb_per - 1::nb_per] = plane_len % B
+    lengths = jax.device_put(lengths_np)
+
+    def pre_chain(r):
+        enc = jops.native_to_i32(r, n, ch, bps).reshape(-1)
+        return jops.xor_encode(jops.offset32(jops.delta_encode(enc),
+                                             -128))
+
+    enc_dev = jax.jit(pre_chain)(raw)
+    planes_dev = jax.jit(
+        lambda e: jops.plane_split(e, planes))(enc_dev)
+
+    def blockify(p):
+        padded = jnp.zeros((planes, nb_per * B), jnp.uint8)
+        padded = padded.at[:, :plane_len].set(p)
+        return padded.reshape(planes * nb_per, B)
+
+    blocks = jax.jit(blockify)(planes_dev)
+    tokw, bwords = pk.tokenize_planes_pallas(enc_dev, planes, plane_len)
+    hist = jax_coder.hist_from_tokw(tokw)
+    hist_np = np.asarray(hist)
+    codes, cbits, _, desc_bits, _ = jax_coder.host_tables(
+        hist_np, lengths_np)
+    cd, cb, db = jax.device_put((codes, cbits, desc_bits))
+    syms, extras, ebits, tvalid, _ = jax_coder.tokenize_blocks(
+        blocks, lengths)
+
+    bodies = {}
+
+    def add(name, body):
+        bodies[name] = body
+
+    add("preprocess", lambda acc: acc + s(pre_chain(
+        jax.lax.optimization_barrier((raw, acc))[0])[:128]))
+
+    def n2i_bitcast(acc):
+        r, a = jax.lax.optimization_barrier((raw, acc))
+        return a + s(jops.native_to_i32.__wrapped__(r, n, ch, bps))
+
+    add("n2i_bitcast", n2i_bitcast)
+
+    def n2i_bytes(acc):
+        # the pre-bitcast byte-OR assembly, for within-run A/B
+        r, a = jax.lax.optimization_barrier((raw, acc))
+        b = r[: n * ch * bps].reshape(n, ch, bps)
+        v = jnp.zeros((n, ch), dtype=jnp.uint32)
+        for k in range(bps):
+            v = v | (b[..., k].astype(jnp.uint32) << np.uint32(8 * k))
+        return a + s(v.astype(jnp.int32).T)
+
+    add("n2i_bytes", n2i_bytes)
+
+    def dox(acc):
+        e, a = jax.lax.optimization_barrier((enc_dev, acc))
+        out = jops.xor_encode.__wrapped__(
+            jops.offset32.__wrapped__(
+                jops.delta_encode.__wrapped__(e), -128))
+        return a + s(out)
+
+    add("delta_offset_xor", dox)
+
+    def pre_full(acc):
+        r, a = jax.lax.optimization_barrier((raw, acc))
+        return a + s(pre_chain(r))
+
+    add("preprocess_full", pre_full)
+    add("plane_split+blockify", lambda acc: acc + s(blockify(
+        jops.plane_split.__wrapped__(
+            jax.lax.optimization_barrier((enc_dev, acc))[0],
+            planes))[:, :128]))
+
+    def tok_xla(acc):
+        b, a = jax.lax.optimization_barrier((blocks, acc))
+        out = jax_coder.tokenize_blocks.__wrapped__(b, lengths)
+        return a + sum(s(t) for t in out)
+
+    add("tokenize_xla", tok_xla)
+
+    def tok_fused(acc):
+        e, a = jax.lax.optimization_barrier((enc_dev, acc))
+        tw, bw = pk.tokenize_planes_pallas.__wrapped__(
+            e, planes, plane_len)
+        return a + s(tw) + s(bw)
+
+    add("tokenize_fused_kernel", tok_fused)
+
+    def hist_tokw(acc):
+        t_, a = jax.lax.optimization_barrier((tokw, acc))
+        return a + s(jax_coder.hist_from_tokw(t_))
+
+    add("hist_from_tokw", hist_tokw)
+
+    def mk_pack(mode):
+        def body(acc):
+            s_, a = jax.lax.optimization_barrier((syms, acc))
+            packed, tb = jax_coder.pack_blocks.__wrapped__(
+                s_, extras, ebits, tvalid, cd, cb, db,
+                platform="tpu", mode=mode)
+            return a + s(packed) + s(tb)
+        return body
+
+    add("pack_xla", mk_pack("xla"))
+    add("pack_pallas4", mk_pack("pallas"))
+
+    def pack_tokw(acc):
+        t_, a = jax.lax.optimization_barrier((tokw, acc))
+        packed, tb = jax_coder._pack_blocks_tokw_impl(
+            t_, cd, cb, db, platform="tpu", mode="pallas")
+        return a + s(packed) + s(tb)
+
+    add("pack_pallas_tokw", pack_tokw)
+
+    # compile all runners once
+    runners = {}
+    for name, body in bodies.items():
+        @jax.jit
+        def run(x0, k_arr, body=body):
+            return jax.lax.fori_loop(
+                0, k_arr.shape[0], lambda i, acc: body(acc), x0)
+        for K in (1, 9):
+            float(run(jnp.float32(0), jnp.zeros(K)))
+        runners[name] = run
+
+    best = {name: {1: float("inf"), 9: float("inf")} for name in bodies}
+    ROUNDS = 7
+    for r in range(ROUNDS):
+        for name, run in runners.items():
+            for K in (1, 9):
+                t0 = time.perf_counter()
+                float(run(jnp.float32(0), jnp.zeros(K)))
+                dt = time.perf_counter() - t0
+                best[name][K] = min(best[name][K], dt)
+    for name in bodies:
+        dt = max((best[name][9] - best[name][1]) / 8, 1e-7)
+        print(f"{name:24s} {dt*1e3:8.3f} ms", flush=True)
+
+
+if __name__ == "__main__":
+    main()
