@@ -255,7 +255,10 @@ def _decode_kernel(win_ref, l1lo_ref, l1hi_ref, l2_ref, entry_ref,
             n2 = jnp.where(cs > 0, d2 >> cs, d2)
 
             if emit:
-                packed = jnp.where(active & is_lit, (outc << 9) | sym, 0)
+                # Non-literal/inactive steps still record outc (sym=0):
+                # per-lane positions are then monotone over ALL entries,
+                # which lets placement skip the global running-max scan.
+                packed = (outc << 9) | jnp.where(active & is_lit, sym, 0)
                 ring_ref[step % STEP_CHUNK] = packed
 
                 @pl.when(step % STEP_CHUNK == STEP_CHUNK - 1)
@@ -388,7 +391,6 @@ def _place_emissions(emis, steps_used, counts, block_first, out_off,
     lanes = emis[:, :s_eff].transpose(0, 2, 3, 1).reshape(nl, s_eff)
     step_ix = jnp.arange(s_eff, dtype=jnp.int32)[None, :]
     live_steps = jnp.repeat(steps_used.reshape(ntiles), 8 * 128)[:, None]
-    e = jnp.where((step_ix < live_steps) & lane_live[:, None], lanes, 0)
 
     # per-lane output byte base: block out_off + exclusive cumsum of
     # counts within the block (static gather of the running total at
@@ -398,25 +400,39 @@ def _place_emissions(emis, steps_used, counts, block_first, out_off,
     excl = total - flat_counts
     out_base = out_off + excl - jnp.take(excl, block_first)
 
+    # the kernel records the outc carry on every step (sym=0 when not a
+    # literal), so per-lane positions are monotone as written; stale
+    # ring rows past steps_used and dead lanes take the lane's final
+    # count, and dead padding lanes pin to the running max of live lane
+    # ends — global monotonicity then needs only this (nl,)-sized scan
+    # instead of a running max over all nl*s_eff entries
+    e = jnp.where((step_ix < live_steps) & lane_live[:, None], lanes,
+                  (flat_counts << 9)[:, None])
+    lane_end = jnp.minimum(out_base + flat_counts, out_limit)
+    ends = jnp.where(lane_live, lane_end, 0)
+    pp = 1
+    while pp < nl:
+        ends = jnp.maximum(ends, jnp.pad(ends, (pp, 0))[:nl])
+        pp *= 2
+    carry = jnp.pad(ends, (1, 0))[:nl]          # exclusive running max
+    base_eff = jnp.where(lane_live, out_base, carry)
+
     sym = e & 0x1FF
     outc = jnp.right_shift(e, 9)
-    pos = out_base[:, None] + outc
+    pos_raw = base_eff[:, None] + outc
     # drop speculative padding-bit symbols that land at/past the
     # block's true output end (hzr_decode.c stops at the output count;
-    # jax_decoder.py applied the same bound to its scatter)
-    live = (e > 0) & (pos < out_limit[:, None])
+    # jax_decoder.py applied the same bound to its scatter); clamping
+    # dead entries to the block limit keeps offsets monotone without
+    # perturbing any live entry (all live positions are < the limit)
+    live = (sym > 0) & (pos_raw < out_limit[:, None])
+    pos = jnp.minimum(pos_raw,
+                      jnp.maximum(out_limit, carry)[:, None])
 
-    # flatten lane-major (globally position-sorted over live entries);
-    # dead entries carry the last live position forward so every chunk
-    # sees monotone offsets
+    # flatten lane-major: globally position-sorted over ALL entries
     S = nl * s_eff
     live_f = live.reshape(1, S)
-    pos_f = jnp.where(live_f, pos.reshape(1, S), 0)
-    # running max by doubling (associative_scan lowers poorly on TPU)
-    pp = 1
-    while pp < S:
-        pos_f = jnp.maximum(pos_f, jnp.pad(pos_f, ((0, 0), (pp, 0)))[:, :S])
-        pp *= 2
+    pos_f = pos.reshape(1, S)
     nbits = jnp.where(live_f, 8, 0)
     vals = jnp.where(live_f, (sym & 0xFF).reshape(1, S),
                      0).astype(jnp.uint32)
