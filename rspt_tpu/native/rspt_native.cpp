@@ -407,6 +407,20 @@ size_t encode_block(const uint8_t* in, size_t in_size, uint8_t* out,
     if (!bw.failed) {
         size_t k = 0;
         while (k < in_size && !bw.failed) {
+            // paired-literal fast path: two codes merged into one put64
+            // (identical bit layout — fields are LSB-first adjacent).
+            // Max Huffman depth at <=64Ki counts is ~23 bits, so a pair
+            // is <= ~46 bits, within put64's 56-bit budget.
+            while (k + 2 <= in_size) {
+                uint8_t b0 = in[k], b1 = in[k + 1];
+                if (!(b0 && b1)) break;
+                bw.put64((uint64_t)codes[b0] |
+                             ((uint64_t)codes[b1] << code_bits[b0]),
+                         code_bits[b0] + code_bits[b1]);
+                if (bw.failed) break;
+                k += 2;
+            }
+            if (k >= in_size || bw.failed) break;
             uint8_t b = in[k];
             if (b != 0) {
                 bw.put64(codes[b], code_bits[b]);
@@ -1292,12 +1306,66 @@ int rn_build_tables(const uint32_t* hists, int nb,
     return 0;
 }
 
+// Fixed-order unrolled IIR bodies: state lives in registers instead of
+// being shifted through memory every sample (the generic loop measured
+// ~10x slower). Operation ORDER is identical to the generic loop for
+// both accumulation modes, so outputs are bit-identical.
+#define RN_IIR_UNROLL(P)                                                  \
+static void iir_arr_##P(const double* x, size_t n, const double* nc,      \
+                        const double* dc, double* xz, double* yz,         \
+                        int opt, double* y) {                             \
+    double xs[P], ys[P];                                                  \
+    for (int i = 0; i < P; ++i) { xs[i] = xz[i]; ys[i] = yz[i]; }         \
+    if (opt) {                                                            \
+        for (size_t t = 0; t < n; ++t) {                                  \
+            for (int i = P - 1; i > 0; --i) {                             \
+                xs[i] = xs[i - 1];                                        \
+                ys[i] = ys[i - 1];                                        \
+            }                                                             \
+            xs[0] = x[t];                                                 \
+            double acc = dc[0] * xs[0];                                   \
+            for (int i = 1; i < P; ++i) acc = acc + dc[i] * xs[i];        \
+            for (int i = 1; i < P; ++i) acc = acc - nc[i] * ys[i];        \
+            ys[0] = acc;                                                  \
+            y[t] = acc;                                                   \
+        }                                                                 \
+    } else {                                                              \
+        for (size_t t = 0; t < n; ++t) {                                  \
+            for (int i = P - 1; i > 0; --i) {                             \
+                xs[i] = xs[i - 1];                                        \
+                ys[i] = ys[i - 1];                                        \
+            }                                                             \
+            xs[0] = x[t];                                                 \
+            double acc = dc[0] * xs[0];                                   \
+            for (int i = 1; i < P; ++i) {                                 \
+                acc += dc[i] * xs[i];                                     \
+                acc -= nc[i] * ys[i];                                     \
+            }                                                             \
+            ys[0] = acc;                                                  \
+            y[t] = acc;                                                   \
+        }                                                                 \
+    }                                                                     \
+    for (int i = 0; i < P; ++i) { xz[i] = xs[i]; yz[i] = ys[i]; }         \
+}
+
+RN_IIR_UNROLL(2)
+RN_IIR_UNROLL(3)
+RN_IIR_UNROLL(4)
+RN_IIR_UNROLL(5)
+
 // Serial IIR array filter with the reference's exact accumulation
 // orders (iir_filter.cpp:64-107). State rings xz/yz length p
 // (index 0 = current slot), updated in place.
 void rn_iir_filter_array(const double* x, size_t n, const double* nc,
                          const double* dc, int p, double* xz, double* yz,
                          int opt, double* y) {
+    switch (p) {
+        case 2: iir_arr_2(x, n, nc, dc, xz, yz, opt, y); return;
+        case 3: iir_arr_3(x, n, nc, dc, xz, yz, opt, y); return;
+        case 4: iir_arr_4(x, n, nc, dc, xz, yz, opt, y); return;
+        case 5: iir_arr_5(x, n, nc, dc, xz, yz, opt, y); return;
+        default: break;
+    }
     for (size_t t = 0; t < n; ++t) {
         for (int i = p - 1; i > 0; --i) {
             xz[i] = xz[i - 1];

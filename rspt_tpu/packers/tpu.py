@@ -326,6 +326,17 @@ def _as_u8(src):
         if not isinstance(src, np.ndarray) else src.reshape(-1)
 
 
+def _as_words(src, bps: int):
+    """Host-side input view for the device transfer: '<i4' words when
+    they alias the samples exactly (bps=4), so native_to_i32 on device
+    is a pure reshape+transpose — device byte assembly from u8 measured
+    0.46-1.75 ms/1.64 MB on chip. Other bps keep the u8 byte view."""
+    flat = _as_u8(src)
+    if bps == 4 and flat.dtype == np.uint8 and flat.nbytes % 4 == 0:
+        return flat.view("<i4")
+    return flat
+
+
 class _TpuPackerBase:
     def __init__(self, bytes_per_sample: int, nr_channels: int,
                  nr_samples: int, encoder=None, device_decode: bool = False):
@@ -402,7 +413,7 @@ class TpuHzrPacker(_TpuPackerBase):
         c = self.cfg
         f, lengths = _pass1_hzr(c.nr_samples, c.nr_channels,
                                 c.bytes_per_sample, self.NR_PLANES)
-        blocks, toks = f(jnp.asarray(_as_u8(src)))
+        blocks, toks = f(jnp.asarray(_as_words(src, c.bytes_per_sample)))
         return _entropy_finish(blocks, toks, lengths, self.NR_PLANES,
                                self.METHOD, b"", self._encoder)
 
@@ -431,7 +442,7 @@ class TpuXdeltaHzrPacker(_TpuPackerBase):
 
     def compress(self, src) -> bytes:
         c = self.cfg
-        raw = jnp.asarray(_as_u8(src))
+        raw = jnp.asarray(_as_words(src, c.bytes_per_sample))
         while True:
             f, lengths = _pass1_xdelta(c.nr_samples, c.nr_channels,
                                        c.bytes_per_sample, self.nr_planes,
@@ -463,7 +474,8 @@ class TpuXdeltaHzrPacker(_TpuPackerBase):
         batch = len(srcs)
         if batch == 0:
             return []
-        raws = jnp.asarray(np.stack([_as_u8(s) for s in srcs]))
+        raws = jnp.asarray(np.stack(
+            [_as_words(s, c.bytes_per_sample) for s in srcs]))
         # probe plane counts upward until every payload fits; keep each
         # level's device outputs (growth is rare — the common case is
         # one pass)
@@ -581,7 +593,7 @@ class TpuDctPacker(_TpuPackerBase):
         c = self.cfg
         enc, hi, lo = _pass1_swizzle_means(
             c.nr_samples, c.nr_channels, c.bytes_per_sample)(
-                jnp.asarray(_as_u8(src)))
+                jnp.asarray(_as_words(src, c.bytes_per_sample)))
         means = jops.average32_host(np.asarray(hi), np.asarray(lo),
                                     c.nr_samples)
         dct = self._dct_fwd(enc - jnp.asarray(means)[:, None])
@@ -647,7 +659,7 @@ class TpuHadamardPacker(_TpuPackerBase):
         c = self.cfg
         enc, hi, lo = _pass1_swizzle_means(
             c.nr_samples, c.nr_channels, c.bytes_per_sample)(
-                jnp.asarray(_as_u8(src)))
+                jnp.asarray(_as_words(src, c.bytes_per_sample)))
         means = jops.average32_host(np.asarray(hi), np.asarray(lo),
                                     c.nr_samples)
         had = _hadamard_transform_jit(c.nr_samples, self.QUALITY,

@@ -34,7 +34,8 @@ def main():
 
     ch, n, bps, planes = 12, 34199, 4, 3
     sig, native = make_ecg(ch, n)
-    raw = jax.device_put(np.frombuffer(native, np.uint8))
+    raw = jax.device_put(np.frombuffer(native, "<i4"))
+    raw_u8 = jax.device_put(np.frombuffer(native, np.uint8))
     plane_len = ch * n
     B = jax_coder.B
     nb_per = -(-plane_len // B)
@@ -75,15 +76,15 @@ def main():
     add("preprocess", lambda acc: acc + s(pre_chain(
         jax.lax.optimization_barrier((raw, acc))[0])[:128]))
 
-    def n2i_bitcast(acc):
+    def n2i_words(acc):
         r, a = jax.lax.optimization_barrier((raw, acc))
         return a + s(jops.native_to_i32.__wrapped__(r, n, ch, bps))
 
-    add("n2i_bitcast", n2i_bitcast)
+    add("n2i_words", n2i_words)
 
     def n2i_bytes(acc):
-        # the pre-bitcast byte-OR assembly, for within-run A/B
-        r, a = jax.lax.optimization_barrier((raw, acc))
+        # device byte-OR assembly from u8, for within-run A/B
+        r, a = jax.lax.optimization_barrier((raw_u8, acc))
         b = r[: n * ch * bps].reshape(n, ch, bps)
         v = jnp.zeros((n, ch), dtype=jnp.uint32)
         for k in range(bps):
