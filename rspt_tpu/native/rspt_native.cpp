@@ -22,12 +22,117 @@
 
 #include <cstdint>
 #include <cstddef>
+#include <cstdio>
+#include <cstdlib>
 #include <cstring>
+#include <chrono>
+#include <condition_variable>
+#include <functional>
+#include <mutex>
 #include <thread>
 #include <vector>
 #include <atomic>
 
 namespace {
+
+// ---------------------------------------------------------------------------
+// Persistent thread pool — std::thread spawn+join per stage measured
+// ~0.5 ms/call on the streaming path (4 stages x 4 threads). Workers
+// park on a condition variable; the caller participates in every run.
+// ---------------------------------------------------------------------------
+
+class ThreadPool {
+  public:
+    explicit ThreadPool(int nworkers) {
+        for (int i = 0; i < nworkers; ++i)
+            workers_.emplace_back([this] { loop(); });
+    }
+
+    // Execute fn(slot) for slot in [0, m); returns when all done.
+    void run(int m, const std::function<void(int)>& fn) {
+        if (m <= 1) {
+            for (int s = 0; s < m; ++s) fn(s);
+            return;
+        }
+        std::unique_lock<std::mutex> lk(mu_);
+        fn_ = &fn;
+        total_ = m;
+        done_.store(0, std::memory_order_relaxed);
+        // release: publishes fn_/total_/done_ to workers that skip the
+        // cv path (late wakers from a previous epoch)
+        next_.store(0, std::memory_order_release);
+        ++epoch_;
+        cv_.notify_all();
+        lk.unlock();
+        work();  // caller participates
+        lk.lock();
+        cv_done_.wait(lk, [&] {
+            return done_.load(std::memory_order_acquire) >= total_;
+        });
+        // close the gate: a late waker from this epoch must never see
+        // next_ below a LATER run's total_ (it would claim a slot
+        // before that run resets next_). Huge next_ + zero total_
+        // makes the work() guard fail for any stale state.
+        next_.store(1 << 30, std::memory_order_relaxed);
+        total_ = 0;
+        fn_ = nullptr;
+    }
+
+    static ThreadPool& inst() {
+        // leaked on purpose: joining at static destruction deadlocks
+        static ThreadPool* p = new ThreadPool(
+            (int)std::thread::hardware_concurrency() - 1);
+        return *p;
+    }
+
+  private:
+    void work() {
+        int s;
+        while ((s = next_.fetch_add(1, std::memory_order_acquire))
+               < total_) {
+            (*fn_)(s);
+            if (done_.fetch_add(1, std::memory_order_acq_rel) + 1
+                >= total_) {
+                std::lock_guard<std::mutex> lk(mu_);
+                cv_done_.notify_all();
+            }
+        }
+    }
+
+    void loop() {
+        uint64_t seen = 0;
+        for (;;) {
+            std::unique_lock<std::mutex> lk(mu_);
+            cv_.wait(lk, [&] { return epoch_ != seen; });
+            seen = epoch_;
+            lk.unlock();
+            work();
+        }
+    }
+
+    std::mutex mu_;
+    std::condition_variable cv_, cv_done_;
+    std::vector<std::thread> workers_;
+    const std::function<void(int)>* fn_ = nullptr;
+    int total_ = 0;
+    uint64_t epoch_ = 0;
+    std::atomic<int> next_{0};
+    std::atomic<int> done_{0};
+};
+
+// Split [0, n) into nt ranges and run them on the pool.
+inline void pool_ranges(size_t n, size_t nt,
+                        const std::function<void(size_t, size_t)>& fn) {
+    if (nt > n) nt = n;
+    if (nt <= 1) {
+        fn(0, n);
+        return;
+    }
+    std::function<void(int)> slot = [&](int t) {
+        fn(n * (size_t)t / nt, n * ((size_t)t + 1) / nt);
+    };
+    ThreadPool::inst().run((int)nt, slot);
+}
 
 // ---------------------------------------------------------------------------
 // CRC32C, slice-by-8
@@ -1438,51 +1543,78 @@ int rn_stream_filter_pack(const uint8_t* src, size_t ns, size_t nframes,
     const size_t N = ns * nframes;  // samples per channel in the span
     const size_t F = ch * ns;       // flat values per frame
     if (N == 0 || ch == 0) return -1;
-    std::vector<int32_t> sig((size_t)ch * N);  // channel-major, filtered
+    // RSPT_STREAM_PROFILE=1: per-stage wall times on stderr
+    const bool prof = std::getenv("RSPT_STREAM_PROFILE") != nullptr;
+    auto tprev = std::chrono::steady_clock::now();
+    auto mark = [&](const char* name) {
+        if (!prof) return;
+        auto now = std::chrono::steady_clock::now();
+        fprintf(stderr, "rn_stream %-10s %.3f ms\n", name,
+                std::chrono::duration<double>(now - tprev).count() * 1e3);
+        tprev = now;
+    };
+    // call-reused arenas: fresh multi-MB vectors every call cost more
+    // in page faults + zeroing than some compute stages
+    static thread_local std::vector<int32_t> sig;
+    static thread_local std::vector<double> xall;
+    static thread_local std::vector<uint8_t> planes;
+    static thread_local std::vector<uint8_t> scratch;
+    sig.resize((size_t)ch * N);  // channel-major, filtered
+    // thread_local variables are NOT captured by [&] lambdas — worker
+    // threads would see their own (empty) instances; capture raw
+    // pointers instead
+    int32_t* const sig_p = sig.data();
 
-    // stage 1 — threads over channels: convert + serial IIR + (int)
+    // stage 1a — threads over SAMPLE ranges: one sequential pass over
+    // the interleaved bytes, scattered to channel-major (per-channel
+    // strided reads re-streamed every cache line ch times — measured
+    // ~4x this formulation's cost)
+    const int shift = (int)(32 - 8 * bps);
+    xall.resize(p > 0 ? (size_t)ch * N : 0);
+    double* const xall_p = xall.data();
     {
-        auto cwork = [&](size_t j0, size_t j1) {
-            std::vector<double> xbuf(N), ybuf(p > 0 ? N : 0);
-            for (size_t j = j0; j < j1; ++j) {
-                const int shift = (int)(32 - 8 * bps);
-                for (size_t t = 0; t < N; ++t) {
-                    const uint8_t* q = src + (t * ch + j) * bps;
+        auto cvt = [&](size_t t0, size_t t1) {
+            for (size_t t = t0; t < t1; ++t) {
+                const uint8_t* q = src + t * ch * bps;
+                for (size_t j = 0; j < ch; ++j) {
                     uint32_t v = 0;
                     for (size_t k = 0; k < bps; ++k)
-                        v |= (uint32_t)q[k] << (8 * k);
-                    xbuf[t] = (double)((int32_t)(v << shift) >> shift);
-                }
-                if (p > 0) {
-                    rn_iir_filter_array(xbuf.data(), N, nc, dc, p,
-                                        xz + j * (size_t)p,
-                                        yz + j * (size_t)p, opt,
-                                        ybuf.data());
-                    for (size_t t = 0; t < N; ++t)
-                        sig[j * N + t] = (int32_t)ybuf[t];
-                } else {
-                    for (size_t t = 0; t < N; ++t)
-                        sig[j * N + t] = (int32_t)xbuf[t];
+                        v |= (uint32_t)q[j * bps + k] << (8 * k);
+                    int32_t sv = (int32_t)(v << shift) >> shift;
+                    if (p > 0)
+                        xall_p[j * N + t] = (double)sv;
+                    else
+                        sig_p[j * N + t] = sv;
                 }
             }
         };
-        size_t nt = (size_t)nthreads < ch ? (size_t)nthreads : ch;
-        if (nt <= 1) {
-            cwork(0, ch);
-        } else {
-            std::vector<std::thread> ts;
-            for (size_t t = 0; t < nt; ++t)
-                ts.emplace_back(cwork, ch * t / nt, ch * (t + 1) / nt);
-            for (auto& th : ts) th.join();
-        }
+        pool_ranges(N, (size_t)nthreads, cvt);
     }
+    mark("convert");
+
+    // stage 1b — threads over channels: serial IIR + (int) truncation
+    if (p > 0) {
+        auto fwork = [&](size_t j0, size_t j1) {
+            std::vector<double> ybuf(N);
+            for (size_t j = j0; j < j1; ++j) {
+                rn_iir_filter_array(xall_p + j * N, N, nc, dc, p,
+                                    xz + j * (size_t)p,
+                                    yz + j * (size_t)p, opt, ybuf.data());
+                for (size_t t = 0; t < N; ++t)
+                    sig_p[j * N + t] = (int32_t)ybuf[t];
+            }
+        };
+        pool_ranges(ch, (size_t)nthreads, fwork);
+    }
+    mark("iir");
 
     // stage 2 — xdelta preprocess per frame (independent chains: every
     // frame is its own compress() call, deltas restart at 0), with
     // sequential plane growth: the first non-fitting frame raises the
     // count for itself and all later frames.
     int np = nr_planes_in < 1 ? 1 : nr_planes_in;
-    std::vector<uint8_t> planes((size_t)nframes * 4 * F);  // 4-plane cap
+    planes.resize((size_t)nframes * 4 * F);  // 4-plane cap
+    uint8_t* const planes_p = planes.data();
     std::vector<int> fitv(nframes, 1);
     size_t f0 = 0;
     while (f0 < nframes) {
@@ -1491,23 +1623,27 @@ int rn_stream_filter_pack(const uint8_t* src, size_t ns, size_t nframes,
             size_t f;
             while ((f = nextf.fetch_add(1)) < nframes) {
                 const int sh_fit = 32 - 8 * np;
-                uint8_t* pl = planes.data() + f * 4 * F;
+                uint8_t* pl = planes_p + f * 4 * F;
                 uint32_t vm1 = 0, vm2 = 0;
                 int lfit = 1;
-                for (size_t i = 0; i < F; ++i) {
-                    size_t c = i / ns, s = i % ns;
-                    uint32_t v = (uint32_t)sig[c * N + f * ns + s];
-                    uint32_t d = v - vm1 - 128u;
-                    uint32_t dm1 = i >= 1 ? vm1 - vm2 - 128u : 0u;
-                    int32_t x = (int32_t)(d ^ dm1);
-                    if (np < 4 &&
-                        ((int32_t)((uint32_t)x << sh_fit) >> sh_fit) != x)
-                        lfit = 0;
-                    for (int k = 0; k < np; ++k)
-                        pl[(size_t)k * F + i] = (uint8_t)((uint32_t)x >>
-                                                          (8 * k));
-                    vm2 = vm1;
-                    vm1 = v;
+                size_t i = 0;
+                for (size_t c = 0; c < ch; ++c) {
+                    const int32_t* row = sig_p + c * N + f * ns;
+                    for (size_t s = 0; s < ns; ++s, ++i) {
+                        uint32_t v = (uint32_t)row[s];
+                        uint32_t d = v - vm1 - 128u;
+                        uint32_t dm1 = i >= 1 ? vm1 - vm2 - 128u : 0u;
+                        int32_t x = (int32_t)(d ^ dm1);
+                        if (np < 4 &&
+                            ((int32_t)((uint32_t)x << sh_fit) >> sh_fit)
+                                != x)
+                            lfit = 0;
+                        for (int k = 0; k < np; ++k)
+                            pl[(size_t)k * F + i] =
+                                (uint8_t)((uint32_t)x >> (8 * k));
+                        vm2 = vm1;
+                        vm1 = v;
+                    }
                 }
                 fitv[f] = lfit;
             }
@@ -1515,13 +1651,8 @@ int rn_stream_filter_pack(const uint8_t* src, size_t ns, size_t nframes,
         {
             size_t nleft = nframes - f0;
             size_t nt = (size_t)nthreads < nleft ? (size_t)nthreads : nleft;
-            if (nt <= 1) {
-                pwork();
-            } else {
-                std::vector<std::thread> ts;
-                for (size_t t = 0; t < nt; ++t) ts.emplace_back(pwork);
-                for (auto& th : ts) th.join();
-            }
+            std::function<void(int)> slot = [&](int) { pwork(); };
+            ThreadPool::inst().run((int)nt, slot);
         }
         size_t fail = nframes;
         for (size_t f = f0; f < nframes; ++f)
@@ -1532,6 +1663,7 @@ int rn_stream_filter_pack(const uint8_t* src, size_t ns, size_t nframes,
         ++np;
         if (np > 4) return -1;
     }
+    mark("preprocess");
 
     // stage 3 — encode every (frame, plane, block) in one work-steal
     // pool (hzr_encode.c:528-539 block independence)
@@ -1547,7 +1679,8 @@ int rn_stream_filter_pack(const uint8_t* src, size_t ns, size_t nframes,
             }
     size_t nitems = item_f.size();
     size_t bcap = kMaxBlockSize + kBlockHeaderSize + 16;
-    std::vector<uint8_t> scratch(nitems * bcap);
+    scratch.resize(nitems * bcap);
+    uint8_t* const scratch_p = scratch.data();
     std::vector<size_t> blens(nitems, 0);
     std::vector<int> rcs(nitems, 0);
     std::atomic<size_t> next(0);
@@ -1556,9 +1689,9 @@ int rn_stream_filter_pack(const uint8_t* src, size_t ns, size_t nframes,
         while ((i = next.fetch_add(1)) < nitems) {
             size_t off = item_b[i] * kMaxBlockSize;
             size_t blen = F - off < kMaxBlockSize ? F - off : kMaxBlockSize;
-            const uint8_t* pl = planes.data() + item_f[i] * 4 * F +
+            const uint8_t* pl = planes_p + item_f[i] * 4 * F +
                                 item_k[i] * F + off;
-            size_t r = encode_block(pl, blen, scratch.data() + i * bcap,
+            size_t r = encode_block(pl, blen, scratch_p + i * bcap,
                                     bcap);
             if (!r) rcs[i] = 1;
             blens[i] = r;
@@ -1566,16 +1699,12 @@ int rn_stream_filter_pack(const uint8_t* src, size_t ns, size_t nframes,
     };
     {
         size_t nt = (size_t)nthreads < nitems ? (size_t)nthreads : nitems;
-        if (nt <= 1) {
-            ework();
-        } else {
-            std::vector<std::thread> ts;
-            for (size_t t = 0; t < nt; ++t) ts.emplace_back(ework);
-            for (auto& th : ts) th.join();
-        }
+        std::function<void(int)> slot = [&](int) { ework(); };
+        ThreadPool::inst().run((int)nt, slot);
     }
     for (size_t i = 0; i < nitems; ++i)
         if (rcs[i]) return -1;
+    mark("encode");
 
     // assembly: per frame [method 0][per plane: u32 chunk_len,
     // u32 decoded_size, blocks...]
@@ -1602,6 +1731,7 @@ int rn_stream_filter_pack(const uint8_t* src, size_t ns, size_t nframes,
         }
         frame_lens[f] = pos;
     }
+    mark("assemble");
     return np;
 }
 

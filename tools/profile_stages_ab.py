@@ -153,6 +153,61 @@ def main():
 
     add("pack_pallas_tokw", pack_tokw)
 
+    # --- pack split: windows kernel (A) vs super-place (B + glue) -----
+    from rspt_tpu.ops.pallas_kernels import (
+        ACC_ROWS, SUP_CHUNKS, D_CLAMP, super_place_pallas,
+        token_group_windows_tokw_pallas)
+
+    comb_dev = (jax.lax.bitcast_convert_type(cd, jnp.int32)
+                & jnp.int32(0xFFFFFF)) | (cb.astype(jnp.int32) << 24)
+    stageA = jax.jit(lambda t_: token_group_windows_tokw_pallas(
+        t_, comb_dev))(tokw)
+    w0_d, w1_d, cbase_d, clive_d, gtot_d = stageA
+
+    def packA(acc):
+        t_, a = jax.lax.optimization_barrier((tokw, acc))
+        w0, w1, cb_, cl_, gt_ = token_group_windows_tokw_pallas(
+            t_, comb_dev)
+        return a + s(w0) + s(w1) + s(cb_) + s(cl_) + s(gt_)
+
+    add("pack_windows_A", packA)
+
+    n_tok = tokw.shape[1]
+    nbb = tokw.shape[0]
+    max_out = n_tok + 512
+
+    def packB(acc):
+        (w0, w1, cbase, clive, gtot), a = jax.lax.optimization_barrier(
+            (stageA, acc))
+        ng = gtot.shape[1]
+        gb = gtot
+        p = 1
+        while p < ng:
+            gb = gb + jnp.pad(gb, ((0, 0), (p, 0)))[:, :ng]
+            p *= 2
+        group_base = db[:, None] + gb - gtot
+        nwords = max_out // 4 + 1
+        nrows = -(-nwords // 128)
+        nrows = -(-(nrows + ACC_ROWS) // 8) * 8
+        nc = cbase.shape[1]
+        nsup = nc // SUP_CHUNKS
+        sup_per_g = nsup // ng
+        superbase = cbase[:, ::SUP_CHUNKS]
+        d = jnp.clip(cbase - jnp.repeat(superbase, SUP_CHUNKS, axis=1),
+                     0, D_CLAMP)
+        gb_s = jnp.repeat(group_base, sup_per_g, axis=1)
+        wbase = jnp.clip(jnp.right_shift(gb_s, 5) + superbase,
+                         0, (nrows - ACC_ROWS) * 128)
+        sbits = gb_s & 31
+        slive = jnp.any(clive.reshape(nbb, nsup, SUP_CHUNKS) > 0, axis=2)
+        words3 = super_place_pallas(
+            w0, w1, d[:, :, None], d.reshape(nbb, nsup, SUP_CHUNKS),
+            wbase[:, :, None], sbits[:, :, None],
+            slive[:, :, None].astype(jnp.int32), nrows)
+        return a + s(words3)
+
+    add("pack_place_B", packB)
+
     # compile all runners once
     runners = {}
     for name, body in bodies.items():
