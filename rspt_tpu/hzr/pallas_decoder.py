@@ -119,21 +119,23 @@ def build_lut16(tree):
 
     if not walk(tree, 0, 0):
         return None
-    return l1, l2
+    return l1, l2, nslots
 
 
 # ---------------------------------------------------------------------------
 # Kernel
 # ---------------------------------------------------------------------------
 
-def _decode_kernel(win_ref, l1lo_ref, l1hi_ref, l2_ref, entry_ref,
-                   segend_ref, pbits_ref, first_ref, emis_ref, counts_ref,
-                   steps_ref, ring_ref, sem_ref):
+def _decode_kernel(nl2_ref, win_ref, l1lo_ref, l1hi_ref, l2_ref,
+                   entry_ref, segend_ref, pbits_ref, first_ref, emis_ref,
+                   counts_ref, steps_ref, ring_ref, sem_ref):
     t = pl.program_id(0)
     shape = (8, 128)
     u32 = jnp.uint32
     ZERO = jnp.zeros(shape, u32)
     lane = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    wseg = win_ref.shape[0]      # window rows, sized per launch
+    nl2 = nl2_ref[0]             # deep L2 slots in use (often 0)
 
     entry0 = entry_ref[...]
     seg_end = segend_ref[...]
@@ -142,7 +144,6 @@ def _decode_kernel(win_ref, l1lo_ref, l1hi_ref, l2_ref, entry_ref,
     win_base = jnp.right_shift(entry0, 5)
     l1lo = l1lo_ref[...]
     l1hi = l1hi_ref[...]
-    l2s = [l2_ref[i] for i in range(L2_SIZE // 128)]
 
     def fetch_word(wptr):
         # masked reduction over the word windows; a runtime fori (the
@@ -153,7 +154,7 @@ def _decode_kernel(win_ref, l1lo_ref, l1hi_ref, l2_ref, entry_ref,
             return acc + jnp.where(wptr == w,
                                    win_ref[pl.ds(w, 1)][0], 0)
 
-        acc = jax.lax.fori_loop(0, W_SEG, body,
+        acc = jax.lax.fori_loop(0, wseg, body,
                                 jnp.zeros(shape, jnp.int32))
         return pltpu.bitcast(acc, u32)
 
@@ -215,10 +216,16 @@ def _decode_kernel(win_ref, l1lo_ref, l1hi_ref, l2_ref, entry_ref,
             is_deep = (e1 & DEEP_BIT) != 0
             idx16 = (e1 & 0xFFFF) * 256 + \
                 pltpu.bitcast((c0 >> u32(8)) & u32(255), jnp.int32)
-            e2 = jnp.zeros(shape, jnp.int32)
-            for p in range(L2_SIZE // 128):
-                g = gather128(l2s[p], idx16 & 127)
-                e2 = jnp.where((idx16 >> 7) == p, g, e2)
+
+            def l2body(p2, acc):
+                g = gather128(l2_ref[pl.ds(p2, 1)][0], idx16 & 127)
+                return jnp.where((idx16 >> 7) == p2, g, acc)
+
+            # dynamic bound: zero iterations when no block in the batch
+            # needs >8-bit codes (the common case — 16 gathers saved
+            # per lockstep step)
+            e2 = jax.lax.fori_loop(0, nl2 * 2, l2body,
+                                   jnp.zeros(shape, jnp.int32))
             ent = jnp.where(is_deep, e2, e1)
             sym = ent & 0x1FF
             cb = ((ent >> 16) & 0xFF).astype(u32)
@@ -324,9 +331,10 @@ def _decode_kernel(win_ref, l1lo_ref, l1hi_ref, l2_ref, entry_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def _run_kernel(win, l1lo, l1hi, l2, entry, segend, pbits, first,
+def _run_kernel(nl2, win, l1lo, l1hi, l2, entry, segend, pbits, first,
                 interpret: bool = False):
     ntiles = entry.shape[0] // 8
+    wseg = win.shape[0]
     emis, counts, steps = pl.pallas_call(
         _decode_kernel,
         out_shape=(
@@ -336,7 +344,8 @@ def _run_kernel(win, l1lo, l1hi, l2, entry, segend, pbits, first,
         ),
         grid=(ntiles,),
         in_specs=[
-            pl.BlockSpec((W_SEG, 8, 128), lambda t: (0, t, 0),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((wseg, 8, 128), lambda t: (0, t, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((8, 128), lambda t: (t, 0),
                          memory_space=pltpu.VMEM),
@@ -364,7 +373,7 @@ def _run_kernel(win, l1lo, l1hi, l2, entry, segend, pbits, first,
                         pltpu.SemaphoreType.DMA],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
-    )(win, l1lo, l1hi, l2, entry, segend, pbits, first)
+    )(nl2, win, l1lo, l1hi, l2, entry, segend, pbits, first)
     return emis, counts, steps
 
 
@@ -574,7 +583,7 @@ def decode_many(datas, interpret: bool = False) -> list:
         return [out[a:a + n].tobytes() for a, n in spans]
 
     # --- host: LUTs, fallback split, lane layout -------------------------
-    dev = []          # (payload, pbits, dbits, out_off, olen, l1, l2)
+    dev = []      # (payload, pbits, dbits, out_off, olen, l1, l2, nsl)
     for payload, pbits, dbits, ooff, olen, tree in huff:
         lut = build_lut16(tree)
         if lut is None:
@@ -601,7 +610,10 @@ def decode_many(datas, interpret: bool = False) -> list:
     # never straddling an 8-row tile ------------------------------------
     rows = []          # list of (block_idx, seg_lo)
     blk_rows = []
-    for i, (payload, pbits, dbits, ooff, olen, l1, l2) in enumerate(dev):
+    max_segw = 8
+    nl2_used = 0
+    for i, (payload, pbits, dbits, ooff, olen, l1, l2,
+            nsl) in enumerate(dev):
         body_bits = max(pbits - dbits, 1)
         body_words = -(-body_bits // 32)
         # segment size scales with payload: small (highly compressed,
@@ -609,6 +621,8 @@ def decode_many(datas, interpret: bool = False) -> list:
         # step count — and with it the emission buckets — stays low,
         # without spreading tiny payloads over all 512 segments
         segw = max(8, -(-body_words // SEG_PER_BLOCK))
+        max_segw = max(max_segw, segw)
+        nl2_used = max(nl2_used, nsl)
         nseg = -(-body_words // segw)
         nrow = -(-nseg // 128)
         blk_rows.append((segw, nseg, nrow))
@@ -622,7 +636,16 @@ def decode_many(datas, interpret: bool = False) -> list:
     nrows_l = len(rows)
     nl = nrows_l * 128
 
-    win = np.zeros((W_SEG, nrows_l, 128), np.int32)
+    # window rows actually needed: decode within a segment spans
+    # <= segw+2 words past its base plus <=3 words of refill lookahead;
+    # bucketed so jit traces stay few (the refill loop scans every row)
+    wseg = W_SEG
+    for b in (14, 22, W_SEG):
+        if max_segw + 6 <= b:
+            wseg = b
+            break
+
+    win = np.zeros((wseg, nrows_l, 128), np.int32)
     l1lo = np.zeros((nrows_l, 128), np.int32)
     l1hi = np.zeros((nrows_l, 128), np.int32)
     l2a = np.zeros((L2_SIZE // 128, nrows_l, 128), np.int32)
@@ -642,7 +665,7 @@ def decode_many(datas, interpret: bool = False) -> list:
     for r, (bi, seg_lo) in enumerate(rows):
         if bi < 0:
             continue
-        payload, pbits, dbits, ooff, olen, l1, l2 = dev[bi]
+        payload, pbits, dbits, ooff, olen, l1, l2, nsl = dev[bi]
         segw, nseg, nrow = blk_rows[bi]
         l1lo[r] = l1[:128]
         l1hi[r] = l1[128:]
@@ -660,11 +683,11 @@ def decode_many(datas, interpret: bool = False) -> list:
         # fixpoint takes ~128 extra sweeps
         first[r, 1 if seg_lo == 0 else 0:nj] = 0
         # per-lane word windows via one strided-view gather
-        need = (dbits // 32) + nseg * segw + W_SEG + 2
+        need = (dbits // 32) + nseg * segw + wseg + 2
         pw = np.zeros(need * 4, np.uint8)
         pw[:payload.size] = payload
         wsrc = pw.view("<u4").view(np.int32)
-        frames = np.lib.stride_tricks.sliding_window_view(wsrc, W_SEG)
+        frames = np.lib.stride_tricks.sliding_window_view(wsrc, wseg)
         win[:, r, :nj] = frames[e0 >> 5].T
         li = r * 128
         lane_live[li:li + nj] = True
@@ -678,6 +701,7 @@ def decode_many(datas, interpret: bool = False) -> list:
     block_first[dead] = np.flatnonzero(dead) if dead.any() else 0
 
     emis, counts, steps = _run_kernel(
+        jnp.asarray(np.array([nl2_used], np.int32)),
         jnp.asarray(win), jnp.asarray(l1lo), jnp.asarray(l1hi),
         jnp.asarray(l2a), jnp.asarray(entry), jnp.asarray(segend),
         jnp.asarray(pbits_a), jnp.asarray(first), interpret=interpret)
@@ -699,6 +723,6 @@ def decode_many(datas, interpret: bool = False) -> list:
         from . import jax_decoder
         return jax_decoder.decode_many(datas)
     emitted = words_np.view("<u4").view(np.uint8)[:total]
-    for payload, pbits, dbits, ooff, olen, l1, l2 in dev:
+    for payload, pbits, dbits, ooff, olen, l1, l2, nsl in dev:
         out[ooff:ooff + olen] = emitted[ooff:ooff + olen]
     return [out[a:a + n].tobytes() for a, n in spans]

@@ -82,7 +82,8 @@ def main():
     out["comp_len"] = len(comp)
 
     # --- device-compute encode (slope-timed) -------------------------
-    raw = jax.device_put(np.frombuffer(native, np.uint8))
+    # '<i4' word view, as the packer transfers it (packers/tpu._as_words)
+    raw = jax.device_put(np.frombuffer(native, "<i4"))
     f1, lengths_np = _pass1_xdelta(n, ch, bps, planes)
     small, blocks, toks = f1(raw)
     fused = len(toks) == 2   # fused pass-1: (token words, hist)

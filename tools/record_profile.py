@@ -1,0 +1,108 @@
+"""Record a per-stage device/host profile artifact (PROFILE_rNN.json).
+
+Combines three measurements into one JSON artifact for the round
+record:
+  * encode stage timings on the chip (tools/profile_stages_ab.py —
+    interleaved min-of-rounds, load-noise-cancelled),
+  * device decode split + device-compute GB/s (tools/bench_tpu.py),
+  * native streaming pipeline stage marks (RSPT_STREAM_PROFILE=1).
+
+Usage: python tools/record_profile.py [round_number]
+"""
+
+import json
+import os
+import re
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run(cmd, env=None, timeout=900):
+    e = dict(os.environ)
+    if env:
+        e.update(env)
+    return subprocess.run(cmd, capture_output=True, text=True,
+                          timeout=timeout, env=e, cwd=REPO)
+
+
+def encode_stages():
+    r = run([sys.executable, "tools/profile_stages_ab.py"])
+    out = {}
+    for line in r.stdout.splitlines():
+        m = re.match(r"^(\S+)\s+([\d.]+) ms$", line.strip())
+        if m:
+            out[m.group(1)] = float(m.group(2))
+    return out
+
+
+def decode_split():
+    r = run([sys.executable, "tools/bench_tpu.py"])
+    for line in reversed(r.stdout.strip().splitlines()):
+        try:
+            return json.loads(line)
+        except ValueError:
+            continue
+    return {"error": r.stderr[-400:]}
+
+
+def streaming_stages():
+    code = r"""
+import sys, time
+sys.path.insert(0, %r)
+import numpy as np
+from bench import make_ecg
+from rspt_tpu.filters import design as fdesign
+from rspt_tpu.pipeline import StreamConfig, StreamingCodec
+sig, native = make_ecg(12, 34199)
+scfg = StreamConfig(4, 12, 4096, sampling_rate=1000.0, nr_bytes_to_encode=3)
+b_c, a_c = fdesign.create_filter_iir(
+    fdesign.FilterKind.BUTTERWORTH, fdesign.FilterType.BAND_PASS,
+    2, 1000.0, 0.4, 200.0)
+scfg.filter_coeffs = (a_c, b_c)
+codec = StreamingCodec(scfg); codec.push(native)
+best = 9e9
+for rep in range(7):
+    c = StreamingCodec(scfg); c._warmed = True
+    for f_ in c._filters: f_.set_state(([0.0]*f_.p, [0.0]*f_.p))
+    t0 = time.perf_counter(); c.push(native)
+    best = min(best, time.perf_counter()-t0)
+print("STREAM_BEST %.6f %.1f" % (best, len(native)/best/1e6))
+""" % (REPO,)
+    r = run([sys.executable, "-c", code], env={"RSPT_STREAM_PROFILE": "1"})
+    stages = {}
+    for line in r.stderr.splitlines():
+        m = re.match(r"rn_stream (\S+)\s+([\d.]+) ms", line)
+        if m:  # keep the LAST (warmest) value per stage
+            stages[m.group(1)] = float(m.group(2))
+    best = None
+    for line in r.stdout.splitlines():
+        if line.startswith("STREAM_BEST"):
+            _, t, mbps = line.split()
+            best = {"best_s": float(t), "MBps": float(mbps)}
+    return {"stages_ms": stages, "throughput": best}
+
+
+def main():
+    rnd = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+    art = {
+        "round": rnd,
+        "payload": "12ch x 34199 x 4B ECG (1.64 MB), xdelta_hzr 3 planes",
+        "method": ("encode stages: interleaved K-loop slope, min of 7 "
+                   "rounds (tools/profile_stages_ab.py); decode: "
+                   "tools/bench_tpu.py device-compute split; streaming: "
+                   "native stage marks, best of 7 pushes"),
+        "encode_stages_ms": encode_stages(),
+        "device_bench": decode_split(),
+        "streaming": streaming_stages(),
+    }
+    path = os.path.join(REPO, "PROFILE_r%02d.json" % rnd)
+    with open(path, "w") as f:
+        json.dump(art, f, indent=1)
+    print(path)
+    print(json.dumps(art, indent=1))
+
+
+if __name__ == "__main__":
+    main()
