@@ -89,6 +89,34 @@ GSIZE = 8      # chunks merged per super-window (span ≤ 8*112+127 words)
 R_CW = 64      # chunk rows per window-build grid step
 
 
+def _tri128():
+    """(128,128) lower-triangular-inclusive ones, bf16 (L[j,w]=1 iff
+    j<=w): right-multiplying computes an inclusive 128-lane prefix."""
+    j = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+    w = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+    return (j <= w).astype(jnp.bfloat16)
+
+
+def _mxu_iprefix32(c, tri):
+    """Inclusive 128-lane prefix sum of an int32 plane, wraparound-
+    exact, via 4 byte-quarter MXU dots: u8 quarters are exact in bf16
+    (<=255 needs 8 significand bits) and each f32 accumulation stays
+    below 2^24 (<=255*128), so quarter reassembly reproduces the int32
+    sum mod 2^32. Replaces the 7-step roll doubling scan — the rolls,
+    not the adds, dominated the windows kernels."""
+    u = pltpu.bitcast(c, jnp.uint32)
+    acc = None
+    for k in range(4):
+        q = pltpu.bitcast((u >> jnp.uint32(8 * k)) & jnp.uint32(255),
+                          jnp.int32)
+        s = jax.lax.dot_general(q.astype(jnp.bfloat16), tri,
+                                (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        si = s.astype(jnp.int32) << (8 * k)
+        acc = si if acc is None else acc + si
+    return acc
+
+
 def _chunk_windows_kernel(local_ref, c0_ref, c1_ref, c2_ref, dense_ref):
     """Per-chunk dense 128-word windows via prefix-sum + binary search
     + gather-diff — O(K log K) per chunk instead of the O(K·W)
@@ -101,13 +129,10 @@ def _chunk_windows_kernel(local_ref, c0_ref, c1_ref, c2_ref, dense_ref):
     E_d[cnt[w-d-1]].  Tile = R_CW chunk rows x 128 token lanes."""
     loc = local_ref[0]
     lane = jax.lax.broadcasted_iota(jnp.int32, loc.shape, 1)
+    tri = _tri128()
 
     def eprefix(c):
-        v = c
-        p = 1
-        while p < 128:
-            v = v + jnp.where(lane >= p, pltpu.roll(v, p, 1), 0)
-            p *= 2
+        v = _mxu_iprefix32(c, tri)
         return jnp.where(lane == 0, 0, pltpu.roll(v, 1, 1))
 
     e0 = eprefix(c0_ref[0])
@@ -470,21 +495,29 @@ def _windows_core(sym, extra, ebit, tval, lut_ref, w0_ref, w1_ref,
     lo = jnp.where(live, lo, u32(0))
     hi = jnp.where(live, hi, u32(0))
 
-    # group-local exclusive bit prefix in (row, lane) order
+    # group-local exclusive bit prefix in (row, lane) order — MXU dots
+    # (nbits <= 38 is bf16-exact; row sums <= 4864 get two quarters)
     R = sym.shape[0]
     lane = jax.lax.broadcasted_iota(jnp.int32, (R, 128), 1)
-    row = jax.lax.broadcasted_iota(jnp.int32, (R, 128), 0)
-    v = nbits
-    p = 1
-    while p < 128:
-        v = v + jnp.where(lane >= p, pltpu.roll(v, p, 1), 0)
-        p *= 2
+    tri = _tri128()
+    v = jax.lax.dot_general(nbits.astype(jnp.bfloat16), tri,
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32
+                            ).astype(jnp.int32)
+    jr = jax.lax.broadcasted_iota(jnp.int32, (R, R), 0)
+    qr = jax.lax.broadcasted_iota(jnp.int32, (R, R), 1)
+    tris = (qr < jr).astype(jnp.bfloat16)  # strict: row r sums rows < r
     tot = jnp.broadcast_to(v[:, 127:128], (R, 128))
-    c = jnp.where(row >= 1, pltpu.roll(tot, 1, 0), 0)
-    q = 1
-    while q < R:
-        c = c + jnp.where(row >= q + 1, pltpu.roll(c, q, 0), 0)
-        q *= 2
+    c = None
+    for k in (0, 1):
+        qk = pltpu.bitcast((pltpu.bitcast(tot, jnp.uint32)
+                            >> jnp.uint32(8 * k)) & jnp.uint32(255),
+                           jnp.int32)
+        sk = jax.lax.dot_general(tris, qk.astype(jnp.bfloat16),
+                                 (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32
+                                 ).astype(jnp.int32) << (8 * k)
+        c = sk if c is None else c + sk
     excl = v + c - nbits
     # group bit total, broadcast over the (R, 1) column block (a (1, 1)
     # block shape is rejected by the Mosaic tiling check)
@@ -508,17 +541,10 @@ def _windows_core(sym, extra, ebit, tval, lut_ref, w0_ref, w1_ref,
     # per-row INCLUSIVE prefixes of the contribution planes (all 128
     # lanes hold live tokens, so counts reach 128 and the gather below
     # is at cnt-1 — an exclusive prefix could not represent "all")
-    def iprefix(cp):
-        vv = cp
-        pp = 1
-        while pp < 128:
-            vv = vv + jnp.where(lane >= pp, pltpu.roll(vv, pp, 1), 0)
-            pp *= 2
-        return vv
-
-    e0 = iprefix(c0)
-    e1 = iprefix(c1)
-    e2 = iprefix(c2)
+    tri = _tri128()
+    e0 = _mxu_iprefix32(c0, tri)
+    e1 = _mxu_iprefix32(c1, tri)
+    e2 = _mxu_iprefix32(c2, tri)
 
     # cnt[w] = #{j: loc[j] <= w} ∈ [0,128]: 7-step binary search (loc
     # sorted within each row) reaches 127; the all-lanes case is the
