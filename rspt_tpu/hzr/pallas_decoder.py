@@ -394,7 +394,11 @@ def _place_emissions(emis, steps_used, counts, block_first, out_off,
     Returns (words (nrows, 128) i32 — bitcast to the output bytes —
     and the fallback-overflow flag).
     """
-    K = K_PLACE
+    # 8-bit fields at byte offsets span <=33 words per 127 entries, so
+    # the main pack fits 127 real lanes per 128-lane window row (lane
+    # 127 dead keeps the search saturation lossless); the 32-bit
+    # fallback pack keeps K_PLACE=96 (96 words <= the 126-word window)
+    K = 127
     ntiles = emis.shape[0]
     nl = ntiles * 8 * 128
     lanes = emis[:, :s_eff].transpose(0, 2, 3, 1).reshape(nl, s_eff)
@@ -453,9 +457,17 @@ def _place_emissions(emis, steps_used, counts, block_first, out_off,
     vals = jnp.pad(vals, pad)
     live_p = jnp.pad(live_f, pad)
 
-    # chunk span check (pack windows hold <= 126 words)
+    # chunk span check (pack windows hold <= 126 words) + merge_place's
+    # within-group d <= 1023 contract (chunk base vs its 8-group base)
+    from ..ops.pallas_kernels import GSIZE
     o3 = offs.reshape(1, Sp // K, K)
     span_ok = ((o3[:, :, -1] - o3[:, :, 0]) >> 5) <= 120
+    nchunks = Sp // K
+    ngr = -(-nchunks // GSIZE)
+    cb_ = jnp.pad(o3[:, :, 0] >> 5,
+                  ((0, 0), (0, ngr * GSIZE - nchunks)), mode="edge")
+    dd = cb_ - jnp.repeat(cb_[:, ::GSIZE], GSIZE, axis=1)
+    span_ok = span_ok & (dd <= 1023)[:, :nchunks]
     fits = jnp.repeat(span_ok, K, axis=1).reshape(1, Sp)
 
     words = _pack_fields(vals, jnp.where(fits, nbits, 0), offs, nrows,
@@ -471,13 +483,20 @@ def _place_emissions(emis, steps_used, counts, block_first, out_off,
     def with_fallback(flat):
         rank0 = jnp.cumsum(fb.astype(jnp.int32), axis=1) - 1
         rank = jnp.maximum(rank0, 0)      # monotone incl. dead slots
-        nrows_fb = -(-(-(-FALLBACK_CAP // 128)) // 8) * 8
-        fb_val = _pack_fields(jnp.where(fb, vals, 0),
-                              jnp.where(fb, 32, 0), rank * 32,
-                              nrows_fb, interpret, K)
+        Kf = K_PLACE
+        Sp2 = -(-Sp // Kf) * Kf
+        pad2 = ((0, 0), (0, Sp2 - Sp))
+        fb2 = jnp.pad(fb, pad2)
+        nb2 = jnp.where(fb2, 32, 0)
+        rank2 = jnp.pad(rank, pad2, mode="edge")
+        # +16 rows: merge_place needs 2048 words of gbase headroom
+        nrows_fb = (-(-FALLBACK_CAP // 128) + 16 + 7) // 8 * 8
+        fb_val = _pack_fields(jnp.pad(jnp.where(fb, vals, 0), pad2),
+                              nb2, rank2 * 32, nrows_fb, interpret, Kf)
         fb_pos = _pack_fields(
-            jnp.where(fb, offs.astype(jnp.uint32) >> 3, jnp.uint32(0)),
-            jnp.where(fb, 32, 0), rank * 32, nrows_fb, interpret, K)
+            jnp.pad(jnp.where(fb, offs.astype(jnp.uint32) >> 3,
+                              jnp.uint32(0)), pad2),
+            nb2, rank2 * 32, nrows_fb, interpret, Kf)
         fbv = fb_val.reshape(-1)[:FALLBACK_CAP]
         fbp = fb_pos.reshape(-1)[:FALLBACK_CAP]
         slot_live = jnp.arange(FALLBACK_CAP, dtype=jnp.int32) < nfb
@@ -499,27 +518,27 @@ def _place_emissions(emis, steps_used, counts, block_first, out_off,
 def _pack_fields(vals, nbits, offs, nrows, interpret, K=K_PLACE):
     """Adapter onto the encoder's Pallas pack kernels for <=32-bit
     fields with monotone offsets (single logical block). Window build
-    is the shared O(K log K) chunk_windows kernel; placement is the
-    PER-CHUNK kernel, not merge_place — the decoder's offset stream
-    jumps by a whole block's output span at block boundaries, which
-    breaks merge_place's within-group d<=1023 contract."""
-    from ..ops.pallas_kernels import (R_CW, chunk_windows_pallas,
-                                      place_chunks_pallas)
+    is the single-plane chunk_windows kernel (these fields never
+    straddle a word); placement merges 8 chunks per super via
+    merge_place — callers must route any chunk whose base is >1023
+    words past its group's base to the fallback (decoder output
+    offsets are near-dense, so that only happens across very long
+    zero-run gaps, which the span check already diverts)."""
+    from ..ops.pallas_kernels import (GSIZE, R_CW, chunk_windows1_pallas,
+                                      merge_place_pallas)
 
     S = vals.shape[1]
     nchunks = S // K
     nchunks_p = -(-nchunks // R_CW) * R_CW
     sh = (offs & 31).astype(jnp.uint32)
-    inv = jnp.uint32(32) - sh
     live = nbits > 0
     lo = jnp.where(live, vals, jnp.uint32(0))
+    # both callers' fields never straddle a word (8-bit at byte
+    # offsets / 32-bit word-aligned): single contribution plane
     c0 = (lo << sh).astype(jnp.int32)
-    c1 = jnp.where(sh > 0, lo >> inv, jnp.uint32(0)).astype(jnp.int32)
-    c2 = jnp.zeros_like(c0)
 
     word = jnp.right_shift(offs, 5)
     bases = jnp.right_shift(offs[:, ::K], 5)
-    bases = jnp.clip(bases, 0, nrows * 128 - 256)
 
     def prep(a, fill=0):
         a = a.reshape(1, nchunks, K)
@@ -530,16 +549,19 @@ def _pack_fields(vals, nbits, offs, nrows, interpret, K=K_PLACE):
         return jnp.pad(a, ((0, 0), (0, 0), (0, 128 - K)),
                        constant_values=fill)
 
-    bases_p = jnp.pad(bases, ((0, 0), (0, nchunks_p - nchunks)))
+    bases_p = jnp.pad(bases, ((0, 0), (0, nchunks_p - nchunks)),
+                      mode="edge")
     local = jnp.clip(prep(word, fill=1 << 22) - bases_p[:, :, None],
                      0, 125)
     live_c = jnp.any(prep(jnp.where(live, 1, 0)) > 0, axis=2,
                      keepdims=True)
-    dense = chunk_windows_pallas(local, prep(c0), prep(c1), prep(c2),
-                                 interpret=interpret)
-    out = place_chunks_pallas(dense, bases_p[:, :, None],
-                              live_c.astype(jnp.int32), nrows,
-                              interpret=interpret)
+    dense = chunk_windows1_pallas(local, prep(c0), interpret=interpret)
+    gbase = jnp.clip(bases_p[:, ::GSIZE], 0, nrows * 128 - 2048)
+    d = jnp.clip(bases_p - jnp.repeat(gbase, GSIZE, axis=1), 0, 1023)
+    glive = jnp.any(live_c.reshape(1, -1, GSIZE, 1), axis=2)
+    out = merge_place_pallas(dense, d[:, :, None], gbase[:, :, None],
+                             glive.astype(jnp.int32), nrows,
+                             interpret=interpret)
     return out.reshape(nrows, 128)
 
 
@@ -710,9 +732,9 @@ def decode_many(datas, interpret: bool = False) -> list:
     # placement problem than the static cap
     s_eff = _bucket_steps(int(np.asarray(steps).max(initial=1)))
 
-    # slack: the placement kernel clamps window bases at
-    # nrows*128 - 256, so give the real data 256+ words of headroom
-    nrows_out = -(-(total // 4 + 2 + 384) // 128)
+    # slack: merge_place clamps group bases at nrows*128 - 2048, so
+    # the real data needs 2048+ words of headroom above it
+    nrows_out = -(-(total // 4 + 2 + 2048 + 192) // 128)
     nrows_out = -(-nrows_out // 8) * 8
     words = _place_emissions(
         emis, steps, counts, jnp.asarray(block_first),

@@ -176,6 +176,42 @@ def chunk_windows_pallas(local, c0, c1, c2, interpret: bool = False):
     )(local, c0, c1, c2)
 
 
+def _chunk_windows1_kernel(local_ref, c0_ref, dense_ref):
+    """Single-plane chunk_windows: for fields that never spill their
+    word (8-bit at byte offsets, 32-bit word-aligned — the decoder
+    placement cases) planes c1/c2 are identically zero, so one MXU
+    prefix + one gather replaces three of each."""
+    loc = local_ref[0]
+    lane = jax.lax.broadcasted_iota(jnp.int32, loc.shape, 1)
+    tri = _tri128()
+    v = _mxu_iprefix32(c0_ref[0], tri)
+    e0 = jnp.where(lane == 0, 0, pltpu.roll(v, 1, 1))
+
+    idx = jnp.zeros(loc.shape, jnp.int32)
+    for b in (64, 32, 16, 8, 4, 2, 1):
+        t = idx + b
+        vb = jnp.take_along_axis(loc, t - 1, axis=1)
+        idx = jnp.where(vb <= lane, t, idx)
+    g0 = jnp.take_along_axis(e0, idx, axis=1)
+    dense_ref[0] = g0 - jnp.where(lane < 1, 0, pltpu.roll(g0, 1, 1))
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def chunk_windows1_pallas(local, c0, interpret: bool = False):
+    """chunk_windows_pallas for single-word fields (c1 = c2 = 0)."""
+    nb, nc, _ = local.shape
+    spec = pl.BlockSpec((1, R_CW, 128), lambda b, g: (b, g, 0),
+                        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _chunk_windows1_kernel,
+        out_shape=jax.ShapeDtypeStruct((nb, nc, 128), jnp.int32),
+        grid=(nb, nc // R_CW),
+        in_specs=[spec] * 2,
+        out_specs=spec,
+        interpret=interpret,
+    )(local, c0)
+
+
 def _place_windows_kernel(dense_ref, bases_ref, live_ref, out_ref):
     """Sequential placement of per-chunk dense word windows into one
     block's output word array. Windows of adjacent chunks share only

@@ -208,6 +208,52 @@ def main():
 
     add("pack_place_B", packB)
 
+    # --- decode: kernel vs placement (same-process, same clock) ------
+    import rspt_tpu.hzr.pallas_decoder as pd
+    from rspt_tpu.packers import tpu as tpack
+
+    packer = tpack.new_xdelta_hzr(bps, ch, n, planes)
+    comp = packer.compress(np.frombuffer(native, np.uint8))
+    src = memoryview(comp)
+    pos = 1
+    streams = []
+    for _ in range(planes):
+        clen = int.from_bytes(src[pos:pos + 4], "little")
+        pos += 4
+        streams.append(bytes(src[pos:pos + clen]))
+        pos += clen
+    holder = {}
+    orig_run, orig_place = pd._run_kernel, pd._place_emissions
+
+    def run_spy(*a, **k):
+        holder["run"] = (a, k)
+        return orig_run(*a, **k)
+
+    def place_spy(*a, **k):
+        holder["place"] = (a, k)
+        return orig_place(*a, **k)
+
+    pd._run_kernel, pd._place_emissions = run_spy, place_spy
+    pd.decode_many(streams)
+    pd._run_kernel, pd._place_emissions = orig_run, orig_place
+    ra, rk = holder["run"]
+    pa, pkw = holder["place"]
+
+    def dec_kernel(acc):
+        win, a = jax.lax.optimization_barrier((ra[1], acc))
+        emis, counts, steps = orig_run.__wrapped__(
+            ra[0], win, *ra[2:], **rk)
+        return a + s(counts) + s(steps) + s(emis[:, :64])
+
+    add("dec_kernel", dec_kernel)
+
+    def dec_place(acc):
+        e, a = jax.lax.optimization_barrier((pa[0], acc))
+        words = orig_place.__wrapped__(e, *pa[1:], **pkw)
+        return a + s(words)
+
+    add("dec_place", dec_place)
+
     # compile all runners once
     runners = {}
     for name, body in bodies.items():
