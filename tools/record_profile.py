@@ -50,7 +50,7 @@ def decode_split():
 def streaming_stages():
     code = r"""
 import sys, time
-sys.path.insert(0, %r)
+sys.path.insert(0, @REPO@)
 import numpy as np
 from bench import make_ecg
 from rspt_tpu.filters import design as fdesign
@@ -69,7 +69,7 @@ for rep in range(7):
     t0 = time.perf_counter(); c.push(native)
     best = min(best, time.perf_counter()-t0)
 print("STREAM_BEST %.6f %.1f" % (best, len(native)/best/1e6))
-""" % (REPO,)
+""".replace("@REPO@", repr(REPO))
     r = run([sys.executable, "-c", code], env={"RSPT_STREAM_PROFILE": "1"})
     stages = {}
     for line in r.stderr.splitlines():
