@@ -625,6 +625,148 @@ def pack_blocks_tokw(tokw, codes, code_bits, desc_bits, platform=None,
 pack_blocks_tokw.__wrapped__ = _pack_blocks_tokw_impl
 
 
+_EBITS_VEC = np.zeros(NUM_SYMBOLS, np.int64)
+_EBITS_VEC[256:261] = (0, 2, 4, 8, 14)
+
+
+def host_layout(hist_np, lengths_np, cbits, desc_bits, is_fill):
+    """Exact per-block stream layout from the histograms alone.
+
+    The token bit count is Σ_s hist[s]·(code_bits[s]+extra_bits[s]), so
+    the host knows every block's exact payload size — and therefore the
+    final byte layout of the whole stream — before the device packs a
+    single bit. Returns (total_bits, comp_len, is_huff, any_copy) with
+    the same HUFF/COPY split as compact_payloads.
+    """
+    tokbits = (hist_np.astype(np.int64)
+               * (cbits.astype(np.int64) + _EBITS_VEC[None, :])).sum(1)
+    total_bits = desc_bits.astype(np.int64) + tokbits
+    plen = (total_bits + 7) >> 3
+    live = np.asarray(lengths_np) > 0
+    is_huff = ((~is_fill) & live & (plen <= lengths_np)
+               & (plen < MAX_BLOCK_SIZE))
+    any_copy = bool(((~is_fill) & live & (~is_huff)).any())
+    comp_len = np.where(is_huff, plen, 0).astype(np.int64)
+    return total_bits, comp_len, is_huff, any_copy
+
+
+def _pack_tokens_flat_impl(tokw, codes, code_bits, desc_bits, woff_bytes,
+                           block_live, nrows_f: int,
+                           interpret: bool = False):
+    """Pack every HUFF block's token bits directly into ONE flat word
+    buffer at its exact final byte offset (host_layout). Replaces the
+    per-block max-size buffers + compact_payloads pass: the d2h is the
+    finished payload stream (headers/descriptions spliced by the host).
+    """
+    from ..ops.pallas_kernels import (ACC_ROWS, D_CLAMP, SUP_CHUNKS,
+                                      super_place_flat_pallas,
+                                      token_group_windows_tokw_pallas)
+
+    nb = tokw.shape[0]
+    comb = (jax.lax.bitcast_convert_type(codes, jnp.int32)
+            & jnp.int32(0xFFFFFF)) | (code_bits.astype(jnp.int32) << 24)
+    w0, w1, cbase, clive, gtot = token_group_windows_tokw_pallas(
+        tokw, comb, interpret=interpret)
+    nc = cbase.shape[1]
+    ng = gtot.shape[1]
+    gb = gtot
+    p = 1
+    while p < ng:
+        gb = gb + jnp.pad(gb, ((0, 0), (p, 0)))[:, :ng]
+        p *= 2
+    # absolute bit base per group: block payload byte offset*8 + desc
+    group_base = (woff_bytes.astype(jnp.int32) * 8
+                  + desc_bits)[:, None] + gb - gtot
+    nsup = nc // SUP_CHUNKS
+    sup_per_g = nsup // ng
+    superbase = cbase[:, ::SUP_CHUNKS]
+    d = jnp.clip(cbase - jnp.repeat(superbase, SUP_CHUNKS, axis=1),
+                 0, D_CLAMP)
+    gb_s = jnp.repeat(group_base, sup_per_g, axis=1)
+    wbase = jnp.clip(jnp.right_shift(gb_s, 5) + superbase,
+                     0, (nrows_f - ACC_ROWS) * 128)
+    sbits = gb_s & 31
+    slive = jnp.any(clive.reshape(nb, nsup, SUP_CHUNKS) > 0, axis=2)
+    slive = slive & block_live[:, None]
+    return super_place_flat_pallas(
+        w0, w1, d[:, :, None], d.reshape(nb, nsup, SUP_CHUNKS),
+        wbase[:, :, None], sbits[:, :, None],
+        slive[:, :, None].astype(jnp.int32), nrows_f,
+        interpret=interpret)
+
+
+pack_tokens_flat = jax.jit(_pack_tokens_flat_impl,
+                           static_argnames=("nrows_f", "interpret"))
+
+
+GROUP_TOK_FLAT = 8192  # must equal ops.pallas_kernels.GROUP_TOK
+
+
+def flat_compact_layout(hist_np, is_huff):
+    """Host-side token layout for the compacted flat pack: per-block
+    token counts from the histograms, bases group-aligned so no
+    windows group straddles a block. Non-HUFF blocks park in a trash
+    span past the real region (their windows never place)."""
+    ntok = hist_np.sum(axis=1).astype(np.int64)
+    groups = np.where(is_huff, -(-ntok // GROUP_TOK_FLAT), 0)
+    gpref = np.concatenate(([0], np.cumsum(groups)[:-1]))
+    T = int(groups.sum()) * GROUP_TOK_FLAT
+    bases = np.where(is_huff, gpref * GROUP_TOK_FLAT, T).astype(np.int32)
+    ng = int(groups.sum())
+    g2b = np.repeat(np.arange(len(groups)), groups)
+    gfirst = np.repeat(gpref, groups).astype(np.int32)
+    return bases, T, ng, g2b, gfirst
+
+
+def _pack_tokens_flat2_impl(tokw, bases, lut3, dbits_g, woff_g, gfirst,
+                            t_rows: int, T: int, nrows_f: int,
+                            interpret: bool = False):
+    """Compacted flat pack: tokens of every HUFF block compacted to a
+    dense group-aligned stream (3-4x fewer pack slots than the
+    positional (nb, 64Ki) layout), then windows with per-group block
+    LUTs and one flat exact-offset placement."""
+    from ..ops.pallas_kernels import (ACC_ROWS, D_CLAMP, SUP_CHUNKS,
+                                      compact_tokens_pallas,
+                                      super_place_flat_pallas,
+                                      token_group_windows_grouped_pallas)
+
+    tokc = compact_tokens_pallas(tokw, bases, t_rows,
+                                 interpret=interpret)
+    flat = tokc.reshape(1, -1)[:, :T]
+    w0, w1, cbase, clive, gtot = token_group_windows_grouped_pallas(
+        flat, lut3, interpret=interpret)
+    ng = gtot.shape[1]
+    gb = gtot
+    p = 1
+    while p < ng:
+        gb = gb + jnp.pad(gb, ((0, 0), (p, 0)))[:, :ng]
+        p *= 2
+    e = gb - gtot                      # global exclusive bit scan
+    e_in = e - jnp.take(e[0], gfirst)[None, :]   # restart per block
+    group_base = woff_g[None, :] * 8 + dbits_g[None, :] + e_in
+    nc = cbase.shape[1]
+    nsup = nc // SUP_CHUNKS
+    sup_per_g = nsup // ng
+    superbase = cbase[:, ::SUP_CHUNKS]
+    d = jnp.clip(cbase - jnp.repeat(superbase, SUP_CHUNKS, axis=1),
+                 0, D_CLAMP)
+    gb_s = jnp.repeat(group_base, sup_per_g, axis=1)
+    wbase = jnp.clip(jnp.right_shift(gb_s, 5) + superbase,
+                     0, (nrows_f - ACC_ROWS) * 128)
+    sbits = gb_s & 31
+    slive = jnp.any(clive.reshape(1, nsup, SUP_CHUNKS) > 0, axis=2)
+    return super_place_flat_pallas(
+        w0, w1, d[:, :, None], d.reshape(1, nsup, SUP_CHUNKS),
+        wbase[:, :, None], sbits[:, :, None],
+        slive[:, :, None].astype(jnp.int32), nrows_f,
+        interpret=interpret)
+
+
+pack_tokens_flat2 = jax.jit(
+    _pack_tokens_flat2_impl,
+    static_argnames=("t_rows", "T", "nrows_f", "interpret"))
+
+
 def hist_from_tokw(tokw):
     """(nb, ntok) packed token words → (nb, 261) histograms.
 

@@ -731,9 +731,28 @@ def _super_place_kernel(w0_ref, w1_ref, drow_ref, dlane_ref, wbase_ref,
     lane-rotated to the global word base, and added into the output
     with a single read-modify-write. One dynamic iteration per super.
     """
+    out_ref[...] = jnp.zeros(out_ref.shape, jnp.int32)
+    _super_place_body(w0_ref, w1_ref, drow_ref, dlane_ref, wbase_ref,
+                      sbits_ref, slive_ref, out_ref)
+
+
+def _super_place_flat_kernel(w0_ref, w1_ref, drow_ref, dlane_ref,
+                             wbase_ref, sbits_ref, slive_ref, out_ref):
+    """_super_place_kernel writing one FLAT output shared by every
+    block in the grid (wbase carries absolute word offsets): zero-init
+    only on the first grid step, accumulate across all of them."""
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        out_ref[...] = jnp.zeros(out_ref.shape, jnp.int32)
+
+    _super_place_body(w0_ref, w1_ref, drow_ref, dlane_ref, wbase_ref,
+                      sbits_ref, slive_ref, out_ref)
+
+
+def _super_place_body(w0_ref, w1_ref, drow_ref, dlane_ref, wbase_ref,
+                      sbits_ref, slive_ref, out_ref):
     nsup = wbase_ref.shape[1]
     u32 = jnp.uint32
-    out_ref[...] = jnp.zeros(out_ref.shape, jnp.int32)
     lane32 = jax.lax.broadcasted_iota(jnp.int32, (SUP_CHUNKS, 128), 1)
     laneA = jax.lax.broadcasted_iota(jnp.int32, (ACC_ROWS, 128), 1)
     rowiota = jax.lax.broadcasted_iota(jnp.int32, (ACC_ROWS, SUP_CHUNKS),
@@ -845,6 +864,200 @@ def super_place_pallas(w0, w1, drow, dlane, wbase, sbits, slive,
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )(w0, w1, drow, dlane, wbase, sbits, slive)
+
+
+@functools.partial(jax.jit, static_argnames=("nrows", "interpret"))
+def super_place_flat_pallas(w0, w1, drow, dlane, wbase, sbits, slive,
+                            nrows: int, interpret: bool = False):
+    """super_place_pallas into ONE flat (nrows, 128) word buffer shared
+    by all blocks — wbase carries absolute word offsets (the host knows
+    every block's exact payload size from its histogram, so the final
+    stream layout is known before packing)."""
+    nb, nc, _ = w0.shape
+    nsup = nc // SUP_CHUNKS
+    wspec = pl.BlockSpec((1, nc, 128), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM)
+    sspec = pl.BlockSpec((1, nsup, 1), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        _super_place_flat_kernel,
+        out_shape=jax.ShapeDtypeStruct((1, nrows, 128), jnp.int32),
+        grid=(nb,),
+        in_specs=[
+            wspec, wspec,
+            pl.BlockSpec((1, nc, 1), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nsup, SUP_CHUNKS), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            sspec, sspec, sspec,
+        ],
+        out_specs=pl.BlockSpec((1, nrows, 128), lambda b: (0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(w0, w1, drow, dlane, wbase, sbits, slive)
+    return out[0]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def token_group_windows_grouped_pallas(tokc, lut3, interpret: bool = False):
+    """token_group_windows over a FLAT compacted token stream: one
+    (1, ntok) row whose 8192-token groups each belong to a single block
+    (compact_tokens_pallas guarantees the alignment); lut3 (ng, 3, 128)
+    carries each group's own block LUT."""
+    ntok = tokc.shape[1]
+    ng = ntok // GROUP_TOK
+    t4 = tokc.reshape(1, ng, R_TV, 128)
+    lut4 = jnp.broadcast_to(lut3.reshape(ng, 3, 1, 128),
+                            (ng, 3, R_TV, 128))
+    spec = pl.BlockSpec((1, 1, R_TV, 128), lambda g: (0, g, 0, 0),
+                        memory_space=pltpu.VMEM)
+    cspec = pl.BlockSpec((1, 1, R_TV, 1), lambda g: (0, g, 0, 0),
+                         memory_space=pltpu.VMEM)
+    w0, w1, cbase, clive, gtot = pl.pallas_call(
+        _tokw_windows_kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((1, ng, R_TV, 128), jnp.int32),
+            jax.ShapeDtypeStruct((1, ng, R_TV, 128), jnp.int32),
+            jax.ShapeDtypeStruct((1, ng, R_TV, 1), jnp.int32),
+            jax.ShapeDtypeStruct((1, ng, R_TV, 1), jnp.int32),
+            jax.ShapeDtypeStruct((1, ng, R_TV, 1), jnp.int32),
+        ),
+        grid=(ng,),
+        in_specs=[spec,
+                  pl.BlockSpec((1, 3, R_TV, 128), lambda g: (g, 0, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=(spec, spec, cspec, cspec, cspec),
+        interpret=interpret,
+    )(t4, lut4)
+    nc = ng * R_TV
+    return (w0.reshape(1, nc, 128), w1.reshape(1, nc, 128),
+            cbase.reshape(1, nc), clive.reshape(1, nc),
+            gtot[0, :, 0, 0][None, :])
+
+
+R_CT = 64      # token rows per compaction tile (8192 positions)
+CT_ACC = 16    # compaction accumulator rows (8-row super spans <= 11)
+
+
+def _compact_tokens_kernel(base_ref, tokw_ref, out_ref, carry_ref):
+    """Compact valid tokens of one (R_CT, 128) position tile to the
+    block's flat token span, preserving order.
+
+    Every stage is the pack machinery's own medicine: in-row ranks via
+    one exact MXU tri dot, source lanes via the 7-step binary search,
+    8-row supers rolled + one-hot-dot expanded and placed with one RMW
+    (positions are disjoint, so ADD is exact). The running token count
+    carries across a block's tiles in SMEM; base_ref holds each block's
+    flat token base (host-computed, group-aligned so downstream groups
+    never straddle blocks)."""
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+
+    @pl.when((b == 0) & (t == 0))
+    def _():
+        out_ref[...] = jnp.zeros(out_ref.shape, jnp.int32)
+
+    @pl.when(t == 0)
+    def _():
+        carry_ref[0] = base_ref[b]
+
+    w = tokw_ref[0, 0]                       # (R_CT, 128)
+    valid = jnp.right_shift(w, 27) & 1
+    lane = jax.lax.broadcasted_iota(jnp.int32, w.shape, 1)
+    tri = _tri128()
+    vr = jax.lax.dot_general(valid.astype(jnp.bfloat16), tri,
+                             (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32
+                             ).astype(jnp.int32)   # inclusive in-row rank
+    cnt = vr[:, 127:128]                     # (R_CT, 1) per-row counts
+
+    # source lane for output slot o: first lane with vr == o+1
+    src = jnp.zeros(w.shape, jnp.int32)
+    for step in (64, 32, 16, 8, 4, 2, 1):
+        nxt = src + step
+        v = jnp.take_along_axis(vr, nxt - 1, axis=1)
+        src = jnp.where(v <= lane, nxt, src)
+    packed = jnp.where(lane < cnt,
+                       jnp.take_along_axis(w, jnp.minimum(src, 127),
+                                           axis=1), 0)
+
+    # exclusive cross-row carry of the counts (<=128: one quarter)
+    R = w.shape[0]
+    jr = jax.lax.broadcasted_iota(jnp.int32, (R, R), 0)
+    qr = jax.lax.broadcasted_iota(jnp.int32, (R, R), 1)
+    tris = (qr < jr).astype(jnp.bfloat16)
+    rowbase = jax.lax.dot_general(
+        tris, jnp.broadcast_to(cnt, (R, 128)).astype(jnp.bfloat16),
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(jnp.int32)[:, 0:1]
+
+    carry = carry_ref[0]
+    lane8 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+    laneA = jax.lax.broadcasted_iota(jnp.int32, (CT_ACC, 128), 1)
+    rowiota = jax.lax.broadcasted_iota(jnp.int32, (CT_ACC, 8), 0)
+    u32 = jnp.uint32
+
+    for sup in range(R // 8):
+        rows = packed[8 * sup:8 * sup + 8]
+        off = carry + rowbase[8 * sup:8 * sup + 8]   # (8,1) abs index
+        row0 = off[0, 0] >> 7
+        d = off - (row0 << 7)                        # 0..~1151
+        sh = d & 127
+        rot = rows
+        for k in (1, 2, 4, 8, 16, 32, 64):
+            rot = jnp.where((sh & k) != 0, pltpu.roll(rot, k, 1), rot)
+        lo = jnp.where(lane8 >= sh, rot, 0)
+        hi = jnp.where(lane8 < sh, rot, 0)
+        rc = (d >> 7).reshape(1, 8)                  # acc row per source
+        x_lo = (rowiota == rc).astype(jnp.float32)
+        x_hi = (rowiota == rc + 1).astype(jnp.float32)
+
+        def quarters(sp):
+            up = pltpu.bitcast(sp, u32)
+            return [pltpu.bitcast((up >> u32(8 * q)) & u32(0xFF),
+                                  jnp.int32).astype(jnp.float32)
+                    for q in range(4)]
+
+        qlo = quarters(lo)
+        qhi = quarters(hi)
+        dot = functools.partial(jnp.dot,
+                                preferred_element_type=jnp.float32)
+        acc = jnp.zeros((CT_ACC, 128), jnp.int32)
+        for q in range(4):
+            a_q = dot(x_lo, qlo[q]) + dot(x_hi, qhi[q])
+            acc = acc | (a_q.astype(jnp.int32) << (8 * q))
+        out_ref[0, pl.ds(row0, CT_ACC), :] += acc
+
+    carry_ref[0] = carry + rowbase[R - 1, 0] + cnt[R - 1, 0]
+
+
+@functools.partial(jax.jit, static_argnames=("t_rows", "interpret"))
+def compact_tokens_pallas(tokw, bases, t_rows: int,
+                          interpret: bool = False):
+    """(nb, ntok) token words → (t_rows, 128) flat compacted tokens;
+    block b's valid tokens land in order at flat index bases[b]
+    (host-computed from the histograms, group-aligned). t_rows must
+    give >= CT_ACC rows of headroom past the last block's span."""
+    nb, ntok = tokw.shape
+    ntiles = -(-ntok // (R_CT * 128))
+    t4 = jnp.pad(tokw.astype(jnp.int32),
+                 ((0, 0), (0, ntiles * R_CT * 128 - ntok))
+                 ).reshape(nb, ntiles, R_CT, 128)
+    out = pl.pallas_call(
+        _compact_tokens_kernel,
+        out_shape=jax.ShapeDtypeStruct((1, t_rows, 128), jnp.int32),
+        grid=(nb, ntiles),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, R_CT, 128), lambda b, t: (b, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, t_rows, 128), lambda b, t: (0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.SMEM((1,), jnp.int32)],
+        interpret=interpret,
+    )(bases, t4)
+    return out[0]
 
 
 def _xdelta_fused_kernel(x_ref, prev_ref, o_ref):

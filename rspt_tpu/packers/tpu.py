@@ -264,6 +264,73 @@ def _entropy_streams(blocks_dev, toks, lengths_np, n_chunks: int,
         hist_np = np.asarray(hist)
     codes, cbits, desc_bytes, desc_bits, is_fill = \
         jax_coder.host_tables(hist_np, lengths_np)
+
+    # flat-exact path: the host knows every block's exact payload size
+    # from its histogram (host_layout), so the device packs straight
+    # into the final stream layout — no per-block max-size buffers, no
+    # compact_payloads pass, and the d2h is the finished payload bytes.
+    mode, _plat = jax_coder._resolve_pack_mode(None)
+    import os as _os
+    if (tokw is not None and mode in ("pallas", "interp")
+            and _os.environ.get("RSPT_FLAT_PACK", "1") != "0"):
+        total_bits_h, comp_len, is_huff, any_copy = jax_coder.host_layout(
+            hist_np, lengths_np, cbits, desc_bits, is_fill)
+        total_payload = int(comp_len.sum())
+        from ..ops.pallas_kernels import ACC_ROWS
+        nrows_f = -(-(total_payload // 4 + 2) // 128) + ACC_ROWS
+        nrows_f = -(-nrows_f // 8) * 8
+        # COPY-fallback blocks (incompressible) keep the old path; the
+        # flat buffer must also fit VMEM
+        if not any_copy and nrows_f <= 12288:
+            hoff = (np.cumsum(comp_len) - comp_len).astype(np.int64)
+            bases, T, ng, g2b, gfirst = jax_coder.flat_compact_layout(
+                hist_np, is_huff)
+            t_rows = T // 128 + 512 + 16
+            if ng > 0 and t_rows <= 16384:
+                # compacted flat pack: 3-4x fewer pack slots
+                comb_np = ((codes.astype(np.uint32)
+                            & np.uint32(0xFFFFFF))
+                           | (cbits.astype(np.uint32)
+                              << np.uint32(24))).view(np.int32)
+                lut3 = np.zeros((ng, 3 * 128), np.int32)
+                lut3[:, :comb_np.shape[1]] = comb_np[g2b]
+                words = jax_coder.pack_tokens_flat2(
+                    tokw, jax.device_put(bases),
+                    jax.device_put(lut3.reshape(ng, 3, 128)),
+                    jax.device_put(desc_bits[g2b].astype(np.int32)),
+                    jax.device_put(hoff[g2b].astype(np.int32)),
+                    jax.device_put(gfirst),
+                    t_rows=t_rows, T=T, nrows_f=nrows_f,
+                    interpret=(mode == "interp"))
+            elif ng == 0:
+                words = jnp.zeros((nrows_f, 128), jnp.int32)
+            else:
+                codes_d, cbits_d, dbits_d = jax.device_put(
+                    (codes, cbits, desc_bits))
+                words = jax_coder.pack_tokens_flat(
+                    tokw, codes_d, cbits_d, dbits_d,
+                    jax.device_put(hoff.astype(np.int32)),
+                    jax.device_put(is_huff),
+                    nrows_f=nrows_f, interpret=(mode == "interp"))
+            tight = np.asarray(words).reshape(-1).view("<u4").view(
+                np.uint8)[:total_payload].copy()
+            for i in np.flatnonzero(comp_len):
+                dlen = min(jax_coder.DESC_STRIDE, int(comp_len[i]))
+                hi = int(hoff[i])
+                tight[hi:hi + dlen] |= desc_bytes[i, :dlen]
+            fill_byte = jax_coder.fill_bytes_from_hist(hist_np)
+            copy_np = np.zeros(0, np.uint8)
+            copy_len = np.zeros(len(comp_len), np.int64)
+            streams = []
+            for k in range(n_chunks):
+                s = slice(k * nb_per, (k + 1) * nb_per)
+                hbase = int(hoff[s.start]) if s.start < len(hoff) else 0
+                streams.append(jax_coder.assemble_compact(
+                    lengths_np[s], tight[hbase:], comp_len[s],
+                    copy_np, copy_len[s], total_bits_h[s], is_fill[s],
+                    fill_byte[s]))
+            return streams
+
     codes_d, cbits_d, dbits_d = jax.device_put((codes, cbits, desc_bits))
     if tokw is not None:
         packed_dev, total_bits_dev = jax_coder.pack_blocks_tokw(

@@ -128,3 +128,35 @@ def test_fused_pass1_stream_bit_exact(rng, monkeypatch):
     assert comp == ph.compress(native)
     out, _ = p.decompress(comp)
     assert out == native
+
+
+def test_flat_pack_fill_and_copy_routing(rng, monkeypatch):
+    """The flat-exact pack path (host_layout + pack_tokens_flat):
+    FILL blocks (constant high planes) splice host-side with no device
+    writes; COPY-fallback blocks (incompressible planes) route to the
+    old per-block path. Both byte-identical to the host engine."""
+    monkeypatch.setenv("RSPT_FUSED_PASS1", "interp")
+    from rspt_tpu.hzr import jax_coder
+    monkeypatch.setattr(jax_coder, "_PACK_MODE", "interp")
+    from rspt_tpu.packers import host as hpack
+    from rspt_tpu.packers import tpu as tpack
+
+    ch, n, bps = 2, 19000, 4
+    # tiny amplitude: planes 1-2 constant after xdelta -> FILL blocks
+    sig = (rng.normal(0, 2, (ch, n))).astype(np.int32)
+    native = np.ascontiguousarray(sig.T).astype("<i4").tobytes()
+    p = tpack.new_xdelta_hzr(bps, ch, n, 3)
+    comp = p.compress(native)
+    assert comp == hpack.new_xdelta_hzr(bps, ch, n, 3).compress(native)
+    out, _ = p.decompress(comp)
+    assert out == native
+
+    # incompressible low plane -> COPY fallback (old path, any_copy)
+    ch2, n2 = 2, 17011
+    sig2 = rng.integers(-(1 << 23), 1 << 23, (ch2, n2)).astype(np.int32)
+    native2 = np.ascontiguousarray(sig2.T).astype("<i4").tobytes()
+    p2 = tpack.new_xdelta_hzr(bps, ch2, n2, 4)
+    comp2 = p2.compress(native2)
+    assert comp2 == hpack.new_xdelta_hzr(bps, ch2, n2, 4).compress(native2)
+    out2, _ = p2.decompress(comp2)
+    assert out2 == native2

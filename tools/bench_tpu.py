@@ -137,7 +137,42 @@ def main():
     t_compact = loop_time(compact_body)
     dev_enc = t_pass1 + t_pack + t_compact
     out.update(t_pass1_s=t_pass1, t_pack_s=t_pack,
-               t_compact_s=t_compact, device_enc_s=dev_enc,
+               t_compact_s=t_compact)
+
+    # flat-exact path (the production TPU pipeline): pack straight into
+    # the final stream layout, no compact stage
+    if fused:
+        tb_h, comp_len, is_huff, any_copy = jax_coder.host_layout(
+            hist_np, lengths_np, cbits, desc_bits, is_fill)
+        if not any_copy:
+            from rspt_tpu.ops.pallas_kernels import ACC_ROWS
+            total_payload = int(comp_len.sum())
+            nrows_f = -(-(total_payload // 4 + 2) // 128) + ACC_ROWS
+            nrows_f = -(-nrows_f // 8) * 8
+            hoff = (np.cumsum(comp_len) - comp_len).astype(np.int64)
+            bases, T, ng, g2b, gfirst = jax_coder.flat_compact_layout(
+                hist_np, is_huff)
+            t_rows = T // 128 + 512 + 16
+            comb_np = ((codes.astype(np.uint32) & np.uint32(0xFFFFFF))
+                       | (cbits.astype(np.uint32) << np.uint32(24))
+                       ).view(np.int32)
+            lut3 = np.zeros((ng, 3 * 128), np.int32)
+            lut3[:, :comb_np.shape[1]] = comb_np[g2b]
+            args = jax.device_put((
+                bases, lut3.reshape(ng, 3, 128),
+                desc_bits[g2b].astype(np.int32),
+                hoff[g2b].astype(np.int32), gfirst))
+
+            def flat_body(acc):
+                t_, a = jax.lax.optimization_barrier((tokw, acc))
+                words = jax_coder._pack_tokens_flat2_impl(
+                    t_, *args, t_rows=t_rows, T=T, nrows_f=nrows_f)
+                return a + s(words)
+
+            t_flat = loop_time(flat_body)
+            out["t_pack_flat_s"] = t_flat
+            dev_enc = t_pass1 + t_flat
+    out.update(device_enc_s=dev_enc,
                device_enc_gbps=nbytes / dev_enc / 1e9)
 
     # --- device-compute decode (Pallas kernel + placement) -----------
