@@ -936,7 +936,8 @@ def token_group_windows_grouped_pallas(tokc, lut3, interpret: bool = False):
 
 
 R_CT = 64      # token rows per compaction tile (8192 positions)
-CT_ACC = 16    # compaction accumulator rows (8-row super spans <= 11)
+CT_SUP = 16    # rows merged per compaction super (d <= 2047)
+CT_ACC = 24    # compaction accumulator rows (16-row super spans <= 17)
 
 
 def _compact_tokens_kernel(base_ref, tokw_ref, out_ref, carry_ref):
@@ -992,23 +993,22 @@ def _compact_tokens_kernel(base_ref, tokw_ref, out_ref, carry_ref):
         preferred_element_type=jnp.float32).astype(jnp.int32)[:, 0:1]
 
     carry = carry_ref[0]
-    lane8 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
-    laneA = jax.lax.broadcasted_iota(jnp.int32, (CT_ACC, 128), 1)
-    rowiota = jax.lax.broadcasted_iota(jnp.int32, (CT_ACC, 8), 0)
+    lane8 = jax.lax.broadcasted_iota(jnp.int32, (CT_SUP, 128), 1)
+    rowiota = jax.lax.broadcasted_iota(jnp.int32, (CT_ACC, CT_SUP), 0)
     u32 = jnp.uint32
 
-    for sup in range(R // 8):
-        rows = packed[8 * sup:8 * sup + 8]
-        off = carry + rowbase[8 * sup:8 * sup + 8]   # (8,1) abs index
+    for sup in range(R // CT_SUP):
+        rows = packed[CT_SUP * sup:CT_SUP * (sup + 1)]
+        off = carry + rowbase[CT_SUP * sup:CT_SUP * (sup + 1)]  # (S,1)
         row0 = off[0, 0] >> 7
-        d = off - (row0 << 7)                        # 0..~1151
+        d = off - (row0 << 7)                        # 0..~2047
         sh = d & 127
         rot = rows
         for k in (1, 2, 4, 8, 16, 32, 64):
             rot = jnp.where((sh & k) != 0, pltpu.roll(rot, k, 1), rot)
         lo = jnp.where(lane8 >= sh, rot, 0)
         hi = jnp.where(lane8 < sh, rot, 0)
-        rc = (d >> 7).reshape(1, 8)                  # acc row per source
+        rc = (d >> 7).reshape(1, CT_SUP)             # acc row per source
         x_lo = (rowiota == rc).astype(jnp.float32)
         x_hi = (rowiota == rc + 1).astype(jnp.float32)
 

@@ -285,7 +285,7 @@ def _entropy_streams(blocks_dev, toks, lengths_np, n_chunks: int,
             hoff = (np.cumsum(comp_len) - comp_len).astype(np.int64)
             bases, T, ng, g2b, gfirst = jax_coder.flat_compact_layout(
                 hist_np, is_huff)
-            t_rows = T // 128 + 512 + 16
+            t_rows = T // 128 + 512 + 24  # trash span + CT_ACC headroom
             if ng > 0 and t_rows <= 16384:
                 # compacted flat pack: 3-4x fewer pack slots
                 comb_np = ((codes.astype(np.uint32)

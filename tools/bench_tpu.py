@@ -152,7 +152,7 @@ def main():
             hoff = (np.cumsum(comp_len) - comp_len).astype(np.int64)
             bases, T, ng, g2b, gfirst = jax_coder.flat_compact_layout(
                 hist_np, is_huff)
-            t_rows = T // 128 + 512 + 16
+            t_rows = T // 128 + 512 + 24  # trash span + CT_ACC headroom
             comb_np = ((codes.astype(np.uint32) & np.uint32(0xFFFFFF))
                        | (cbits.astype(np.uint32) << np.uint32(24))
                        ).view(np.int32)

@@ -208,6 +208,60 @@ def main():
 
     add("pack_place_B", packB)
 
+    # --- flat2 pack sub-stages ----------------------------------------
+    from rspt_tpu.ops.pallas_kernels import (
+        compact_tokens_pallas, super_place_flat_pallas,
+        token_group_windows_grouped_pallas)
+
+    codes_np, cbits_np = codes, cbits
+    tb_h, comp_len, is_huff, _ac = jax_coder.host_layout(
+        hist_np, lengths_np, cbits_np, desc_bits, np.zeros(
+            len(lengths_np), bool))
+    hoff = (np.cumsum(comp_len) - comp_len).astype(np.int64)
+    bases, T, ngf, g2b, gfirst = jax_coder.flat_compact_layout(
+        hist_np, is_huff)
+    t_rows = T // 128 + 512 + 24  # trash span + CT_ACC headroom
+    from rspt_tpu.ops.pallas_kernels import ACC_ROWS
+    total_payload = int(comp_len.sum())
+    nrows_f = -(-(total_payload // 4 + 2) // 128) + ACC_ROWS
+    nrows_f = -(-nrows_f // 8) * 8
+    comb_np = ((codes_np.astype(np.uint32) & np.uint32(0xFFFFFF))
+               | (cbits_np.astype(np.uint32) << np.uint32(24))
+               ).view(np.int32)
+    lut3_np = np.zeros((ngf, 3 * 128), np.int32)
+    lut3_np[:, :comb_np.shape[1]] = comb_np[g2b]
+    bases_d, lut3_d, dbg_d, wog_d, gfirst_d = jax.device_put(
+        (bases, lut3_np.reshape(ngf, 3, 128),
+         desc_bits[g2b].astype(np.int32), hoff[g2b].astype(np.int32),
+         gfirst))
+
+    def flat2_all(acc):
+        t_, a = jax.lax.optimization_barrier((tokw, acc))
+        w = jax_coder._pack_tokens_flat2_impl(
+            t_, bases_d, lut3_d, dbg_d, wog_d, gfirst_d,
+            t_rows=t_rows, T=T, nrows_f=nrows_f)
+        return a + s(w)
+
+    add("flat2_pack_all", flat2_all)
+
+    def flat2_compact(acc):
+        t_, a = jax.lax.optimization_barrier((tokw, acc))
+        tokc = compact_tokens_pallas(t_, bases_d, t_rows)
+        return a + s(tokc)
+
+    add("flat2_compact", flat2_compact)
+
+    tokc_dev = jax.jit(lambda t: compact_tokens_pallas(
+        t, bases_d, t_rows))(tokw)
+    flat_dev = jax.jit(lambda t: t.reshape(1, -1)[:, :T])(tokc_dev)
+
+    def flat2_windows(acc):
+        f_, a = jax.lax.optimization_barrier((flat_dev, acc))
+        outs = token_group_windows_grouped_pallas(f_, lut3_d)
+        return a + sum(s(o) for o in outs)
+
+    add("flat2_windows", flat2_windows)
+
     # --- decode: kernel vs placement (same-process, same clock) ------
     import rspt_tpu.hzr.pallas_decoder as pd
     from rspt_tpu.packers import tpu as tpack
