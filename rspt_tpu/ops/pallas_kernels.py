@@ -935,7 +935,7 @@ def token_group_windows_grouped_pallas(tokc, lut3, interpret: bool = False):
             gtot[0, :, 0, 0][None, :])
 
 
-R_CT = 64      # token rows per compaction tile (8192 positions)
+R_CT = 128     # token rows per compaction tile (16 Ki positions)
 CT_SUP = 16    # rows merged per compaction super (d <= 2047)
 CT_ACC = 24    # compaction accumulator rows (16-row super spans <= 17)
 
