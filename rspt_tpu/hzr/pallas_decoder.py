@@ -11,11 +11,13 @@ for the Huffman LUTs:
   lanes    = speculative segments: 8 sublane rows x 128 lanes per grid
              tile; each row belongs to ONE block (max-size blocks span
              two adjacent rows and never straddle a tile).
-  L1/L2    = 8-bit peek LUT + per-slot second-level 8-bit LUT
-             (hzr_decode.c:251-260 semantics widened to 16 bits);
-             blocks needing >16-bit codes or >SLOT_CAP deep slots fall
-             back to the host decoder (a 64 KiB block needs a symbol
-             rarer than ~1/6000 for a 17-bit code).
+  L1/L2/L3 = 8-bit peek LUT + two per-slot deeper 8-bit LUT levels
+             (hzr_decode.c:251-260 semantics widened to 24 bits — the
+             Fibonacci bound caps hzr codes at 23 bits, so every legal
+             block decodes on device); only >SLOT_CAP/SLOT3_CAP deep
+             prefix counts fall back to the host decoder. Slot counts
+             gate the deep gather loops PER TILE, so a deep-tree block
+             costs nothing for the rest of the batch.
   refill   = masked reduction over each lane's private word window,
              amortized by the 96-bit cache (~1 fetch per 32 bits).
   fixpoint = the alignment iteration entry(s+1)=exit(s) runs INSIDE
@@ -59,8 +61,10 @@ W_SEG = 40             # window words per lane (segw<=38 + straddle)
 STEP_CHUNK = 128       # emission ring rows per DMA flush
 MAX_STEPS = 1088       # static cap: 1-bit/symbol floor on 1024-bit segs
 STEP_BUCKETS = (128, 256, 544, 1088)
-SLOT_CAP = 8           # deep (>8-bit) prefix slots per block
+SLOT_CAP = 32          # deep (>8-bit) prefix slots per block
 L2_SIZE = SLOT_CAP * 256
+SLOT3_CAP = 16         # deep (>16-bit) prefix slots per block
+L3_SIZE = SLOT3_CAP * 256
 K_PLACE = 96           # literals per byte-placement chunk (96 real +
                        # 32 dead lanes per 128-lane window-kernel row)
 FALLBACK_CAP = 8192    # compacted oversized-chunk literals per call
@@ -76,23 +80,28 @@ DEEP_BIT = 1 << 30
 # ---------------------------------------------------------------------------
 
 def build_lut16(tree):
-    """Flatten a pyref tree into (l1[256], l2[SLOT_CAP*256]) or None
-    when the block exceeds the kernel envelope (code > 16 bits or more
-    than SLOT_CAP deep 8-bit prefixes).
+    """Flatten a pyref tree into three LUT levels or None when the
+    block exceeds the kernel envelope (more than SLOT_CAP/SLOT3_CAP
+    deep prefixes; code length itself is Fibonacci-bounded at <=23
+    bits for <=64Ki counts, so three 8-bit levels always suffice).
 
     l1: leaf -> sym | bits<<16 (bits<=8); deep -> DEEP_BIT | slot.
-    l2[slot*256 + next8]: sym | totalbits<<16 (totalbits <= 16).
+    l2[slot*256 + next8]: sym | totalbits<<16 (totalbits <= 16), or
+    DEEP_BIT | slot3 for >16-bit prefixes.
+    l3[slot3*256 + next8]: sym | totalbits<<16 (totalbits <= 24).
     """
     l1 = np.zeros(256, np.int32)
     l2 = np.zeros(L2_SIZE, np.int32)
+    l3 = np.zeros(L3_SIZE, np.int32)
     nslots = 0
+    nslots3 = 0
 
     def fill(arr, lo, code, bits, value):
         step = 1 << bits
         arr[lo + code:lo + 256:step] = value
 
     def walk(node, code, bits):
-        nonlocal nslots
+        nonlocal nslots, nslots3
         if not isinstance(node, tuple):
             b = max(bits, 1)  # degenerate single-leaf consumes 1 bit
             fill(l1, 0, code, bits, node | (b << 16))
@@ -105,11 +114,28 @@ def build_lut16(tree):
             l1[code] = DEEP_BIT | slot
 
             def walk2(nd, c2, b2):
+                nonlocal nslots3
                 if not isinstance(nd, tuple):
                     fill(l2, slot * 256, c2, b2, nd | ((8 + b2) << 16))
                     return True
-                if b2 >= 8:
-                    return False
+                if b2 == 8:
+                    if nslots3 >= SLOT3_CAP:
+                        return False
+                    slot3 = nslots3
+                    nslots3 += 1
+                    l2[slot * 256 + c2] = DEEP_BIT | slot3
+
+                    def walk3(nd3, c3, b3):
+                        if not isinstance(nd3, tuple):
+                            fill(l3, slot3 * 256, c3, b3,
+                                 nd3 | ((16 + b3) << 16))
+                            return True
+                        if b3 >= 8:
+                            return False
+                        return walk3(nd3[0], c3, b3 + 1) and \
+                            walk3(nd3[1], c3 | (1 << b3), b3 + 1)
+
+                    return walk3(nd, 0, 0)
                 return walk2(nd[0], c2, b2 + 1) and \
                     walk2(nd[1], c2 | (1 << b2), b2 + 1)
 
@@ -119,14 +145,14 @@ def build_lut16(tree):
 
     if not walk(tree, 0, 0):
         return None
-    return l1, l2, nslots
+    return l1, l2, l3, nslots, nslots3
 
 
 # ---------------------------------------------------------------------------
 # Kernel
 # ---------------------------------------------------------------------------
 
-def _decode_kernel(nl2_ref, win_ref, l1lo_ref, l1hi_ref, l2_ref,
+def _decode_kernel(nl2_ref, win_ref, l1lo_ref, l1hi_ref, l2_ref, l3_ref,
                    entry_ref, segend_ref, pbits_ref, first_ref, emis_ref,
                    counts_ref, steps_ref, ring_ref, sem_ref):
     t = pl.program_id(0)
@@ -135,7 +161,8 @@ def _decode_kernel(nl2_ref, win_ref, l1lo_ref, l1hi_ref, l2_ref,
     ZERO = jnp.zeros(shape, u32)
     lane = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
     wseg = win_ref.shape[0]      # window rows, sized per launch
-    nl2 = nl2_ref[0]             # deep L2 slots in use (often 0)
+    nl2 = nl2_ref[t, 0]          # deep L2 slots in this tile (often 0)
+    nl3 = nl2_ref[t, 1]          # deep L3 slots in this tile
 
     entry0 = entry_ref[...]
     seg_end = segend_ref[...]
@@ -226,7 +253,18 @@ def _decode_kernel(nl2_ref, win_ref, l1lo_ref, l1hi_ref, l2_ref,
             # per lockstep step)
             e2 = jax.lax.fori_loop(0, nl2 * 2, l2body,
                                    jnp.zeros(shape, jnp.int32))
-            ent = jnp.where(is_deep, e2, e1)
+            # third level: >16-bit codes (<=23 by the Fibonacci bound)
+            is_deep3 = is_deep & ((e2 & DEEP_BIT) != 0)
+            idx24 = (e2 & 0xFFFF) * 256 + \
+                pltpu.bitcast((c0 >> u32(16)) & u32(255), jnp.int32)
+
+            def l3body(p3, acc):
+                g = gather128(l3_ref[pl.ds(p3, 1)][0], idx24 & 127)
+                return jnp.where((idx24 >> 7) == p3, g, acc)
+
+            e3 = jax.lax.fori_loop(0, nl3 * 2, l3body,
+                                   jnp.zeros(shape, jnp.int32))
+            ent = jnp.where(is_deep3, e3, jnp.where(is_deep, e2, e1))
             sym = ent & 0x1FF
             cb = ((ent >> 16) & 0xFF).astype(u32)
 
@@ -310,7 +348,7 @@ def _decode_kernel(nl2_ref, win_ref, l1lo_ref, l1hi_ref, l2_ref,
         new_entry = jnp.where(first, entry0, shifted)
         return new_entry, jnp.any(new_entry != entry), it + 1
 
-    entry, _, _ = jax.lax.while_loop(
+    entry, _, fp_iters = jax.lax.while_loop(
         fcond, fbody, (entry0, jnp.bool_(True), jnp.int32(0)))
 
     ring_ref[...] = jnp.zeros((STEP_CHUNK, 8, 128), jnp.int32)
@@ -328,11 +366,12 @@ def _decode_kernel(nl2_ref, win_ref, l1lo_ref, l1hi_ref, l2_ref,
 
     counts_ref[...] = counts
     steps_ref[t, 0] = steps
+    steps_ref[t, 1] = fp_iters
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def _run_kernel(nl2, win, l1lo, l1hi, l2, entry, segend, pbits, first,
-                interpret: bool = False):
+def _run_kernel(nl2, win, l1lo, l1hi, l2, l3, entry, segend, pbits,
+                first, interpret: bool = False):
     ntiles = entry.shape[0] // 8
     wseg = win.shape[0]
     emis, counts, steps = pl.pallas_call(
@@ -340,7 +379,7 @@ def _run_kernel(nl2, win, l1lo, l1hi, l2, entry, segend, pbits, first,
         out_shape=(
             jax.ShapeDtypeStruct((ntiles, MAX_STEPS, 8, 128), jnp.int32),
             jax.ShapeDtypeStruct((ntiles * 8, 128), jnp.int32),
-            jax.ShapeDtypeStruct((ntiles, 1), jnp.int32),
+            jax.ShapeDtypeStruct((ntiles, 2), jnp.int32),
         ),
         grid=(ntiles,),
         in_specs=[
@@ -351,7 +390,9 @@ def _run_kernel(nl2, win, l1lo, l1hi, l2, entry, segend, pbits, first,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((8, 128), lambda t: (t, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((L2_SIZE // 128, 8, 128), lambda t: (0, t, 0),
+            pl.BlockSpec((l2.shape[0], 8, 128), lambda t: (0, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((l3.shape[0], 8, 128), lambda t: (0, t, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((8, 128), lambda t: (t, 0),
                          memory_space=pltpu.VMEM),
@@ -366,14 +407,14 @@ def _run_kernel(nl2, win, l1lo, l1hi, l2, entry, segend, pbits, first,
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((8, 128), lambda t: (t, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((ntiles, 1), lambda t: (0, 0),
+            pl.BlockSpec((ntiles, 2), lambda t: (0, 0),
                          memory_space=pltpu.SMEM),
         ),
         scratch_shapes=[pltpu.VMEM((STEP_CHUNK, 8, 128), jnp.int32),
                         pltpu.SemaphoreType.DMA],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
-    )(nl2, win, l1lo, l1hi, l2, entry, segend, pbits, first)
+    )(nl2, win, l1lo, l1hi, l2, l3, entry, segend, pbits, first)
     return emis, counts, steps
 
 
@@ -403,7 +444,7 @@ def _place_emissions(emis, steps_used, counts, block_first, out_off,
     nl = ntiles * 8 * 128
     lanes = emis[:, :s_eff].transpose(0, 2, 3, 1).reshape(nl, s_eff)
     step_ix = jnp.arange(s_eff, dtype=jnp.int32)[None, :]
-    live_steps = jnp.repeat(steps_used.reshape(ntiles), 8 * 128)[:, None]
+    live_steps = jnp.repeat(steps_used[:, 0], 8 * 128)[:, None]
 
     # per-lane output byte base: block out_off + exclusive cumsum of
     # counts within the block (static gather of the running total at
@@ -605,9 +646,20 @@ def decode_many(datas, interpret: bool = False) -> list:
         return [out[a:a + n].tobytes() for a, n in spans]
 
     # --- host: LUTs, fallback split, lane layout -------------------------
-    dev = []      # (payload, pbits, dbits, out_off, olen, l1, l2, nsl)
+    # Device-vs-host routing is a COST heuristic, not a capability
+    # limit: the kernel's deep-LUT lookup is O(slots) masked gathers
+    # per lockstep step, so deep-tree blocks (many >8-bit prefixes —
+    # e.g. near-random low planes) decode faster on the host's native
+    # LUT loop. RSPT_DEC_DEVICE_SLOTS widens the device envelope up to
+    # the full L1/L2/L3 capability (any legal hzr block).
+    import os as _os
+    dev_slots = int(_os.environ.get("RSPT_DEC_DEVICE_SLOTS", "8"))
+    dev = []  # (payload, pbits, dbits, out_off, olen, l1, l2, l3, nsl2, nsl3)
     for payload, pbits, dbits, ooff, olen, tree in huff:
         lut = build_lut16(tree)
+        if lut is not None and (lut[3] > dev_slots
+                                or lut[4] > max(0, dev_slots - 8)):
+            lut = None
         if lut is None:
             # block outside the LUT envelope (rare): host-decode via a
             # synthesized single-block stream (decode skips the CRC
@@ -633,9 +685,8 @@ def decode_many(datas, interpret: bool = False) -> list:
     rows = []          # list of (block_idx, seg_lo)
     blk_rows = []
     max_segw = 8
-    nl2_used = 0
-    for i, (payload, pbits, dbits, ooff, olen, l1, l2,
-            nsl) in enumerate(dev):
+    for i, (payload, pbits, dbits, ooff, olen, l1, l2, l3, nsl,
+            nsl3) in enumerate(dev):
         body_bits = max(pbits - dbits, 1)
         body_words = -(-body_bits // 32)
         # segment size scales with payload: small (highly compressed,
@@ -644,7 +695,6 @@ def decode_many(datas, interpret: bool = False) -> list:
         # without spreading tiny payloads over all 512 segments
         segw = max(8, -(-body_words // SEG_PER_BLOCK))
         max_segw = max(max_segw, segw)
-        nl2_used = max(nl2_used, nsl)
         nseg = -(-body_words // segw)
         nrow = -(-nseg // 128)
         blk_rows.append((segw, nseg, nrow))
@@ -670,13 +720,25 @@ def decode_many(datas, interpret: bool = False) -> list:
     win = np.zeros((wseg, nrows_l, 128), np.int32)
     l1lo = np.zeros((nrows_l, 128), np.int32)
     l1hi = np.zeros((nrows_l, 128), np.int32)
-    l2a = np.zeros((L2_SIZE // 128, nrows_l, 128), np.int32)
+    # LUT arrays sized to the batch's actual deep-slot use (bucketed):
+    # a 64-row l2 block per tile costs real VMEM/DMA even when nl2=0
+    def _cap(used, caps):
+        for c in caps:
+            if used <= c:
+                return c
+        return caps[-1]
+
+    cap2 = _cap(max([d[8] for d in dev] or [0]), (1, 8, SLOT_CAP))
+    cap3 = _cap(max([d[9] for d in dev] or [0]), (1, 8, SLOT3_CAP))
+    l2a = np.zeros((cap2 * 2, nrows_l, 128), np.int32)
+    l3a = np.zeros((cap3 * 2, nrows_l, 128), np.int32)
     entry = np.zeros((nrows_l, 128), np.int32)
     segend = np.zeros((nrows_l, 128), np.int32)
     pbits_a = np.zeros((nrows_l, 128), np.int32)
     # default-pin every lane (padding rows never update); live rows
     # overwrite their live prefix below
     first = np.ones((nrows_l, 128), np.int32)
+    nl23 = np.zeros((nrows_l // 8, 2), np.int32)  # per-tile slot counts
     lane_live = np.zeros(nl, bool)
     block_first = np.zeros(nl, np.int32)
     out_off_a = np.zeros(nl, np.int32)
@@ -687,11 +749,14 @@ def decode_many(datas, interpret: bool = False) -> list:
     for r, (bi, seg_lo) in enumerate(rows):
         if bi < 0:
             continue
-        payload, pbits, dbits, ooff, olen, l1, l2, nsl = dev[bi]
+        payload, pbits, dbits, ooff, olen, l1, l2, l3, nsl, nsl3 = dev[bi]
         segw, nseg, nrow = blk_rows[bi]
         l1lo[r] = l1[:128]
         l1hi[r] = l1[128:]
-        l2a[:, r, :] = l2.reshape(-1, 128)
+        nl23[r // 8, 0] = max(nl23[r // 8, 0], nsl)
+        nl23[r // 8, 1] = max(nl23[r // 8, 1], nsl3)
+        l2a[:, r, :] = l2.reshape(-1, 128)[:cap2 * 2]
+        l3a[:, r, :] = l3.reshape(-1, 128)[:cap3 * 2]
         nj = min(128, nseg - seg_lo)
         s = seg_lo + np.arange(nj)
         e0 = dbits + s * segw * 32
@@ -723,14 +788,16 @@ def decode_many(datas, interpret: bool = False) -> list:
     block_first[dead] = np.flatnonzero(dead) if dead.any() else 0
 
     emis, counts, steps = _run_kernel(
-        jnp.asarray(np.array([nl2_used], np.int32)),
+        jnp.asarray(nl23),
         jnp.asarray(win), jnp.asarray(l1lo), jnp.asarray(l1hi),
-        jnp.asarray(l2a), jnp.asarray(entry), jnp.asarray(segend),
-        jnp.asarray(pbits_a), jnp.asarray(first), interpret=interpret)
+        jnp.asarray(l2a), jnp.asarray(l3a), jnp.asarray(entry),
+        jnp.asarray(segend), jnp.asarray(pbits_a), jnp.asarray(first),
+        interpret=interpret)
     # bucketed emission width: one scalar d2h (fixed link RTT here,
     # microseconds on directly-attached chips) buys a much smaller
     # placement problem than the static cap
-    s_eff = _bucket_steps(int(np.asarray(steps).max(initial=1)))
+    steps_np = np.asarray(steps)
+    s_eff = _bucket_steps(int(steps_np[:, 0].max(initial=1)))
 
     # slack: merge_place clamps group bases at nrows*128 - 2048, so
     # the real data needs 2048+ words of headroom above it
@@ -745,6 +812,6 @@ def decode_many(datas, interpret: bool = False) -> list:
         from . import jax_decoder
         return jax_decoder.decode_many(datas)
     emitted = words_np.view("<u4").view(np.uint8)[:total]
-    for payload, pbits, dbits, ooff, olen, l1, l2, nsl in dev:
+    for payload, pbits, dbits, ooff, olen, l1, l2, l3, nsl, ns3 in dev:
         out[ooff:ooff + olen] = emitted[ooff:ooff + olen]
     return [out[a:a + n].tobytes() for a, n in spans]

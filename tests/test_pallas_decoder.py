@@ -63,3 +63,25 @@ def test_padding_bit_speculation_regression():
     b = np.zeros(600, np.uint8)
     b[::53] = r.integers(1, 255, b[::53].size)
     roundtrip([a, b])
+
+
+def test_deep_codes_on_device(monkeypatch):
+    """Blocks with >16-bit Huffman codes (smooth byte distributions)
+    CAN decode on-device via the third LUT level (L1/L2/L3, 24-bit cap
+    >= the 23-bit Fibonacci bound). By default such blocks route to the
+    host decoder on cost grounds; RSPT_DEC_DEVICE_SLOTS widens the
+    device envelope."""
+    monkeypatch.setenv("RSPT_DEC_DEVICE_SLOTS", "32")
+    rng = np.random.default_rng(11)
+    x = rng.normal(0, 30, 200000).astype(np.int32).astype(
+        np.uint8).tobytes()
+    st = pyref.encode(x)
+    src = np.frombuffer(st, np.uint8)
+    out = np.zeros(len(x), np.uint8)
+    huff = []
+    pallas_decoder._walk_stream(src, len(x), 0, out, huff)
+    assert huff, "fixture regressed: no HUFF blocks"
+    assert all(pallas_decoder.build_lut16(t[-1]) is not None
+               for t in huff), "deep-code block fell out of the envelope"
+    got = pallas_decoder.decode_many([st], interpret=True)
+    assert got[0] == x

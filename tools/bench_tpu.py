@@ -185,6 +185,22 @@ def main():
         streams.append(bytes(src[pos:pos + clen]))
         pos += clen
     plane_bytes = sum(int.from_bytes(st[:4], "little") for st in streams)
+    # fraction of decoded bytes the device path handles (the rest are
+    # deep-tree blocks routed to the host decoder on cost grounds)
+    dev_slots = int(os.environ.get("RSPT_DEC_DEVICE_SLOTS", "8"))
+    devb = totb = 0
+    for st in streams:
+        src_ = np.frombuffer(st, np.uint8)
+        osz = int.from_bytes(st[:4], "little")
+        huff_ = []
+        pd._walk_stream(src_, osz, 0, np.zeros(osz, np.uint8), huff_)
+        for payload, pbits, dbits, ooff, olen, tree in huff_:
+            totb += olen
+            lut = pd.build_lut16(tree)
+            if lut is not None and lut[3] <= dev_slots \
+                    and lut[4] <= max(0, dev_slots - 8):
+                devb += olen
+    out["dec_device_bytes_frac"] = round(devb / max(totb, 1), 4)
     outs = pd.decode_many(streams)
     from rspt_tpu.hzr import pyref
     assert all(o == pyref.decode(st) for o, st in zip(outs, streams)), \
@@ -214,6 +230,7 @@ def main():
 
     t_kernel = loop_time(kern_body, iters=5, reps=3)
     pa, pkw = holder["place"]
+    out["dec_s_eff"] = int(pa[7]) if len(pa) > 7 else pkw.get("s_eff")
 
     def place_body(acc):
         e, a = jax.lax.optimization_barrier((pa[0], acc))
