@@ -175,6 +175,51 @@ def main():
     out.update(device_enc_s=dev_enc,
                device_enc_gbps=nbytes / dev_enc / 1e9)
 
+    # --- batch serving: device-compute encode at batch 4 --------------
+    try:
+        from rspt_tpu.packers.tpu import _pass1_xdelta_batch
+        BATCH = 4
+        fb, _, lengths_b = _pass1_xdelta_batch(n, ch, bps, planes, BATCH)
+        raws = jnp.asarray(np.stack(
+            [np.frombuffer(native, "<i4")] * BATCH))
+        small_b, blocks_b, toks_b = fb(raws)
+        tokw_b = toks_b[0]
+        hist_b = np.asarray(toks_b[-1])
+        codes_b, cbits_b, dbytes_b, dbits_b, isf_b = \
+            jax_coder.host_tables(hist_b, lengths_b)
+        tbh, clb, ishb, anyc = jax_coder.host_layout(
+            hist_b, lengths_b, cbits_b, dbits_b, isf_b)
+        if not anyc:
+            from rspt_tpu.ops.pallas_kernels import ACC_ROWS as AR2
+            tp = int(clb.sum())
+            nrf = -(-(tp // 4 + 2) // 128) + AR2
+            nrf = -(-nrf // 8) * 8
+            hob = (np.cumsum(clb) - clb).astype(np.int64)
+            basb, Tb, ngb, g2bb, gfb = jax_coder.flat_compact_layout(
+                hist_b, ishb)
+            trb = Tb // 128 + 512 + 24
+            cmb = ((codes_b.astype(np.uint32) & np.uint32(0xFFFFFF))
+                   | (cbits_b.astype(np.uint32) << np.uint32(24))
+                   ).view(np.int32)
+            l3b = np.zeros((ngb, 3 * 128), np.int32)
+            l3b[:, :cmb.shape[1]] = cmb[g2bb]
+            argsb = jax.device_put((
+                basb, l3b.reshape(ngb, 3, 128),
+                dbits_b[g2bb].astype(np.int32),
+                hob[g2bb].astype(np.int32), gfb))
+
+            def batch_body(acc):
+                r_, a = jax.lax.optimization_barrier((raws, acc))
+                sm, bl, tk = fb.__wrapped__(r_)
+                w = jax_coder._pack_tokens_flat2_impl(
+                    tk[0], *argsb, t_rows=trb, T=Tb, nrows_f=nrf)
+                return a + s(sm) + s(w)
+
+            t_b = loop_time(batch_body, iters=5, reps=3)
+            out["batch4_device_enc_gbps"] = BATCH * nbytes / t_b / 1e9
+    except Exception as e:  # pragma: no cover
+        out["batch4_error"] = str(e)[-200:]
+
     # --- device-compute decode (Pallas kernel + placement) -----------
     src = memoryview(comp)
     pos = 1
