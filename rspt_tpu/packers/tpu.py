@@ -611,6 +611,57 @@ class TpuXdeltaHzrPacker(_TpuPackerBase):
                                  c.bytes_per_sample)
         return np.asarray(out).tobytes(), consumed
 
+    def decompress_many(self, comps) -> list:
+        """Batched serving decode (packers/native.py decompress_many
+        API parity): with device_decode, EVERY payload's plane streams
+        share one device-decoder lane batch; otherwise the host MT path
+        runs per payload (it already saturates the cores)."""
+        c = self.cfg
+        if not comps:
+            return []
+        if not self.device_decode:
+            return [self.decompress(cp)[0] for cp in comps]
+        import os as _os
+        mode = _os.environ.get("RSPT_DECODER", "")
+        if mode == "pallas" or (not mode
+                                and jax.default_backend() == "tpu"):
+            from ..hzr import pallas_decoder
+            decode_many = pallas_decoder.decode_many
+        elif mode == "interp":
+            from ..hzr import pallas_decoder
+            decode_many = functools.partial(pallas_decoder.decode_many,
+                                            interpret=True)
+        else:
+            from ..hzr import jax_decoder
+            decode_many = jax_decoder.decode_many
+        streams = []
+        for comp in comps:
+            src = memoryview(bytes(comp)
+                             if not isinstance(comp, (bytes, bytearray))
+                             else comp)
+            if src[0] != self.METHOD:
+                raise ValueError("unsupported compression method")
+            pos = 1
+            for _ in range(self.nr_planes):
+                clen = int.from_bytes(src[pos:pos + 4], "little")
+                pos += 4
+                streams.append(bytes(src[pos:pos + clen]))
+                pos += clen
+        decoded = decode_many(streams)
+        outs = []
+        for i in range(len(comps)):
+            planes = np.stack([
+                np.frombuffer(decoded[i * self.nr_planes + k], np.uint8,
+                              count=c.plane_len)
+                for k in range(self.nr_planes)])
+            merged = jops.plane_merge(jnp.asarray(planes))
+            flat = self._postprocess_flat(merged)
+            out = jops.i32_to_native(
+                flat.reshape(c.nr_channels, c.nr_samples),
+                c.bytes_per_sample)
+            outs.append(np.asarray(out).tobytes())
+        return outs
+
 
 class TpuDctPacker(_TpuPackerBase):
     """Lossy DCT packer (signal_packer_dct.cpp:36-156).

@@ -74,3 +74,20 @@ def test_batch_mixed_plane_growth(rng):
         pd = tpack.new_xdelta_hzr(4, ch, n, planes)
         out, _ = pd.decompress(stream)
         assert out == s
+
+
+def test_tpu_decompress_many_device(rng, monkeypatch):
+    """TPU packer decompress_many: one batched device decode for all
+    payloads, bytes equal per-payload decompress (interp mode)."""
+    monkeypatch.setenv("RSPT_DECODER", "interp")
+    from rspt_tpu.packers import tpu as tpack
+
+    ch, n, bps = 3, 9000, 4
+    sigs = [np.cumsum(rng.normal(0, 200, (ch, n)), axis=1).astype(np.int32)
+            for _ in range(3)]
+    natives = [np.ascontiguousarray(s.T).astype("<i4").tobytes()
+               for s in sigs]
+    p = tpack.new_xdelta_hzr(bps, ch, n, 3, device_decode=True)
+    comps = [p.compress(nat) for nat in natives]
+    outs = p.decompress_many(comps)
+    assert outs == natives

@@ -52,6 +52,19 @@ def main():
         if not (ok and rt):
             print("FAIL", flush=True)
             sys.exit(1)
+
+    # batched serving path: compress_many streams equal sequential
+    # compress() output payload-for-payload (vmap pass-1 + flat pack)
+    _, native = make_ecg(12, 34199)
+    pb = tpack.new_xdelta_hzr(4, 12, 34199, 3)
+    batch = pb.compress_many([native, native, native])
+    seq = tpack.new_xdelta_hzr(4, 12, 34199, 3).compress(native)
+    okb = all(b == seq for b in batch)
+    rtb = all(pb.decompress(b)[0] == native for b in batch)
+    print(f"batch3: bytes_equal={okb} roundtrip={rtb}", flush=True)
+    if not (okb and rtb):
+        print("FAIL", flush=True)
+        sys.exit(1)
     print("ALL OK", flush=True)
 
 
