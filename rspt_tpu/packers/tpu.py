@@ -244,11 +244,24 @@ def _entropy_streams(blocks_dev, toks, lengths_np, n_chunks: int,
     nb_per = nb // n_chunks
 
     if encoder is not None:  # sharded path (multi-chip mesh)
-        # per-shard device compaction: only live payload bytes cross
-        # the link, never (nb, 66 KiB) max-size buffers
+        # flat exact-offset pack per shard when the batch allows it;
+        # COPY-fallback batches use per-shard device compaction (only
+        # live payload bytes cross the link either way)
         blocks_np = np.asarray(blocks_dev)
+        res = None
+        if hasattr(encoder, "encode_blocks_flat"):
+            import os as _os2
+            interp = (_os2.environ.get("RSPT_SHARD_FLAT_INTERP") == "1"
+                      or (jax.default_backend() != "tpu"
+                          and _os2.environ.get("RSPT_SHARD_FLAT") == "1"))
+            use = jax.default_backend() == "tpu" or interp
+            if use:
+                res = encoder.encode_blocks_flat(blocks_np, lengths_np,
+                                                 interpret=interp)
+        if res is None:
+            res = encoder.encode_blocks_compact(blocks_np, lengths_np)
         (_, tight, comp_len, copy_np, copy_len, total_bits, is_fill,
-         fill_byte) = encoder.encode_blocks_compact(blocks_np, lengths_np)
+         fill_byte) = res
         hoff = np.concatenate(([0], np.cumsum(comp_len)[:-1]))
         cbase_arr = np.concatenate(([0], np.cumsum(copy_len)[:-1]))
         streams = []

@@ -18,6 +18,7 @@ import functools
 from typing import Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -234,6 +235,7 @@ class ShardedHzrEncoder:
             mesh=self.mesh,
             in_specs=(P(AXIS),) * 7, out_specs=P(AXIS)))
         self._compact = None
+        self._flat = None
 
     def encode_blocks(self, blocks_np: np.ndarray, lengths_np: np.ndarray):
         nb = blocks_np.shape[0]
@@ -351,6 +353,113 @@ class ShardedHzrEncoder:
         fill_byte = jax_coder.fill_bytes_from_hist(hist_np[:nb])
         return (lengths_np[:nb], tight, comp_len, copy_np, copy_len,
                 total_bits_np, is_fill[:nb], fill_byte)
+
+    def encode_blocks_flat(self, blocks_np: np.ndarray,
+                           lengths_np: np.ndarray,
+                           interpret: bool = False):
+        """Sharded flat exact-offset encode: every shard compacts its
+        blocks' tokens and packs them straight into ITS final payload
+        layout (host_layout per shard) — no per-block max-size buffers,
+        no compact pass, one live-prefix d2h per shard. Returns
+        assemble_compact() inputs, or None when a COPY-fallback block
+        or the VMEM envelope pushes the batch to the compact path."""
+        nb = blocks_np.shape[0]
+        nb_pad = pad_blocks(nb, self.ndev)
+        if nb_pad != nb:
+            blocks_np = np.concatenate(
+                [blocks_np, np.zeros((nb_pad - nb, jax_coder.B),
+                                     np.uint8)])
+            lengths_np = np.concatenate(
+                [lengths_np, np.zeros(nb_pad - nb, np.int32)])
+        put = lambda a: jax.device_put(a, self.block_sharding)  # noqa: E731
+
+        blocks = put(blocks_np)
+        lengths = put(lengths_np.astype(np.int32))
+        syms, extras, ebits, tvalid, hist = self.tok(blocks, lengths)
+        hist_np = np.asarray(hist)
+        codes, cbits, desc_bytes, desc_bits, is_fill = \
+            jax_coder.host_tables(hist_np, lengths_np)
+        total_bits, comp_len, is_huff, any_copy = jax_coder.host_layout(
+            hist_np, lengths_np, cbits, desc_bits, is_fill)
+        if any_copy:
+            return None
+
+        ndev = self.ndev
+        nb_loc = nb_pad // ndev
+        cl_s = comp_len.reshape(ndev, nb_loc)
+        hoff_s = np.cumsum(cl_s, axis=1) - cl_s       # per-shard offsets
+        shard_payload = cl_s.sum(axis=1)
+
+        # per-shard token layouts, padded to the max group count
+        lay = [jax_coder.flat_compact_layout(
+            hist_np.reshape(ndev, nb_loc, -1)[d],
+            is_huff.reshape(ndev, nb_loc)[d]) for d in range(ndev)]
+        G = jax_coder.GROUP_TOK_FLAT
+        ng_max = max(max(l[2] for l in lay), 1)
+        T = ng_max * G
+        t_rows = T // 128 + 512 + 24
+        nrows_f = -(-(int(shard_payload.max()) // 4 + 2) // 128)
+        from ..ops.pallas_kernels import ACC_ROWS
+        nrows_f = -(-(nrows_f + ACC_ROWS) // 8) * 8
+        if t_rows > 16384 or nrows_f > 12288:
+            return None
+
+        comb = ((codes.astype(np.uint32) & np.uint32(0xFFFFFF))
+                | (cbits.astype(np.uint32) << np.uint32(24))
+                ).view(np.int32).reshape(ndev, nb_loc, -1)
+        bases_a = np.zeros((ndev, nb_loc), np.int32)
+        lut3_a = np.zeros((ndev, ng_max, 3 * 128), np.int32)
+        dbg_a = np.zeros((ndev, ng_max), np.int32)
+        wog_a = np.zeros((ndev, ng_max), np.int32)
+        gf_a = np.zeros((ndev, ng_max), np.int32)
+        for d, (bases, Td, ng, g2b, gfirst) in enumerate(lay):
+            # park non-huff blocks in THIS layout's trash span (= T)
+            bases_a[d] = np.where(bases == Td, T, bases)
+            if ng:
+                lut3_a[d, :ng, :comb.shape[2]] = comb[d][g2b]
+                dbg_a[d, :ng] = desc_bits.reshape(ndev, nb_loc)[d][g2b]
+                wog_a[d, :ng] = hoff_s[d][g2b]
+                gf_a[d, :ng] = gfirst
+            gf_a[d, ng:] = np.arange(ng, ng_max)
+
+        if self._flat is None or self._flat[0] != (T, t_rows, nrows_f,
+                                                   interpret):
+            def per_shard(syms, extras, ebits, tvalid, bases, lut3,
+                          dbg, wog, gf):
+                tokw = (syms | (ebits << 9) | (extras << 13)
+                        | (tvalid.astype(jnp.int32) << 27))
+                return jax_coder._pack_tokens_flat2_impl(
+                    tokw, bases[0], lut3[0].reshape(-1, 3, 128),
+                    dbg[0], wog[0], gf[0], t_rows=t_rows, T=T,
+                    nrows_f=nrows_f, interpret=interpret)[None]
+
+            fn = jax.jit(jax.shard_map(
+                per_shard, mesh=self.mesh,
+                in_specs=(P(AXIS),) * 4 + (P(AXIS),) * 5,
+                out_specs=P(AXIS), check_vma=False))
+            self._flat = ((T, t_rows, nrows_f, interpret), fn)
+        words = self._flat[1](
+            syms, extras, ebits, tvalid, put(bases_a), put(lut3_a),
+            put(dbg_a), put(wog_a), put(gf_a))
+
+        tight_parts = []
+        for d, shard in enumerate(words.addressable_shards):
+            n_bytes = int(shard_payload[d])
+            part = np.asarray(
+                shard.data.reshape(-1)[: -(-n_bytes // 4)])
+            tight_parts.append(part.view("<u4").view(np.uint8)[:n_bytes])
+        tight = np.concatenate(tight_parts) if tight_parts \
+            else np.zeros(0, np.uint8)
+        tight = tight.copy()
+        hoff = np.concatenate(([0], np.cumsum(comp_len)[:-1]))
+        for i in np.flatnonzero(comp_len):
+            dlen = min(jax_coder.DESC_STRIDE, int(comp_len[i]))
+            tight[hoff[i]:hoff[i] + dlen] |= desc_bytes[i, :dlen]
+        fill_byte = jax_coder.fill_bytes_from_hist(hist_np[:nb])
+        copy_len = np.zeros(nb, np.int64)
+        return (lengths_np[:nb], tight, comp_len[:nb],
+                np.zeros(0, np.uint8), copy_len, total_bits[:nb],
+                is_fill[:nb], fill_byte)
 
     def encode(self, data, out_capacity=None) -> bytes:
         buf = np.frombuffer(memoryview(data).cast("B"), dtype=np.uint8) \

@@ -83,6 +83,24 @@ class TestShardedEncoder:
         assert got == pyref.encode(data)
         assert pyref.decode(got) == data.tobytes()
 
+    def test_sharded_flat_pack_bit_exact(self, rng):
+        """Per-shard flat exact-offset encode (interpret-mode Pallas
+        under shard_map on the virtual mesh) equals the spec encoder."""
+        import jax
+        if len(jax.devices()) < 2:
+            pytest.skip("needs multi-device mesh")
+        from rspt_tpu.hzr import pyref
+        from rspt_tpu.parallel.mesh import ShardedHzrEncoder
+        from rspt_tpu.hzr import jax_coder
+        data = rng.integers(0, 50, 500000, np.int64).astype(np.uint8)
+        blocks_np, lengths_np = jax_coder._split_blocks(data)
+        enc = ShardedHzrEncoder()
+        res = enc.encode_blocks_flat(blocks_np, lengths_np,
+                                     interpret=True)
+        assert res is not None, "flat path unexpectedly declined"
+        got = jax_coder.assemble_compact(*res)
+        assert got == pyref.encode(data)
+
     def test_sharded_packer_pipeline(self, ecg12):
         import jax
         if len(jax.devices()) < 2:
