@@ -423,10 +423,11 @@ def _run_kernel(nl2, win, l1lo, l1hi, l2, l3, entry, segend, pbits,
 # ---------------------------------------------------------------------------
 
 @functools.partial(jax.jit,
-                   static_argnames=("s_eff", "nrows", "interpret"))
+                   static_argnames=("s_eff", "nrows", "sc_rows",
+                                    "interpret"))
 def _place_emissions(emis, steps_used, counts, block_first, out_off,
                      out_limit, lane_live, s_eff: int, nrows: int,
-                     interpret: bool = False):
+                     sc_rows: int = 0, interpret: bool = False):
     """Emission entries -> output words + fallback scatter.
 
     block_first: (nlanes,) static index of each lane's block-first
@@ -485,11 +486,33 @@ def _place_emissions(emis, steps_used, counts, block_first, out_off,
 
     # flatten lane-major: globally position-sorted over ALL entries
     S = nl * s_eff
-    live_f = live.reshape(1, S)
-    pos_f = pos.reshape(1, S)
-    nbits = jnp.where(live_f, 8, 0)
-    vals = jnp.where(live_f, (sym & 0xFF).reshape(1, S),
-                     0).astype(jnp.uint32)
+    if sc_rows:
+        # compact the mostly-dead emission grid (live entries are only
+        # the literal bytes) before packing: the placement machinery's
+        # cost scales with SLOT count, and literals are a small
+        # fraction of nl*s_eff. One packed word per entry, pos<<8|byte
+        # (the caller guarantees pos < 2^23); zero == dead.
+        from ..ops.pallas_kernels import compact_tokens_pallas
+        v = jnp.where(live, (pos << 8) | (sym & 0xFF), 0)
+        vc = compact_tokens_pallas(
+            v.reshape(1, S), jnp.zeros(1, jnp.int32), sc_rows,
+            interpret=interpret, nonzero_valid=True)
+        flatv = vc.reshape(1, -1)
+        live_f = flatv != 0
+        pos_f = jnp.right_shift(flatv, 8)
+        # the dead suffix would otherwise carry offset 0 — the window
+        # kernels need monotone (sorted) offsets, so pin it to the last
+        # live position (compaction guarantees dead slots are a suffix)
+        pos_f = jnp.where(live_f, pos_f, jnp.max(pos_f))
+        nbits = jnp.where(live_f, 8, 0)
+        vals = jnp.where(live_f, flatv & 0xFF, 0).astype(jnp.uint32)
+        S = flatv.shape[1]
+    else:
+        live_f = live.reshape(1, S)
+        pos_f = pos.reshape(1, S)
+        nbits = jnp.where(live_f, 8, 0)
+        vals = jnp.where(live_f, (sym & 0xFF).reshape(1, S),
+                         0).astype(jnp.uint32)
 
     Sp = -(-S // K) * K
     pad = ((0, 0), (0, Sp - S))
@@ -803,10 +826,19 @@ def decode_many(datas, interpret: bool = False) -> list:
     # the real data needs 2048+ words of headroom above it
     nrows_out = -(-(total // 4 + 2 + 2048 + 192) // 128)
     nrows_out = -(-nrows_out // 8) * 8
+    # emission compaction bound: literals <= output bytes; bucketed so
+    # jit traces stay few. Positions must fit pos<<8 (total < 2^23).
+    # Only worth it when the emission grid is much larger than the
+    # byte bound (high-s_eff regimes) — otherwise the "compacted"
+    # stream is no smaller than the grid and the extra pass loses.
+    sc_rows = 0
+    if total < (1 << 23) and nrows_l * 128 * s_eff > 2 * (total + 10240):
+        sc_rows = -(-(-(-total // 128) + 80) // 512) * 512
     words = _place_emissions(
         emis, steps, counts, jnp.asarray(block_first),
         jnp.asarray(out_off_a), jnp.asarray(out_limit_a),
-        jnp.asarray(lane_live), s_eff, nrows_out, interpret=interpret)
+        jnp.asarray(lane_live), s_eff, nrows_out, sc_rows=sc_rows,
+        interpret=interpret)
     words_np = np.asarray(words).reshape(-1)
     if words_np[-1] != 0:  # fallback overflow: pathological sparsity
         from . import jax_decoder

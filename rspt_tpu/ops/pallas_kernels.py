@@ -940,7 +940,15 @@ CT_SUP = 16    # rows merged per compaction super (d <= 2047)
 CT_ACC = 24    # compaction accumulator rows (16-row super spans <= 17)
 
 
-def _compact_tokens_kernel(base_ref, tokw_ref, out_ref, carry_ref):
+def _make_compact_kernel(nonzero_valid: bool):
+    def kernel(base_ref, tokw_ref, out_ref, carry_ref):
+        return _compact_tokens_kernel(base_ref, tokw_ref, out_ref,
+                                      carry_ref, nonzero_valid)
+    return kernel
+
+
+def _compact_tokens_kernel(base_ref, tokw_ref, out_ref, carry_ref,
+                           nonzero_valid: bool = False):
     """Compact valid tokens of one (R_CT, 128) position tile to the
     block's flat token span, preserving order.
 
@@ -963,7 +971,8 @@ def _compact_tokens_kernel(base_ref, tokw_ref, out_ref, carry_ref):
         carry_ref[0] = base_ref[b]
 
     w = tokw_ref[0, 0]                       # (R_CT, 128)
-    valid = jnp.right_shift(w, 27) & 1
+    valid = (w != 0).astype(jnp.int32) if nonzero_valid \
+        else jnp.right_shift(w, 27) & 1
     lane = jax.lax.broadcasted_iota(jnp.int32, w.shape, 1)
     tri = _tri128()
     vr = jax.lax.dot_general(valid.astype(jnp.bfloat16), tri,
@@ -1031,9 +1040,12 @@ def _compact_tokens_kernel(base_ref, tokw_ref, out_ref, carry_ref):
     carry_ref[0] = carry + rowbase[R - 1, 0] + cnt[R - 1, 0]
 
 
-@functools.partial(jax.jit, static_argnames=("t_rows", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("t_rows", "interpret",
+                                    "nonzero_valid"))
 def compact_tokens_pallas(tokw, bases, t_rows: int,
-                          interpret: bool = False):
+                          interpret: bool = False,
+                          nonzero_valid: bool = False):
     """(nb, ntok) token words → (t_rows, 128) flat compacted tokens;
     block b's valid tokens land in order at flat index bases[b]
     (host-computed from the histograms, group-aligned). t_rows must
@@ -1044,7 +1056,7 @@ def compact_tokens_pallas(tokw, bases, t_rows: int,
                  ((0, 0), (0, ntiles * R_CT * 128 - ntok))
                  ).reshape(nb, ntiles, R_CT, 128)
     out = pl.pallas_call(
-        _compact_tokens_kernel,
+        _make_compact_kernel(nonzero_valid),
         out_shape=jax.ShapeDtypeStruct((1, t_rows, 128), jnp.int32),
         grid=(nb, ntiles),
         in_specs=[
