@@ -677,6 +677,7 @@ def decode_many(datas, interpret: bool = False) -> list:
     # the full L1/L2/L3 capability (any legal hzr block).
     import os as _os
     dev_slots = int(_os.environ.get("RSPT_DEC_DEVICE_SLOTS", "8"))
+    host_blocks = []
     dev = []  # (payload, pbits, dbits, out_off, olen, l1, l2, l3, nsl2, nsl3)
     for payload, pbits, dbits, ooff, olen, tree in huff:
         lut = build_lut16(tree)
@@ -684,7 +685,15 @@ def decode_many(datas, interpret: bool = False) -> list:
                                 or lut[4] > max(0, dev_slots - 8)):
             lut = None
         if lut is None:
-            # block outside the LUT envelope (rare): host-decode via a
+            # routed to the host decoder; deferred until after the
+            # device kernel LAUNCHES so the host MT decode overlaps
+            # device execution (dispatch is async)
+            host_blocks.append((payload, ooff, olen))
+            continue
+        dev.append((payload, pbits, dbits, ooff, olen) + lut)
+
+    def run_host_blocks():
+        for payload, ooff, olen in host_blocks:
             # synthesized single-block stream (decode skips the CRC
             # field, hzr_decode.c:343)
             mini = (int(olen).to_bytes(4, "little")
@@ -698,9 +707,9 @@ def decode_many(datas, interpret: bool = False) -> list:
                 blk = pyref.decode(np.frombuffer(mini, np.uint8))
             out[ooff:ooff + olen] = np.frombuffer(blk, np.uint8,
                                                   count=olen)
-            continue
-        dev.append((payload, pbits, dbits, ooff, olen) + lut)
+
     if not dev:
+        run_host_blocks()
         return [out[a:a + n].tobytes() for a, n in spans]
 
     # --- lane layout: per block ceil(nseg/128) rows, blocks contiguous,
@@ -816,6 +825,9 @@ def decode_many(datas, interpret: bool = False) -> list:
         jnp.asarray(l2a), jnp.asarray(l3a), jnp.asarray(entry),
         jnp.asarray(segend), jnp.asarray(pbits_a), jnp.asarray(first),
         interpret=interpret)
+    # the device kernel is now in flight: host-decode the routed-out
+    # deep blocks while it runs
+    run_host_blocks()
     # bucketed emission width: one scalar d2h (fixed link RTT here,
     # microseconds on directly-attached chips) buys a much smaller
     # placement problem than the static cap
