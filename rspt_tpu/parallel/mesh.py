@@ -81,23 +81,29 @@ class ShardedHzrDecoder:
 
         rep = P(None)
 
+        ndev = self.ndev
+
         def make_emit(out_size: int):
+            pad = -(-out_size // ndev) * ndev
+
             def emit(words, l1, l2, l2_base, block_of_lane, entry,
                      seg_end, pbits, out_bases, out_limit):
-                buf = jnp.zeros(out_size, jnp.uint8)
+                buf = jnp.zeros(pad, jnp.uint8)
                 _, _, buf = jd._sweep_impl(
                     words, l1, l2, l2_base, block_of_lane, entry,
                     seg_end, pbits, out_bases, out_limit, buf, True)
-                # shards write disjoint output positions, so sum == OR:
-                # reduce on-device over ICI and return ONE replicated
-                # buffer — the host pulls out_size bytes instead of
-                # ndev full-size buffers it then has to OR serially
-                return jax.lax.psum(buf, AXIS)
+                # shards write disjoint output positions, so sum == OR
+                # and every byte has one writer (sums stay <= 255).
+                # reduce-SCATTER instead of all-reduce: each device
+                # keeps only the out/ndev slice it owns — half the
+                # collective traffic; the host reads the same bytes.
+                return jax.lax.psum_scatter(
+                    buf, AXIS, scatter_dimension=0, tiled=True)
 
             return jax.jit(jax.shard_map(
                 emit, mesh=mesh,
                 in_specs=(rep, rep, rep, rep) + (P(AXIS),) * 6,
-                out_specs=rep, check_vma=False))
+                out_specs=P(AXIS), check_vma=False))
 
         self._built = {
             "fixpoint": jax.jit(jax.shard_map(
@@ -194,7 +200,7 @@ class ShardedHzrDecoder:
             jnp.asarray(l2_base), jnp.asarray(lane_block), entry,
             jnp.asarray(lane_seg_end), jnp.asarray(lane_pbits),
             jnp.asarray(out_bases), jnp.asarray(out_limit))
-        emitted = np.asarray(bufs)
+        emitted = np.asarray(bufs)[:total]
         for payload, pbits, dbits, ooff, olen, tree in huff:
             out[ooff:ooff + olen] = emitted[ooff:ooff + olen]
         return [out[a:a + n].tobytes() for a, n in spans]
