@@ -160,3 +160,34 @@ def test_flat_pack_fill_and_copy_routing(rng, monkeypatch):
     assert comp2 == hpack.new_xdelta_hzr(bps, ch2, n2, 4).compress(native2)
     out2, _ = p2.decompress(comp2)
     assert out2 == native2
+
+
+def test_flat_pack_fuzz_shapes(rng, monkeypatch):
+    """Flat exact-offset pack across varied shapes/statistics (interp):
+    byte-identical to the host engine, including multi-block planes,
+    odd tails, FILL-heavy and near-random payloads."""
+    monkeypatch.setenv("RSPT_FUSED_PASS1", "interp")
+    from rspt_tpu.hzr import jax_coder
+    monkeypatch.setattr(jax_coder, "_PACK_MODE", "interp")
+    from rspt_tpu.packers import host as hpack
+    from rspt_tpu.packers import tpu as tpack
+
+    cases = [
+        (1, 70001, 4, 2, 900.0),    # multi-block single channel
+        (5, 13000, 4, 3, 3.0),      # tiny amplitude (FILL planes)
+        (2, 33333, 4, 4, 2e6),      # wide dynamic range
+        (3, 8192, 2, 2, 120.0),     # 16-bit samples
+        (7, 11111, 4, 1, 0.4),      # 1 plane, near-constant
+    ]
+    for ch, n, bps, planes, sigma in cases:
+        sig = np.cumsum(rng.normal(0, sigma, (ch, n)), axis=1)
+        sig = sig.astype(np.int32)
+        if bps < 4:
+            sig >>= 16
+        native = np.ascontiguousarray(sig.T).astype(f"<i{bps}").tobytes()
+        pt = tpack.new_xdelta_hzr(bps, ch, n, planes)
+        ph = hpack.new_xdelta_hzr(bps, ch, n, planes)
+        comp_t, comp_h = pt.compress(native), ph.compress(native)
+        assert comp_t == comp_h, (ch, n, bps, planes, sigma)
+        out, _ = pt.decompress(comp_t)
+        assert out == native, (ch, n, bps, planes, sigma)
