@@ -436,11 +436,12 @@ def _place_emissions(emis, steps_used, counts, block_first, out_off,
     Returns (words (nrows, 128) i32 — bitcast to the output bytes —
     and the fallback-overflow flag).
     """
-    # 8-bit fields at byte offsets span <=33 words per 127 entries, so
-    # the main pack fits 127 real lanes per 128-lane window row (lane
-    # 127 dead keeps the search saturation lossless); the 32-bit
-    # fallback pack keeps K_PLACE=96 (96 words <= the 126-word window)
-    K = 127
+    # 8-bit fields at byte offsets span <=32 words per 128 entries, so
+    # the main pack uses FULL 128-lane chunks — the (1, S) -> chunks
+    # reshape is then a pure reshape (any K<128 relayouts the whole
+    # stream); the 32-bit fallback pack keeps K_PLACE=96 (96 words <=
+    # the 126-word window)
+    K = 128
     ntiles = emis.shape[0]
     nl = ntiles * 8 * 128
     lanes = emis[:, :s_eff].transpose(0, 2, 3, 1).reshape(nl, s_eff)

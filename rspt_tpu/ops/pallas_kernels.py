@@ -180,19 +180,30 @@ def _chunk_windows1_kernel(local_ref, c0_ref, dense_ref):
     """Single-plane chunk_windows: for fields that never spill their
     word (8-bit at byte offsets, 32-bit word-aligned — the decoder
     placement cases) planes c1/c2 are identically zero, so one MXU
-    prefix + one gather replaces three of each."""
+    prefix + one gather replaces three of each. All 128 lanes may be
+    live (K=128 keeps the chunk reshape a pure reshape — a 127-wide
+    chunking relayouts the whole stream at a prime stride): the
+    explicit loc[127] test extends the 7-step search to cnt=128, and
+    the INCLUSIVE prefix gathered at cnt-1 represents "all"."""
     loc = local_ref[0]
     lane = jax.lax.broadcasted_iota(jnp.int32, loc.shape, 1)
     tri = _tri128()
-    v = _mxu_iprefix32(c0_ref[0], tri)
-    e0 = jnp.where(lane == 0, 0, pltpu.roll(v, 1, 1))
+    incl = _mxu_iprefix32(c0_ref[0], tri)
+    l127 = loc[:, 127:128]
 
-    idx = jnp.zeros(loc.shape, jnp.int32)
-    for b in (64, 32, 16, 8, 4, 2, 1):
-        t = idx + b
-        vb = jnp.take_along_axis(loc, t - 1, axis=1)
-        idx = jnp.where(vb <= lane, t, idx)
-    g0 = jnp.take_along_axis(e0, idx, axis=1)
+    def search(target):
+        cnt = jnp.zeros(loc.shape, jnp.int32)
+        for b in (64, 32, 16, 8, 4, 2, 1):
+            t = cnt + b
+            vb = jnp.take_along_axis(loc, t - 1, axis=1)
+            cnt = jnp.where(vb <= target, t, cnt)
+        return jnp.where(l127 <= target, 128, cnt)
+
+    def gsum(cnt):
+        g = jnp.take_along_axis(incl, jnp.clip(cnt - 1, 0, 127), axis=1)
+        return jnp.where(cnt == 0, 0, g)
+
+    g0 = gsum(search(lane))
     dense_ref[0] = g0 - jnp.where(lane < 1, 0, pltpu.roll(g0, 1, 1))
 
 
