@@ -153,8 +153,9 @@ def build_lut16(tree):
 # ---------------------------------------------------------------------------
 
 def _decode_kernel(nl2_ref, win_ref, l1lo_ref, l1hi_ref, l2_ref, l3_ref,
-                   entry_ref, segend_ref, pbits_ref, first_ref, emis_ref,
-                   counts_ref, steps_ref, ring_ref, sem_ref):
+                   entry_ref, segend_ref, pbits_ref, first_ref,
+                   wbase_ref, emis_ref, counts_ref, steps_ref,
+                   entry_out_ref, ring_ref, sem_ref):
     t = pl.program_id(0)
     shape = (8, 128)
     u32 = jnp.uint32
@@ -163,12 +164,16 @@ def _decode_kernel(nl2_ref, win_ref, l1lo_ref, l1hi_ref, l2_ref, l3_ref,
     wseg = win_ref.shape[0]      # window rows, sized per launch
     nl2 = nl2_ref[t, 0]          # deep L2 slots in this tile (often 0)
     nl3 = nl2_ref[t, 1]          # deep L3 slots in this tile
+    trust = nl2_ref[t, 2]        # 1 = entries are exact (decode hints)
 
     entry0 = entry_ref[...]
     seg_end = segend_ref[...]
     pbits = pbits_ref[...]
     first = first_ref[...] != 0
-    win_base = jnp.right_shift(entry0, 5)
+    # the window anchor is the NOMINAL segment start (the host built
+    # each lane's word window from it) — entry_ref may carry hinted
+    # (converged) entries that sit up to 37 bits past it
+    win_base = wbase_ref[...]
     l1lo = l1lo_ref[...]
     l1hi = l1hi_ref[...]
 
@@ -336,7 +341,8 @@ def _decode_kernel(nl2_ref, win_ref, l1lo_ref, l1hi_ref, l2_ref, l3_ref,
     # first k segments of every block are exact, so the cap guarantees
     # correctness even without early convergence
     def fcond(st):
-        return st[1] & (st[2] < SEG_PER_BLOCK + 2)
+        # trusted entries (decode hints) skip the fixpoint entirely
+        return st[1] & (st[2] < SEG_PER_BLOCK + 2) & (trust == 0)
 
     def fbody(st):
         entry, _, it = st
@@ -367,19 +373,21 @@ def _decode_kernel(nl2_ref, win_ref, l1lo_ref, l1hi_ref, l2_ref, l3_ref,
     counts_ref[...] = counts
     steps_ref[t, 0] = steps
     steps_ref[t, 1] = fp_iters
+    entry_out_ref[...] = entry   # converged entries -> decode hints
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _run_kernel(nl2, win, l1lo, l1hi, l2, l3, entry, segend, pbits,
-                first, interpret: bool = False):
+                first, wbase, interpret: bool = False):
     ntiles = entry.shape[0] // 8
     wseg = win.shape[0]
-    emis, counts, steps = pl.pallas_call(
+    emis, counts, steps, entry_out = pl.pallas_call(
         _decode_kernel,
         out_shape=(
             jax.ShapeDtypeStruct((ntiles, MAX_STEPS, 8, 128), jnp.int32),
             jax.ShapeDtypeStruct((ntiles * 8, 128), jnp.int32),
             jax.ShapeDtypeStruct((ntiles, 2), jnp.int32),
+            jax.ShapeDtypeStruct((ntiles * 8, 128), jnp.int32),
         ),
         grid=(ntiles,),
         in_specs=[
@@ -402,6 +410,8 @@ def _run_kernel(nl2, win, l1lo, l1hi, l2, l3, entry, segend, pbits,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((8, 128), lambda t: (t, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 128), lambda t: (t, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec(memory_space=pl.ANY),
@@ -409,13 +419,15 @@ def _run_kernel(nl2, win, l1lo, l1hi, l2, l3, entry, segend, pbits,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((ntiles, 2), lambda t: (0, 0),
                          memory_space=pltpu.SMEM),
+            pl.BlockSpec((8, 128), lambda t: (t, 0),
+                         memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[pltpu.VMEM((STEP_CHUNK, 8, 128), jnp.int32),
                         pltpu.SemaphoreType.DMA],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
-    )(nl2, win, l1lo, l1hi, l2, l3, entry, segend, pbits, first)
-    return emis, counts, steps
+    )(nl2, win, l1lo, l1hi, l2, l3, entry, segend, pbits, first, wbase)
+    return emis, counts, steps, entry_out
 
 
 # ---------------------------------------------------------------------------
@@ -645,7 +657,8 @@ def decode(data) -> bytes:
     return decode_many([data])[0]
 
 
-def decode_many(datas, interpret: bool = False) -> list:
+def decode_many(datas, interpret: bool = False, hints=None,
+                return_hints: bool = False):
     """Decode several hzr streams with the entropy stage in one Pallas
     kernel launch + one placement jit. COPY/FILL blocks and blocks
     outside the LUT envelope resolve on the host."""
@@ -667,7 +680,8 @@ def decode_many(datas, interpret: bool = False) -> list:
     for src, (gstart, ssize) in zip(srcs, spans):
         _walk_stream(src, ssize, gstart, out, huff)
     if not huff:
-        return [out[a:a + n].tobytes() for a, n in spans]
+        outs = [out[a:a + n].tobytes() for a, n in spans]
+        return (outs, None) if return_hints else outs
 
     # --- host: LUTs, fallback split, lane layout -------------------------
     # Device-vs-host routing is a COST heuristic, not a capability
@@ -711,7 +725,8 @@ def decode_many(datas, interpret: bool = False) -> list:
 
     if not dev:
         run_host_blocks()
-        return [out[a:a + n].tobytes() for a, n in spans]
+        outs = [out[a:a + n].tobytes() for a, n in spans]
+        return (outs, None) if return_hints else outs
 
     # --- lane layout: per block ceil(nseg/128) rows, blocks contiguous,
     # never straddling an 8-row tile ------------------------------------
@@ -771,7 +786,7 @@ def decode_many(datas, interpret: bool = False) -> list:
     # default-pin every lane (padding rows never update); live rows
     # overwrite their live prefix below
     first = np.ones((nrows_l, 128), np.int32)
-    nl23 = np.zeros((nrows_l // 8, 2), np.int32)  # per-tile slot counts
+    nl23 = np.zeros((nrows_l // 8, 3), np.int32)  # per-tile slots+trust
     lane_live = np.zeros(nl, bool)
     block_first = np.zeros(nl, np.int32)
     out_off_a = np.zeros(nl, np.int32)
@@ -820,12 +835,20 @@ def decode_many(datas, interpret: bool = False) -> list:
     dead = lane_block < 0
     block_first[dead] = np.flatnonzero(dead) if dead.any() else 0
 
-    emis, counts, steps = _run_kernel(
+    # decode hints: entries captured from a previous decode of the
+    # same streams (the converged alignment fixpoint). The lane layout
+    # is deterministic per stream set, so matching-shape hints pin the
+    # entries exactly and the kernel skips the fixpoint sweeps.
+    wbase = np.right_shift(entry, 5)    # nominal window anchors
+    if hints is not None and getattr(hints, "shape", None) == entry.shape:
+        entry = np.ascontiguousarray(hints, np.int32)
+        nl23[:, 2] = 1
+    emis, counts, steps, entry_out = _run_kernel(
         jnp.asarray(nl23),
         jnp.asarray(win), jnp.asarray(l1lo), jnp.asarray(l1hi),
         jnp.asarray(l2a), jnp.asarray(l3a), jnp.asarray(entry),
         jnp.asarray(segend), jnp.asarray(pbits_a), jnp.asarray(first),
-        interpret=interpret)
+        jnp.asarray(wbase), interpret=interpret)
     # the device kernel is now in flight: host-decode the routed-out
     # deep blocks while it runs
     run_host_blocks()
@@ -855,8 +878,12 @@ def decode_many(datas, interpret: bool = False) -> list:
     words_np = np.asarray(words).reshape(-1)
     if words_np[-1] != 0:  # fallback overflow: pathological sparsity
         from . import jax_decoder
-        return jax_decoder.decode_many(datas)
+        outs = jax_decoder.decode_many(datas)
+        return (outs, None) if return_hints else outs
     emitted = words_np.view("<u4").view(np.uint8)[:total]
     for payload, pbits, dbits, ooff, olen, l1, l2, l3, nsl, ns3 in dev:
         out[ooff:ooff + olen] = emitted[ooff:ooff + olen]
-    return [out[a:a + n].tobytes() for a, n in spans]
+    outs = [out[a:a + n].tobytes() for a, n in spans]
+    if return_hints:
+        return outs, np.asarray(entry_out)
+    return outs

@@ -624,29 +624,40 @@ class TpuXdeltaHzrPacker(_TpuPackerBase):
                                  c.bytes_per_sample)
         return np.asarray(out).tobytes(), consumed
 
-    def decompress_many(self, comps) -> list:
+    def decompress_many(self, comps, hints=None,
+                        return_hints: bool = False):
         """Batched serving decode (packers/native.py decompress_many
         API parity): with device_decode, EVERY payload's plane streams
         share one device-decoder lane batch; otherwise the host MT path
-        runs per payload (it already saturates the cores)."""
+        runs per payload (it already saturates the cores).
+
+        hints/return_hints (device_decode only): aligned-decode hints —
+        a first decode returns the converged alignment entries for this
+        stream set; passing them to later decodes of the SAME streams
+        skips the speculative fixpoint sweeps entirely."""
         c = self.cfg
         if not comps:
             return []
         if not self.device_decode:
-            return [self.decompress(cp)[0] for cp in comps]
+            outs_ = [self.decompress(cp)[0] for cp in comps]
+            return (outs_, None) if return_hints else outs_
         import os as _os
         mode = _os.environ.get("RSPT_DECODER", "")
         if mode == "pallas" or (not mode
                                 and jax.default_backend() == "tpu"):
             from ..hzr import pallas_decoder
-            decode_many = pallas_decoder.decode_many
+            decode_many = functools.partial(pallas_decoder.decode_many,
+                                            hints=hints,
+                                            return_hints=return_hints)
         elif mode == "interp":
             from ..hzr import pallas_decoder
             decode_many = functools.partial(pallas_decoder.decode_many,
-                                            interpret=True)
+                                            interpret=True, hints=hints,
+                                            return_hints=return_hints)
         else:
             from ..hzr import jax_decoder
             decode_many = jax_decoder.decode_many
+            return_hints = False
         streams = []
         for comp in comps:
             src = memoryview(bytes(comp)
@@ -661,6 +672,9 @@ class TpuXdeltaHzrPacker(_TpuPackerBase):
                 streams.append(bytes(src[pos:pos + clen]))
                 pos += clen
         decoded = decode_many(streams)
+        out_hints = None
+        if return_hints and isinstance(decoded, tuple):
+            decoded, out_hints = decoded
         outs = []
         for i in range(len(comps)):
             planes = np.stack([
@@ -673,7 +687,7 @@ class TpuXdeltaHzrPacker(_TpuPackerBase):
                 flat.reshape(c.nr_channels, c.nr_samples),
                 c.bytes_per_sample)
             outs.append(np.asarray(out).tobytes())
-        return outs
+        return (outs, out_hints) if return_hints else outs
 
 
 class TpuDctPacker(_TpuPackerBase):

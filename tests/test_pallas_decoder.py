@@ -85,3 +85,22 @@ def test_deep_codes_on_device(monkeypatch):
                for t in huff), "deep-code block fell out of the envelope"
     got = pallas_decoder.decode_many([st], interpret=True)
     assert got[0] == x
+
+
+def test_decode_hints_roundtrip(rng):
+    """Aligned-decode hints: a first decode returns the converged
+    alignment entries; passing them back pins the entries and skips
+    the fixpoint — output stays byte-identical."""
+    x = np.where(rng.random(200000) < 0.5,
+                 rng.integers(1, 200, 200000), 0).astype(np.uint8)
+    st = pyref.encode(x.tobytes())
+    outs, hints = pallas_decoder.decode_many([st], interpret=True,
+                                             return_hints=True)
+    assert outs[0] == x.tobytes()
+    assert hints is not None and hints.size > 0
+    outs2 = pallas_decoder.decode_many([st], interpret=True, hints=hints)
+    assert outs2[0] == x.tobytes()
+    # wrong-shape hints are ignored, not trusted
+    outs3 = pallas_decoder.decode_many([st], interpret=True,
+                                       hints=hints[:8])
+    assert outs3[0] == x.tobytes()

@@ -269,8 +269,9 @@ def main():
     ra, rk = holder["run"]
 
     def kern_body(acc):
-        win, a = jax.lax.optimization_barrier((ra[0], acc))
-        emis, counts, steps = orig_run.__wrapped__(win, *ra[1:], **rk)
+        win, a = jax.lax.optimization_barrier((ra[1], acc))
+        emis, counts, steps, eo = orig_run.__wrapped__(
+            ra[0], win, *ra[2:], **rk)
         return a + s(counts) + s(steps) + s(emis[:, :64])
 
     t_kernel = loop_time(kern_body, iters=5, reps=3)
@@ -283,6 +284,29 @@ def main():
         return a + s(words)
 
     t_place = loop_time(place_body, iters=5, reps=3)
+
+    # aligned-decode hints: skip the speculative fixpoint sweeps
+    _, hints = pd.decode_many(streams, return_hints=True)
+    holder2 = {}
+
+    def run_spy2(*a, **k):
+        holder2["run"] = (a, k)
+        return orig_run(*a, **k)
+
+    pd._run_kernel = run_spy2
+    outs_h = pd.decode_many(streams, hints=hints)
+    pd._run_kernel = orig_run
+    assert outs_h == outs, "hinted decode diverged"
+    ha, hk = holder2["run"]
+
+    def kern_hint_body(acc):
+        win, a = jax.lax.optimization_barrier((ha[1], acc))
+        emis, counts, steps, eo = orig_run.__wrapped__(
+            ha[0], win, *ha[2:], **hk)
+        return a + s(counts) + s(steps) + s(emis[:, :64])
+
+    out["t_dec_kernel_hinted_s"] = loop_time(kern_hint_body, iters=5,
+                                             reps=3)
     dev_dec = t_kernel + t_place
     out.update(t_dec_kernel_s=t_kernel, t_dec_place_s=t_place,
                device_dec_s=dev_dec,

@@ -330,7 +330,7 @@ def main():
 
     def dec_kernel(acc):
         win, a = jax.lax.optimization_barrier((ra[1], acc))
-        emis, counts, steps = orig_run.__wrapped__(
+        emis, counts, steps, eo = orig_run.__wrapped__(
             ra[0], win, *ra[2:], **rk)
         return a + s(counts) + s(steps) + s(emis[:, :64])
 
