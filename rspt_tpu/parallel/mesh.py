@@ -114,7 +114,11 @@ class ShardedHzrDecoder:
         }
         return self._built
 
-    def decode_many(self, datas) -> list:
+    def decode_many(self, datas, hints=None, return_hints: bool = False):
+        """hints/return_hints: aligned-decode hints — (entries, counts)
+        from a previous decode of the SAME streams skip every fixpoint
+        sweep (and its per-sweep ppermute carry exchange); only the
+        emission sweep runs."""
         from ..hzr import jax_decoder as jd
         import jax.numpy as jnp
         srcs = [np.frombuffer(memoryview(d).cast("B"), np.uint8)
@@ -132,7 +136,8 @@ class ShardedHzrDecoder:
         for src, (gstart, ssize) in zip(srcs, spans):
             jd._walk_stream(src, ssize, gstart, out, huff)
         if not huff:
-            return [out[a:a + n].tobytes() for a, n in spans]
+            outs = [out[a:a + n].tobytes() for a, n in spans]
+            return (outs, None) if return_hints else outs
 
         # host LUTs + lane arrays (identical to jd._device_decode)
         nb = len(huff)
@@ -176,13 +181,17 @@ class ShardedHzrDecoder:
         dfirst[nl:] = True  # padding lanes pin to their (dead) entries
 
         fns = self._fns()
-        entry, counts = fns["fixpoint"](
-            jnp.asarray(words), jnp.asarray(l1), jnp.asarray(l2),
-            jnp.asarray(l2_base), jnp.asarray(lane_block),
-            jnp.asarray(lane_entry), jnp.asarray(lane_seg_end),
-            jnp.asarray(lane_pbits), jnp.asarray(dfirst))
-
-        counts_np = np.asarray(counts)[:nl]
+        if hints is not None and getattr(hints[0], "shape", (0,))[0] \
+                == nl_pad:
+            entry = jnp.asarray(np.ascontiguousarray(hints[0], np.int32))
+            counts_np = np.asarray(hints[1])[:nl]
+        else:
+            entry, counts = fns["fixpoint"](
+                jnp.asarray(words), jnp.asarray(l1), jnp.asarray(l2),
+                jnp.asarray(l2_base), jnp.asarray(lane_block),
+                jnp.asarray(lane_entry), jnp.asarray(lane_seg_end),
+                jnp.asarray(lane_pbits), jnp.asarray(dfirst))
+            counts_np = np.asarray(counts)[:nl]
         out_bases = np.zeros(nl_pad, np.int32)
         li = 0
         for i, nseg in enumerate(seg_of_block):
@@ -203,7 +212,12 @@ class ShardedHzrDecoder:
         emitted = np.asarray(bufs)[:total]
         for payload, pbits, dbits, ooff, olen, tree in huff:
             out[ooff:ooff + olen] = emitted[ooff:ooff + olen]
-        return [out[a:a + n].tobytes() for a, n in spans]
+        outs = [out[a:a + n].tobytes() for a, n in spans]
+        if return_hints:
+            cpad = np.zeros(nl_pad, np.int32)
+            cpad[:nl] = counts_np
+            return outs, (np.asarray(entry), cpad)
+        return outs
 
 
 def make_mesh(devices=None) -> Mesh:

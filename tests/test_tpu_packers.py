@@ -137,3 +137,23 @@ class TestShardedScans:
         x = nops.xor_encode(a)
         np.testing.assert_array_equal(
             np.asarray(fns["xor_decode"](x)), nops.xor_decode(x))
+
+
+class TestShardedDecodeHints:
+    def test_sharded_hints_roundtrip(self, rng):
+        """Sharded aligned-decode hints skip every fixpoint sweep (and
+        its per-sweep ppermute); bytes stay identical."""
+        import jax
+        if len(jax.devices()) < 2:
+            pytest.skip("needs multi-device mesh")
+        from rspt_tpu.hzr import pyref
+        from rspt_tpu.parallel.mesh import ShardedHzrDecoder
+        payload = np.concatenate([
+            rng.integers(0, 10, 90000).astype(np.uint8),
+            np.zeros(30000, np.uint8),
+            rng.integers(0, 256, 5000).astype(np.uint8)])
+        st = pyref.encode(payload)
+        dec = ShardedHzrDecoder()
+        outs, hints = dec.decode_many([st], return_hints=True)
+        assert outs[0] == payload.tobytes()
+        assert dec.decode_many([st], hints=hints)[0] == payload.tobytes()
