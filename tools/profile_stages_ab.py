@@ -297,6 +297,43 @@ def main():
 
     add("flat2_place", flat2_place)
 
+    # --- batched flat2 (serving): per-byte scaling check ---------------
+    tokw4 = jnp.concatenate([tokw] * 4, axis=0)
+    hist4 = np.concatenate([hist_np] * 4, axis=0)
+    lengths4 = np.tile(lengths_np, 4)
+    codes4 = np.concatenate([codes] * 4, axis=0)
+    cbits4 = np.concatenate([cbits] * 4, axis=0)
+    dbits4 = np.concatenate([desc_bits] * 4, axis=0)
+    tb4, cl4, ih4, _ = jax_coder.host_layout(
+        hist4, lengths4, cbits4, dbits4, np.zeros(len(lengths4), bool))
+    hoff4 = (np.cumsum(cl4) - cl4).astype(np.int64)
+    bas4, T4, ng4, g2b4, gf4 = jax_coder.flat_compact_layout(hist4, ih4)
+    t_rows4 = T4 // 128 + 512 + 24
+    nrows4 = -(-(int(cl4.sum()) // 4 + 2) // 128) + ACC_ROWS
+    nrows4 = -(-nrows4 // 8) * 8
+    comb4 = ((codes4.astype(np.uint32) & np.uint32(0xFFFFFF))
+             | (cbits4.astype(np.uint32) << np.uint32(24))).view(np.int32)
+    lut34 = np.zeros((ng4, 3 * 128), np.int32)
+    lut34[:, :comb4.shape[1]] = comb4[g2b4]
+    a4 = jax.device_put((bas4, lut34.reshape(ng4, 3, 128),
+                         dbits4[g2b4].astype(np.int32),
+                         hoff4[g2b4].astype(np.int32), gf4))
+
+    def flat2_b4(acc):
+        t_, a = jax.lax.optimization_barrier((tokw4, acc))
+        w = jax_coder._pack_tokens_flat2_impl(
+            t_, *a4, t_rows=t_rows4, T=T4, nrows_f=nrows4)
+        return a + s(w)
+
+    add("flat2_pack_batch4", flat2_b4)
+
+    def flat2_b4_compact(acc):
+        t_, a = jax.lax.optimization_barrier((tokw4, acc))
+        tokc = compact_tokens_pallas(t_, a4[0], t_rows4)
+        return a + s(tokc)
+
+    add("flat2_compact_batch4", flat2_b4_compact)
+
     # --- decode: kernel vs placement (same-process, same clock) ------
     import rspt_tpu.hzr.pallas_decoder as pd
     from rspt_tpu.packers import tpu as tpack
