@@ -58,3 +58,23 @@ def test_verify_catches_corruption(native, rng):
     comp[len(comp) // 2] ^= 0x55
     with pytest.raises(ValueError):
         native.hzr_verify(bytes(comp))
+
+
+def test_pallas_decoder_corrupted_no_crash(rng):
+    """The device decoder must fail gracefully (or produce garbage like
+    the reference — hzr_decode skips CRC) on corrupted streams, never
+    crash or overrun. Fewer iterations than the native fuzz: interpret
+    mode pays a trace per lane-layout shape."""
+    from rspt_tpu.hzr import pallas_decoder, pyref
+    for _ in range(25):
+        n = int(rng.integers(3000, 40000))
+        payload = rng.integers(0, 30, n, dtype=np.int64).astype(np.uint8)
+        comp = bytearray(pyref.encode(payload))
+        for _ in range(int(rng.integers(1, 4))):
+            comp[rng.integers(0, len(comp))] ^= int(rng.integers(1, 256))
+        try:
+            out = pallas_decoder.decode_many([bytes(comp)],
+                                             interpret=True)
+            assert len(out) == 1
+        except (ValueError, IndexError):
+            pass  # graceful failure is fine; crashing is not
