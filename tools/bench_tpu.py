@@ -175,6 +175,53 @@ def main():
     out.update(device_enc_s=dev_enc,
                device_enc_gbps=nbytes / dev_enc / 1e9)
 
+    # --- scale point: one 4x-length payload (fixed costs amortize) ----
+    try:
+        n4 = n * 4
+        native4 = native * 4     # tiled: same statistics, no COPY blocks
+        raw4 = jax.device_put(np.frombuffer(native4, "<i4"))
+        f4, lengths4 = _pass1_xdelta(n4, ch, bps, planes)
+        small4, blocks4, toks4 = f4(raw4)
+        if len(toks4) == 2:
+            tokw4 = toks4[0]
+            hist4 = np.asarray(toks4[-1])
+            codes4, cbits4, _db4, dbits4, isf4 = jax_coder.host_tables(
+                hist4, lengths4)
+            _tb, cl4, ih4, ac4 = jax_coder.host_layout(
+                hist4, lengths4, cbits4, dbits4, isf4)
+            if not ac4:
+                from rspt_tpu.ops.pallas_kernels import ACC_ROWS as AR4
+                tp4 = int(cl4.sum())
+                nrf4 = -(-(tp4 // 4 + 2) // 128) + AR4
+                nrf4 = -(-nrf4 // 8) * 8
+                ho4 = (np.cumsum(cl4) - cl4).astype(np.int64)
+                ba4, T4, ng_4, g2b_4, gf_4 = jax_coder.flat_compact_layout(
+                    hist4, ih4)
+                tr4 = T4 // 128 + 512 + 24
+                cb4 = ((codes4.astype(np.uint32) & np.uint32(0xFFFFFF))
+                       | (cbits4.astype(np.uint32) << np.uint32(24))
+                       ).view(np.int32)
+                l34 = np.zeros((ng_4, 3 * 128), np.int32)
+                l34[:, :cb4.shape[1]] = cb4[g2b_4]
+                aa4 = jax.device_put((
+                    ba4, l34.reshape(ng_4, 3, 128),
+                    dbits4[g2b_4].astype(np.int32),
+                    ho4[g2b_4].astype(np.int32), gf_4))
+
+                def x4_body(acc):
+                    r_, a = jax.lax.optimization_barrier((raw4, acc))
+                    sm, bl, tk = f4.__wrapped__(r_)
+                    w = jax_coder._pack_tokens_flat2_impl(
+                        tk[0], *aa4, t_rows=tr4, T=T4, nrows_f=nrf4)
+                    return a + s(sm) + s(w)
+
+                t_x4 = loop_time(x4_body, iters=5, reps=3)
+                out["x4_device_enc_gbps"] = len(native4) / t_x4 / 1e9
+            else:
+                out["x4_error"] = "copy-fallback batch" 
+    except Exception as e:  # pragma: no cover
+        out["x4_error"] = str(e)[-200:]
+
     # --- batch serving: device-compute encode at batch 4 --------------
     try:
         from rspt_tpu.packers.tpu import _pass1_xdelta_batch
