@@ -720,7 +720,8 @@ def flat_compact_layout(hist_np, is_huff):
 
 def _pack_tokens_flat2_impl(tokw, bases, lut3, dbits_g, woff_g, gfirst,
                             t_rows: int, T: int, nrows_f: int,
-                            interpret: bool = False):
+                            interpret: bool = False,
+                            compact_splits: tuple = ()):
     """Compacted flat pack: tokens of every HUFF block compacted to a
     dense group-aligned stream (3-4x fewer pack slots than the
     positional (nb, 64Ki) layout), then windows with per-group block
@@ -730,9 +731,26 @@ def _pack_tokens_flat2_impl(tokw, bases, lut3, dbits_g, woff_g, gfirst,
                                       super_place_flat_pallas,
                                       token_group_windows_grouped_pallas)
 
-    tokc = compact_tokens_pallas(tokw, bases, t_rows,
-                                 interpret=interpret)
-    flat = tokc.reshape(1, -1)[:, :T]
+    if compact_splits:
+        # large batches: split the compaction into block-range chunks so
+        # each launch's VMEM-resident output stays small (the single
+        # 7+ MB buffer measured 1.5x/byte worse at batch 4). Chunks cut
+        # at group-aligned token offsets; non-HUFF blocks park in each
+        # chunk's own trash span.
+        parts = []
+        for blo, bhi, tlo, thi in compact_splits:
+            span = thi - tlo
+            bsub = jnp.where(bases[blo:bhi] >= thi, span,
+                             bases[blo:bhi] - tlo)
+            sub = compact_tokens_pallas(
+                tokw[blo:bhi], bsub, span // 128 + 512 + 80,
+                interpret=interpret)
+            parts.append(sub[:span // 128])
+        flat = jnp.concatenate(parts, axis=0).reshape(1, -1)[:, :T]
+    else:
+        tokc = compact_tokens_pallas(tokw, bases, t_rows,
+                                     interpret=interpret)
+        flat = tokc.reshape(1, -1)[:, :T]
     w0, w1, cbase, clive, gtot = token_group_windows_grouped_pallas(
         flat, lut3, interpret=interpret)
     ng = gtot.shape[1]
@@ -764,7 +782,31 @@ def _pack_tokens_flat2_impl(tokw, bases, lut3, dbits_g, woff_g, gfirst,
 
 pack_tokens_flat2 = jax.jit(
     _pack_tokens_flat2_impl,
-    static_argnames=("t_rows", "T", "nrows_f", "interpret"))
+    static_argnames=("t_rows", "T", "nrows_f", "interpret",
+                     "compact_splits"))
+
+
+def compact_split_plan(hist_np, is_huff, cap_tokens: int = 640 * 1024):
+    '''Static block-range chunks for the split compaction: contiguous
+    block runs whose group-aligned token spans stay under cap_tokens.
+    Returns () when one launch suffices.'''
+    ntok = hist_np.sum(axis=1).astype(np.int64)
+    groups = np.where(is_huff, -(-ntok // GROUP_TOK_FLAT), 0)
+    spans = groups * GROUP_TOK_FLAT
+    total = int(spans.sum())
+    if total <= cap_tokens:
+        return ()
+    splits = []
+    blo = 0
+    tlo = 0
+    acc = 0
+    for b, sp in enumerate(spans):
+        if acc and acc + int(sp) > cap_tokens:
+            splits.append((blo, b, tlo, tlo + acc))
+            blo, tlo, acc = b, tlo + acc, 0
+        acc += int(sp)
+    splits.append((blo, len(spans), tlo, tlo + acc))
+    return tuple(splits)
 
 
 def hist_from_tokw(tokw):

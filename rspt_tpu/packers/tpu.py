@@ -299,7 +299,8 @@ def _entropy_streams(blocks_dev, toks, lengths_np, n_chunks: int,
             bases, T, ng, g2b, gfirst = jax_coder.flat_compact_layout(
                 hist_np, is_huff)
             t_rows = T // 128 + 512 + 24  # trash span + CT_ACC headroom
-            if ng > 0 and t_rows <= 16384:
+            splits = jax_coder.compact_split_plan(hist_np, is_huff)
+            if ng > 0 and (splits or t_rows <= 16384):
                 # compacted flat pack: 3-4x fewer pack slots
                 comb_np = ((codes.astype(np.uint32)
                             & np.uint32(0xFFFFFF))
@@ -314,7 +315,8 @@ def _entropy_streams(blocks_dev, toks, lengths_np, n_chunks: int,
                     jax.device_put(hoff[g2b].astype(np.int32)),
                     jax.device_put(gfirst),
                     t_rows=t_rows, T=T, nrows_f=nrows_f,
-                    interpret=(mode == "interp"))
+                    interpret=(mode == "interp"),
+                    compact_splits=splits)
             elif ng == 0:
                 words = jnp.zeros((nrows_f, 128), jnp.int32)
             else:

@@ -191,3 +191,24 @@ def test_flat_pack_fuzz_shapes(rng, monkeypatch):
         assert comp_t == comp_h, (ch, n, bps, planes, sigma)
         out, _ = pt.decompress(comp_t)
         assert out == native, (ch, n, bps, planes, sigma)
+
+
+def test_flat_pack_split_compaction(rng, monkeypatch):
+    """The chunked compaction (large-batch VMEM guard) produces the
+    identical stream: force tiny chunks on a normal payload."""
+    monkeypatch.setenv("RSPT_FUSED_PASS1", "interp")
+    from rspt_tpu.hzr import jax_coder
+    monkeypatch.setattr(jax_coder, "_PACK_MODE", "interp")
+    orig_plan = jax_coder.compact_split_plan
+    monkeypatch.setattr(
+        jax_coder, "compact_split_plan",
+        lambda hist, huff, cap_tokens=0: orig_plan(
+            hist, huff, cap_tokens=jax_coder.GROUP_TOK_FLAT))
+    from rspt_tpu.packers import host as hpack
+    from rspt_tpu.packers import tpu as tpack
+
+    ch, n, bps = 3, 21000, 4
+    sig = np.cumsum(rng.normal(0, 300, (ch, n)), axis=1).astype(np.int32)
+    native = np.ascontiguousarray(sig.T).astype("<i4").tobytes()
+    comp = tpack.new_xdelta_hzr(bps, ch, n, 3).compress(native)
+    assert comp == hpack.new_xdelta_hzr(bps, ch, n, 3).compress(native)

@@ -255,11 +255,14 @@ def main():
                 dbits_b[g2bb].astype(np.int32),
                 hob[g2bb].astype(np.int32), gfb))
 
+            splits_b = jax_coder.compact_split_plan(hist_b, ishb)
+
             def batch_body(acc):
                 r_, a = jax.lax.optimization_barrier((raws, acc))
                 sm, bl, tk = fb.__wrapped__(r_)
                 w = jax_coder._pack_tokens_flat2_impl(
-                    tk[0], *argsb, t_rows=trb, T=Tb, nrows_f=nrf)
+                    tk[0], *argsb, t_rows=trb, T=Tb, nrows_f=nrf,
+                    compact_splits=splits_b)
                 return a + s(sm) + s(w)
 
             t_b = loop_time(batch_body, iters=5, reps=3)
