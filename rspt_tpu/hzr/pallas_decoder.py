@@ -203,16 +203,25 @@ def _decode_kernel(nl2_ref, win_ref, l1lo_ref, l1hi_ref, l2_ref, l3_ref,
         c0 = jnp.where(sh0 > 0, w0 >> sh0, w0)
         navail0 = jnp.where(active0, 32 - (entry & 31), 0)
         # the loop carries `active` as int32: Mosaic cannot yield an
-        # i1 vector from a while region
-        st0 = (entry, c0, ZERO, ZERO, navail0, wptr0 + 1,
-               jnp.zeros(shape, jnp.int32), jnp.int32(0),
-               active0.astype(jnp.int32))
+        # i1 vector from a while region. Non-emit (fixpoint) sweeps
+        # only need exit POSITIONS, so outc and the RLE output-count
+        # math stay out of their carry — a while carry keeps its
+        # computation live, so dropping it here is a real ~15% saving
+        # on the alignment sweeps.
+        st0 = (entry, c0, ZERO, ZERO, navail0, wptr0 + 1) + \
+            ((jnp.zeros(shape, jnp.int32),) if emit else ()) + \
+            (jnp.int32(0), active0.astype(jnp.int32))
 
         def cond(st):
-            return jnp.any(st[8] != 0)
+            return jnp.any(st[-1] != 0)
 
         def body(st):
-            pos, c0, c1, c2, navail, wptr, outc, step, active_i = st
+            if emit:
+                (pos, c0, c1, c2, navail, wptr, outc, step,
+                 active_i) = st
+            else:
+                pos, c0, c1, c2, navail, wptr, step, active_i = st
+                outc = None
             active = active_i != 0
 
             # refill to >= 40 available bits (a step consumes <= 38)
@@ -282,15 +291,17 @@ def _decode_kernel(nl2_ref, win_ref, l1lo_ref, l1hi_ref, l2_ref, l3_ref,
                 return r
 
             ebv = pick(_RLE_EBITS)
-            basev = pick(_RLE_BASE)
-            tail = (c0 >> cb) | jnp.where(cb > 0, c1 << (u32(32) - cb),
-                                          u32(0))
-            mask = (u32(1) << ebv.astype(u32)) - u32(1)
-            extra = pltpu.bitcast(tail & mask, jnp.int32)
-            extra = jnp.where(ebv > 0, extra, 0)
-            is_rle = sym >= 256
-            nout = jnp.where(is_rle, basev + extra, 1)
-            is_lit = (~is_rle) & (sym > 0)
+            if emit:
+                basev = pick(_RLE_BASE)
+                tail = (c0 >> cb) | jnp.where(cb > 0,
+                                              c1 << (u32(32) - cb),
+                                              u32(0))
+                mask = (u32(1) << ebv.astype(u32)) - u32(1)
+                extra = pltpu.bitcast(tail & mask, jnp.int32)
+                extra = jnp.where(ebv > 0, extra, 0)
+                is_rle = sym >= 256
+                nout = jnp.where(is_rle, basev + extra, 1)
+                is_lit = (~is_rle) & (sym > 0)
 
             consume = pltpu.bitcast(cb, jnp.int32) + ebv
             cu = consume.astype(u32)
@@ -329,13 +340,15 @@ def _decode_kernel(nl2_ref, win_ref, l1lo_ref, l1hi_ref, l2_ref, l3_ref,
                     jnp.where(active, n1, c1),
                     jnp.where(active, n2, c2),
                     jnp.where(active, navail - consume, navail),
-                    wptr,
-                    jnp.where(active, outc + nout, outc),
-                    step + 1,
-                    active_n.astype(jnp.int32))
+                    wptr) + \
+                ((jnp.where(active, outc + nout, outc),) if emit
+                 else ()) + \
+                (step + 1, active_n.astype(jnp.int32))
 
         out = jax.lax.while_loop(cond, body, st0)
-        return out[0], out[6], out[7]
+        if emit:
+            return out[0], out[6], out[7]
+        return out[0], None, out[6]
 
     # alignment fixpoint: entry(s+1) = exit(s); after k sweeps the
     # first k segments of every block are exact, so the cap guarantees
