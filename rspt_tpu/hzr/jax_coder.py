@@ -306,93 +306,6 @@ def _pack_tokens_pallas_v2(syms, extras, ebits, tvalid, codes,
     return packed, total_bits
 
 
-def _pack_tokens_pallas_from_toks(syms, extras, ebits, tvalid, codes,
-                                  code_bits, desc_bits, n, nb, max_out,
-                                  interpret):
-    """Token-level Pallas bit packing, LUT stage included.
-
-    Stage 1 (ops/pallas_kernels.token_values_pallas): per-token code
-    lookup via in-kernel 128-lane gathers (the XLA 261-lane masked
-    reduction it replaces was VPU-bound) + group-local bit prefixes, so
-    the only XLA scan left is over the tiny (nb, ngroups) group totals.
-    Stage 2 (chunk_windows_pallas): per-chunk (K tokens) dense 128-word
-    windows by prefix-sum + binary-search gather-diff.
-    Stage 3 (merge_place_pallas): 8-chunk super-windows merged in
-    registers and placed sequentially (VMEM-resident)."""
-    from ..ops.pallas_kernels import (GROUP_TOK, GSIZE, K_PACK, R_CW,
-                                      chunk_windows_pallas,
-                                      merge_place_pallas,
-                                      token_values_pallas)
-
-    comb = (jax.lax.bitcast_convert_type(codes, jnp.int32)
-            & jnp.int32(0xFFFFFF)) | (code_bits.astype(jnp.int32) << 24)
-    nbits, lo, hi, excl, tot = token_values_pallas(
-        syms, extras, ebits, tvalid, comb, interpret=interpret)
-    ng = tot.shape[1]
-    # exclusive prefix of the 64 group totals — doubling on a tiny array
-    gb = tot
-    p = 1
-    while p < ng:
-        gb = gb + jnp.pad(gb, ((0, 0), (p, 0)))[:, :ng]
-        p *= 2
-    group_base = desc_bits[:, None] + gb - tot
-    total_bits = group_base[:, -1] + tot[:, -1]
-    offs = (group_base[:, :, None]
-            + excl.reshape(nb, ng, GROUP_TOK)).reshape(nb, -1)
-    n_tok = offs.shape[1]  # padded to the group grid
-    sh = (offs & 31).astype(jnp.uint32)
-    inv = jnp.uint32(32) - sh
-    c0 = (lo << sh).astype(jnp.int32)
-    c1 = (jnp.where(sh > 0, lo >> inv, jnp.uint32(0))
-          | (hi << sh)).astype(jnp.int32)
-    c2 = jnp.where(sh > 0, hi >> inv, jnp.uint32(0)).astype(jnp.int32)
-
-    nwords = max_out // 4 + 1
-    # +2048 words of slack so a valid group base near the end of the
-    # stream still has a full 16-row placement span below the clamp
-    nrows = -(-(nwords + 2048) // 128)
-    nrows = -(-nrows // 8) * 8  # sublane-tile multiple
-    n_pad = -(-n_tok // K_PACK) * K_PACK
-    nchunks = n_pad // K_PACK
-    nchunks_p = -(-nchunks // R_CW) * R_CW  # window-kernel tile mult.
-
-    def prep(a, fill=0):
-        a = jnp.pad(a, ((0, 0), (0, n_pad - n_tok)), constant_values=fill)
-        a = a.reshape(nb, nchunks, K_PACK)
-        a = jnp.pad(a, ((0, 0), (0, nchunks_p - nchunks), (0, 0)),
-                    constant_values=fill)
-        # window kernel tiles are 128 token lanes; lanes K_PACK..127 of
-        # every chunk are dead (lane 127 dead also keeps the 7-step
-        # binary-search cnt saturation at 127 lossless)
-        return jnp.pad(a, ((0, 0), (0, 0), (0, 128 - K_PACK)),
-                       constant_values=fill)
-
-    word = jnp.right_shift(offs, 5)
-    bases = jnp.right_shift(offs[:, ::K_PACK], 5)
-    bases = jnp.pad(bases, ((0, 0), (0, nchunks_p - nchunks)),
-                    mode="edge")  # keep monotone for the group deltas
-    # sorted within-chunk word indices; pad tokens park at the clamp
-    # (contributions are 0 there). Out-of-range offsets (COPY-fallback
-    # blocks) are clamped everywhere; their garbage words are never
-    # read.
-    local = jnp.clip(prep(word, fill=1 << 22) - bases[:, :, None],
-                     0, 126)
-    gbase = jnp.clip(bases[:, ::GSIZE], 0, nrows * 128 - 2048)
-    d = jnp.clip(bases - jnp.repeat(gbase, GSIZE, axis=1), 0, 1023)
-    live = jnp.any(prep(nbits) > 0, axis=2)
-    glive = jnp.any(live.reshape(nb, -1, GSIZE), axis=2)
-    densew = chunk_windows_pallas(local, prep(c0), prep(c1), prep(c2),
-                                  interpret=interpret)
-    words3 = merge_place_pallas(
-        densew, d[:, :, None], gbase[:, :, None],
-        glive[:, :, None].astype(jnp.int32), nrows,
-        interpret=interpret)
-    words = words3.reshape(nb, nrows * 128)[:, :nwords]
-    packed = jax.lax.bitcast_convert_type(
-        words, jnp.uint8).reshape(nb, nwords * 4)[:, :max_out]
-    return packed, total_bits
-
-
 def _resolve_pack_mode(platform=None):
     plat = platform or jax.default_backend()
     return _PACK_MODE or ("pallas" if plat == "tpu" else "xla"), plat
@@ -648,55 +561,6 @@ def host_layout(hist_np, lengths_np, cbits, desc_bits, is_fill):
     any_copy = bool(((~is_fill) & live & (~is_huff)).any())
     comp_len = np.where(is_huff, plen, 0).astype(np.int64)
     return total_bits, comp_len, is_huff, any_copy
-
-
-def _pack_tokens_flat_impl(tokw, codes, code_bits, desc_bits, woff_bytes,
-                           block_live, nrows_f: int,
-                           interpret: bool = False):
-    """Pack every HUFF block's token bits directly into ONE flat word
-    buffer at its exact final byte offset (host_layout). Replaces the
-    per-block max-size buffers + compact_payloads pass: the d2h is the
-    finished payload stream (headers/descriptions spliced by the host).
-    """
-    from ..ops.pallas_kernels import (ACC_ROWS, D_CLAMP, SUP_CHUNKS,
-                                      super_place_flat_pallas,
-                                      token_group_windows_tokw_pallas)
-
-    nb = tokw.shape[0]
-    comb = (jax.lax.bitcast_convert_type(codes, jnp.int32)
-            & jnp.int32(0xFFFFFF)) | (code_bits.astype(jnp.int32) << 24)
-    w0, w1, cbase, clive, gtot = token_group_windows_tokw_pallas(
-        tokw, comb, interpret=interpret)
-    nc = cbase.shape[1]
-    ng = gtot.shape[1]
-    gb = gtot
-    p = 1
-    while p < ng:
-        gb = gb + jnp.pad(gb, ((0, 0), (p, 0)))[:, :ng]
-        p *= 2
-    # absolute bit base per group: block payload byte offset*8 + desc
-    group_base = (woff_bytes.astype(jnp.int32) * 8
-                  + desc_bits)[:, None] + gb - gtot
-    nsup = nc // SUP_CHUNKS
-    sup_per_g = nsup // ng
-    superbase = cbase[:, ::SUP_CHUNKS]
-    d = jnp.clip(cbase - jnp.repeat(superbase, SUP_CHUNKS, axis=1),
-                 0, D_CLAMP)
-    gb_s = jnp.repeat(group_base, sup_per_g, axis=1)
-    wbase = jnp.clip(jnp.right_shift(gb_s, 5) + superbase,
-                     0, (nrows_f - ACC_ROWS) * 128)
-    sbits = gb_s & 31
-    slive = jnp.any(clive.reshape(nb, nsup, SUP_CHUNKS) > 0, axis=2)
-    slive = slive & block_live[:, None]
-    return super_place_flat_pallas(
-        w0, w1, d[:, :, None], d.reshape(nb, nsup, SUP_CHUNKS),
-        wbase[:, :, None], sbits[:, :, None],
-        slive[:, :, None].astype(jnp.int32), nrows_f,
-        interpret=interpret)
-
-
-pack_tokens_flat = jax.jit(_pack_tokens_flat_impl,
-                           static_argnames=("nrows_f", "interpret"))
 
 
 GROUP_TOK_FLAT = 8192  # must equal ops.pallas_kernels.GROUP_TOK

@@ -117,65 +117,6 @@ def _mxu_iprefix32(c, tri):
     return acc
 
 
-def _chunk_windows_kernel(local_ref, c0_ref, c1_ref, c2_ref, dense_ref):
-    """Per-chunk dense 128-word windows via prefix-sum + binary search
-    + gather-diff — O(K log K) per chunk instead of the O(K·W)
-    compare-accumulate it replaces (3× fewer VPU ops measured end to
-    end). Within a chunk tokens are offset-sorted, so the tokens
-    contributing to word w form a prefix range: with E_d the exclusive
-    prefix of contribution plane d over tokens (int32 wraparound) and
-    cnt[w] = #{j: local[j] <= w} (7-step in-register binary search on
-    the sorted local indices), dense_d[w] = E_d[cnt[w-d]] -
-    E_d[cnt[w-d-1]].  Tile = R_CW chunk rows x 128 token lanes."""
-    loc = local_ref[0]
-    lane = jax.lax.broadcasted_iota(jnp.int32, loc.shape, 1)
-    tri = _tri128()
-
-    def eprefix(c):
-        v = _mxu_iprefix32(c, tri)
-        return jnp.where(lane == 0, 0, pltpu.roll(v, 1, 1))
-
-    e0 = eprefix(c0_ref[0])
-    e1 = eprefix(c1_ref[0])
-    e2 = eprefix(c2_ref[0])
-
-    idx = jnp.zeros(loc.shape, jnp.int32)
-    for b in (64, 32, 16, 8, 4, 2, 1):
-        t = idx + b
-        v = jnp.take_along_axis(loc, t - 1, axis=1)
-        idx = jnp.where(v <= lane, t, idx)
-    cnt = idx  # <= K_PACK: pad lanes carry local=126 < only w=126,127
-
-    g0 = jnp.take_along_axis(e0, cnt, axis=1)  # sum_{local<=w} c0
-    g1 = jnp.take_along_axis(e1, cnt, axis=1)
-    g2 = jnp.take_along_axis(e2, cnt, axis=1)
-
-    def back(g, k):  # g[w-k], zero below
-        return jnp.where(lane < k, 0, pltpu.roll(g, k, 1))
-
-    dense_ref[0] = (g0 - back(g0, 1)
-                    + back(g1, 1) - back(g1, 2)
-                    + back(g2, 2) - back(g2, 3))
-
-
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def chunk_windows_pallas(local, c0, c1, c2, interpret: bool = False):
-    """(nb, nchunks_p, 128) sorted local word indices + contribution
-    planes → (nb, nchunks_p, 128) dense word windows. nchunks_p must
-    be a multiple of R_CW; pad lanes carry local=126, planes 0."""
-    nb, nc, _ = local.shape
-    spec = pl.BlockSpec((1, R_CW, 128), lambda b, g: (b, g, 0),
-                        memory_space=pltpu.VMEM)
-    return pl.pallas_call(
-        _chunk_windows_kernel,
-        out_shape=jax.ShapeDtypeStruct((nb, nc, 128), jnp.int32),
-        grid=(nb, nc // R_CW),
-        in_specs=[spec] * 4,
-        out_specs=spec,
-        interpret=interpret,
-    )(local, c0, c1, c2)
-
-
 def _chunk_windows1_kernel(local_ref, c0_ref, dense_ref):
     """Single-plane chunk_windows: for fields that never spill their
     word (8-bit at byte offsets, 32-bit word-aligned — the decoder
@@ -221,63 +162,6 @@ def chunk_windows1_pallas(local, c0, interpret: bool = False):
         out_specs=spec,
         interpret=interpret,
     )(local, c0)
-
-
-def _place_windows_kernel(dense_ref, bases_ref, live_ref, out_ref):
-    """Sequential placement of per-chunk dense word windows into one
-    block's output word array. Windows of adjacent chunks share only
-    boundary words, so an in-order read-add-write is exact: rotate the
-    128-word window by base&127 (dynamic pltpu.roll) and add it into
-    two consecutive 128-word output rows. Dead chunks skip the body.
-    Unlike merge_place, chunk bases are unconstrained — used where the
-    offset stream can jump arbitrarily mid-group (decoder placement at
-    block boundaries)."""
-    nchunks = dense_ref.shape[1]
-    nrows = out_ref.shape[1]
-    out_ref[...] = jnp.zeros((1, nrows, 128), jnp.int32)
-    lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, W_PACK), 1)
-
-    def place(c, _):
-        lv = live_ref[0, pl.ds(c, 1), 0:1][0, 0]
-
-        @pl.when(lv != 0)
-        def _():
-            b = bases_ref[0, pl.ds(c, 1), 0:1][0, 0]
-            row = jnp.minimum(b >> 7, nrows - 2)
-            r = b & 127
-            win = dense_ref[0, pl.ds(c, 1), :]
-            rot = pltpu.roll(win, r, 1)
-            out_ref[0, pl.ds(row, 1), :] += jnp.where(lane1 >= r, rot, 0)
-            out_ref[0, pl.ds(row + 1, 1), :] += jnp.where(lane1 < r,
-                                                          rot, 0)
-
-        return 0
-
-    jax.lax.fori_loop(0, nchunks, place, 0)
-
-
-@functools.partial(jax.jit, static_argnames=("nrows", "interpret"))
-def place_chunks_pallas(dense, bases, live, nrows: int,
-                        interpret: bool = False):
-    """Per-chunk placement: (nb, nchunks, 128) dense windows + (nb,
-    nchunks, 1) word bases/liveness → (nb, nrows, 128) int32 words."""
-    nb, nchunks, _ = dense.shape
-    return pl.pallas_call(
-        _place_windows_kernel,
-        out_shape=jax.ShapeDtypeStruct((nb, nrows, 128), jnp.int32),
-        grid=(nb,),
-        in_specs=[
-            pl.BlockSpec((1, nchunks, W_PACK), lambda b: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, nchunks, 1), lambda b: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, nchunks, 1), lambda b: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, nrows, 128), lambda b: (b, 0, 0),
-                               memory_space=pltpu.VMEM),
-        interpret=interpret,
-    )(dense, bases, live)
 
 
 def _merge_place_kernel(dense_ref, dw_ref, gbase_ref, glive_ref,
@@ -368,114 +252,8 @@ def merge_place_pallas(dense, dwords, gbase, glive, nrows: int,
     )(dense, dwords, gbase, glive)
 
 
-def _token_values_kernel(syms_ref, extras_ref, ebits_ref, tvalid_ref,
-                         lut_ref, nbits_ref, lo_ref, hi_ref, excl_ref):
-    """Per-token Huffman code lookup + field build + LOCAL bit-offset
-    prefix for one (8, 128) slot group.
-
-    Replaces the XLA 261-lane masked reduction (the VPU-bound stage of
-    pack_blocks) with three 128-lane `take_along_axis` gathers — the
-    same primitive the Pallas decoder's LUTs ride — and folds the
-    giant (nb, 65536) doubling prefix down to an in-register (8, 128)
-    prefix plus a tiny per-group XLA scan.
-    """
-    u32 = jnp.uint32
-    sym = syms_ref[0, 0]
-    extra = extras_ref[0, 0]
-    ebit = ebits_ref[0, 0]
-    tval = tvalid_ref[0, 0]
-    idx = sym & 127
-    g0 = jnp.take_along_axis(lut_ref[0, 0], idx, axis=1)
-    g1 = jnp.take_along_axis(lut_ref[0, 1], idx, axis=1)
-    g2 = jnp.take_along_axis(lut_ref[0, 2], idx, axis=1)
-    e = jnp.where(sym < 128, g0, jnp.where(sym < 256, g1, g2))
-    code = pltpu.bitcast(e, u32) & u32(0xFFFFFF)
-    cb = jnp.right_shift(e, 24)              # 0..24
-    live = tval != 0
-    nbits = jnp.where(live, cb + ebit, 0)
-    exu = pltpu.bitcast(extra, u32)
-    cbu = pltpu.bitcast(cb, u32)
-    lo = code | (exu << cbu)
-    # extra <= 14 bits: for cb <= 18 the high spill is naturally 0;
-    # clamp the shift at 31 only to keep cb=0 (dead/FILL slots) defined
-    # (i32 min — Mosaic has no unsigned min lowering)
-    hi = exu >> pltpu.bitcast(jnp.minimum(32 - cb, 31), u32)
-    lo = jnp.where(live, lo, u32(0))
-    hi = jnp.where(live, hi, u32(0))
-
-    # inclusive prefix of nbits over the group in (row, lane) order
-    R = sym.shape[0]
-    lane = jax.lax.broadcasted_iota(jnp.int32, (R, 128), 1)
-    row = jax.lax.broadcasted_iota(jnp.int32, (R, 128), 0)
-    v = nbits
-    p = 1
-    while p < 128:
-        v = v + jnp.where(lane >= p, pltpu.roll(v, p, 1), 0)
-        p *= 2
-    tot = jnp.broadcast_to(v[:, 127:128], (R, 128))
-    c = jnp.where(row >= 1, pltpu.roll(tot, 1, 0), 0)
-    q = 1
-    while q < R:
-        c = c + jnp.where(row >= q + 1, pltpu.roll(c, q, 0), 0)
-        q *= 2
-    excl = v + c - nbits
-
-    nbits_ref[0, 0] = nbits
-    lo_ref[0, 0] = pltpu.bitcast(lo, jnp.int32)
-    hi_ref[0, 0] = pltpu.bitcast(hi, jnp.int32)
-    excl_ref[0, 0] = excl
-
-
-R_TV = 64           # sublane rows per token_values group
+R_TV = 64           # sublane rows per token-windows group
 GROUP_TOK = R_TV * 128  # tokens per group (group-local bit prefixes)
-
-
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def token_values_pallas(syms, extras, ebits, tvalid, comb,
-                        interpret: bool = False):
-    """Token field values + group-local bit offsets.
-
-    syms/extras/ebits/tvalid: (nb, ntok); comb: (nb, nsym<=384) int32
-    packed (code | cbits<<24) per-block LUT. Returns PADDED
-    (nb, ntok_p) arrays nbits/lo/hi/excl (lo/hi uint32) plus the
-    (nb, ngroups) per-group bit totals; ntok_p = ngroups*GROUP_TOK.
-    """
-    nb, ntok = syms.shape
-    ng = -(-ntok // GROUP_TOK)
-    ntok_p = ng * GROUP_TOK
-
-    def pad4(a):
-        a = jnp.pad(a.astype(jnp.int32), ((0, 0), (0, ntok_p - ntok)))
-        return a.reshape(nb, ng, R_TV, 128)
-
-    lut = jnp.zeros((nb, 3 * 128), jnp.int32)
-    lut = lut.at[:, :comb.shape[1]].set(comb.astype(jnp.int32))
-    lut4 = jnp.broadcast_to(lut.reshape(nb, 3, 1, 128),
-                            (nb, 3, R_TV, 128))
-
-    spec = pl.BlockSpec((1, 1, R_TV, 128), lambda b, g: (b, g, 0, 0),
-                        memory_space=pltpu.VMEM)
-    nbits, lo, hi, excl = pl.pallas_call(
-        _token_values_kernel,
-        out_shape=tuple(
-            jax.ShapeDtypeStruct((nb, ng, R_TV, 128), jnp.int32)
-            for _ in range(4)),
-        grid=(nb, ng),
-        in_specs=[spec, spec, spec, spec,
-                  pl.BlockSpec((1, 3, R_TV, 128),
-                               lambda b, g: (b, 0, 0, 0),
-                               memory_space=pltpu.VMEM)],
-        out_specs=(spec, spec, spec, spec),
-        interpret=interpret,
-    )(pad4(syms), pad4(extras), pad4(ebits), pad4(tvalid), lut4)
-    tot = excl[:, :, R_TV - 1, 127] + nbits[:, :, R_TV - 1, 127]
-    flat = lambda a: a.reshape(nb, ntok_p)  # noqa: E731
-    u32 = functools.partial(jax.lax.bitcast_convert_type,
-                            new_dtype=jnp.uint32)
-    return (flat(nbits), u32(flat(lo)), u32(flat(hi)), flat(excl), tot)
-
-
-CHUNK_TOK = 128   # tokens per pack chunk = one lane row of the token grid
 SUP_CHUNKS = 32   # chunks merged per super-window placement
 ACC_ROWS = 48     # super accumulator rows (real span ≤ 41, rest slack)
 # Real-data bounds: a token is ≤ 37 bits (Huffman depth ≤ 23 by the

@@ -317,16 +317,8 @@ def _entropy_streams(blocks_dev, toks, lengths_np, n_chunks: int,
                     t_rows=t_rows, T=T, nrows_f=nrows_f,
                     interpret=(mode == "interp"),
                     compact_splits=splits)
-            elif ng == 0:
+            else:   # ng == 0: every block is FILL/dead — no payload
                 words = jnp.zeros((nrows_f, 128), jnp.int32)
-            else:
-                codes_d, cbits_d, dbits_d = jax.device_put(
-                    (codes, cbits, desc_bits))
-                words = jax_coder.pack_tokens_flat(
-                    tokw, codes_d, cbits_d, dbits_d,
-                    jax.device_put(hoff.astype(np.int32)),
-                    jax.device_put(is_huff),
-                    nrows_f=nrows_f, interpret=(mode == "interp"))
             tight = np.asarray(words).reshape(-1).view("<u4").view(
                 np.uint8)[:total_payload].copy()
             for i in np.flatnonzero(comp_len):
