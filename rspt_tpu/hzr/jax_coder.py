@@ -12,15 +12,15 @@ parallel entropy coder"):
       reference's exact tie-breaking (hzr_encode.c:222-283) over the
       ≤261-entry histogram; preorder tree-description fields; FILL /
       COPY fallback decisions (hzr_encode.c:285-305, 399-407, 462-469).
-  pass 2 (device, jit):  per-token code lookup, exclusive bit-offset
-      prefix sum, and bit packing via disjoint-bit addition (OR == ADD
-      when every bit position has one writer): each variable-width
-      field becomes ≤2 word-aligned uint32 contributions, accumulated
-      on TPU by chunked compare-accumulate + sequential dynamic-slice
-      placement (offset-sorted fields span bounded word windows;
-      ~100× faster than scatter, which serializes there) and on
-      CPU/GPU by plain scatter-add. Variable-length payloads are
-      compacted on device before transfer (compact_payloads).
+  pass 2 (device):       the FLAT EXACT-OFFSET pack — the host derives
+      every block's exact payload size from its histogram
+      (host_layout), the device compacts valid tokens to a dense
+      group-aligned stream (compact_tokens_pallas), builds per-group
+      bit windows (token_group_windows, MXU byte-quarter prefix dots)
+      and places them once into the final stream layout
+      (super_place_flat); the d2h is the finished payload bytes.
+      Batches with COPY-fallback blocks take the per-block path
+      (pack_blocks + compact_payloads); CPU/GPU use plain scatter-add.
   host assembly:         7-byte block headers + CRC32C + concatenation.
 
 Blocks are the data-parallel axis: all blocks of all byte-planes are

@@ -76,7 +76,7 @@ DEEP_BIT = 1 << 30
 
 
 # ---------------------------------------------------------------------------
-# Host: tree -> L1/L2 LUTs (16-bit cap)
+# Host: tree -> L1/L2/L3 LUTs (24-bit cap: every legal hzr code)
 # ---------------------------------------------------------------------------
 
 def build_lut16(tree):
