@@ -62,7 +62,13 @@ def main():
                 float(run(jnp.float32(0), karr))
                 b = min(b, time.perf_counter() - t0)
             out[K] = b
-        return max((out[iters] - out[1]) / (iters - 1), 1e-7)
+        slope = (out[iters] - out[1]) / (iters - 1)
+        if slope <= 1e-6:
+            # degenerate slope (shared-chip state flipped between the
+            # K=1 and K=iters sections): report the conservative
+            # full-loop average instead of a bogus near-zero time
+            slope = out[iters] / iters
+        return slope
 
     def s(x):
         return jnp.sum(x.astype(jnp.int32)).astype(jnp.float32)
@@ -176,7 +182,10 @@ def main():
                device_enc_gbps=nbytes / dev_enc / 1e9)
 
     # --- scale point: one 4x-length payload (fixed costs amortize) ----
+    extras = os.environ.get("RSPT_BENCH_EXTRAS", "1") != "0"
     try:
+        if not extras:
+            raise RuntimeError("extras disabled")
         n4 = n * 4
         native4 = native * 4     # tiled: same statistics, no COPY blocks
         raw4 = jax.device_put(np.frombuffer(native4, "<i4"))
@@ -224,6 +233,8 @@ def main():
 
     # --- batch serving: device-compute encode at batch 4 --------------
     try:
+        if not extras:
+            raise RuntimeError("extras disabled")
         from rspt_tpu.packers.tpu import _pass1_xdelta_batch
         BATCH = 4
         fb, _, lengths_b = _pass1_xdelta_batch(n, ch, bps, planes, BATCH)
@@ -336,27 +347,28 @@ def main():
     t_place = loop_time(place_body, iters=5, reps=3)
 
     # aligned-decode hints: skip the speculative fixpoint sweeps
-    _, hints = pd.decode_many(streams, return_hints=True)
-    holder2 = {}
+    if extras:
+        _, hints = pd.decode_many(streams, return_hints=True)
+        holder2 = {}
 
-    def run_spy2(*a, **k):
-        holder2["run"] = (a, k)
-        return orig_run(*a, **k)
+        def run_spy2(*a, **k):
+            holder2["run"] = (a, k)
+            return orig_run(*a, **k)
 
-    pd._run_kernel = run_spy2
-    outs_h = pd.decode_many(streams, hints=hints)
-    pd._run_kernel = orig_run
-    assert outs_h == outs, "hinted decode diverged"
-    ha, hk = holder2["run"]
+        pd._run_kernel = run_spy2
+        outs_h = pd.decode_many(streams, hints=hints)
+        pd._run_kernel = orig_run
+        assert outs_h == outs, "hinted decode diverged"
+        ha, hk = holder2["run"]
 
-    def kern_hint_body(acc):
-        win, a = jax.lax.optimization_barrier((ha[1], acc))
-        emis, counts, steps, eo = orig_run.__wrapped__(
-            ha[0], win, *ha[2:], **hk)
-        return a + s(counts) + s(steps) + s(emis[:, :64])
+        def kern_hint_body(acc):
+            win, a = jax.lax.optimization_barrier((ha[1], acc))
+            emis, counts, steps, eo = orig_run.__wrapped__(
+                ha[0], win, *ha[2:], **hk)
+            return a + s(counts) + s(steps) + s(emis[:, :64])
 
-    out["t_dec_kernel_hinted_s"] = loop_time(kern_hint_body, iters=5,
-                                             reps=3)
+        out["t_dec_kernel_hinted_s"] = loop_time(kern_hint_body,
+                                                 iters=5, reps=3)
     dev_dec = t_kernel + t_place
     out.update(t_dec_kernel_s=t_kernel, t_dec_place_s=t_place,
                device_dec_s=dev_dec,
