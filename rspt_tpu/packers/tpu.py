@@ -73,6 +73,28 @@ def _pass1_hzr(ns: int, ch: int, bps: int, nr_planes: int):
     plane_len = ch * ns
     _, lengths = _block_layout(plane_len, nr_planes)
 
+    fmode = _fused_pass1_mode()
+    if fmode:
+        # same fused tokenizer as the xdelta path, minus the delta
+        # chain and the verify flag (hzr always keeps 4 planes —
+        # signal_packer_hzr.cpp:39); tokw feeds the flat exact-offset
+        # pack downstream
+        from ..ops import pallas_kernels as pk
+        interp_tok = fmode == "interp"
+
+        @jax.jit
+        def f_fused(raw):
+            enc = jops.native_to_i32(raw, ns, ch, bps).reshape(-1)
+            enc = jax.lax.optimization_barrier(enc)
+            tokw, bwords = pk.tokenize_planes_pallas(
+                enc, nr_planes, plane_len, interpret=interp_tok)
+            blocks = jax.lax.bitcast_convert_type(
+                bwords, jnp.uint8).reshape(tokw.shape[0], -1)
+            hist = jax_coder.hist_from_tokw(tokw)
+            return blocks, (tokw, hist)
+
+        return f_fused, lengths
+
     @jax.jit
     def f(raw):
         enc = jops.native_to_i32(raw, ns, ch, bps).reshape(-1)

@@ -212,3 +212,22 @@ def test_flat_pack_split_compaction(rng, monkeypatch):
     native = np.ascontiguousarray(sig.T).astype("<i4").tobytes()
     comp = tpack.new_xdelta_hzr(bps, ch, n, 3).compress(native)
     assert comp == hpack.new_xdelta_hzr(bps, ch, n, 3).compress(native)
+
+
+def test_fused_hzr_packer_bit_exact(rng, monkeypatch):
+    """The plain hzr packer (4 planes, no preprocessing) through the
+    fused tokenizer + flat pack equals the host engine."""
+    monkeypatch.setenv("RSPT_FUSED_PASS1", "interp")
+    from rspt_tpu.hzr import jax_coder
+    monkeypatch.setattr(jax_coder, "_PACK_MODE", "interp")
+    from rspt_tpu.packers import host as hpack
+    from rspt_tpu.packers import tpu as tpack
+
+    ch, n, bps = 3, 17777, 4
+    sig = np.cumsum(rng.normal(0, 250, (ch, n)), axis=1).astype(np.int32)
+    native = np.ascontiguousarray(sig.T).astype("<i4").tobytes()
+    p = tpack.new_hzr(bps, ch, n)
+    comp = p.compress(native)
+    assert comp == hpack.new_hzr(bps, ch, n).compress(native)
+    out, _ = p.decompress(comp)
+    assert out == native

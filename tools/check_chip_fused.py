@@ -53,6 +53,17 @@ def main():
             print("FAIL", flush=True)
             sys.exit(1)
 
+    # plain hzr packer (4 planes, fused tokenizer + flat pack)
+    _, native = make_ecg(6, 20000)
+    ph_t = tpack.new_hzr(4, 6, 20000)
+    ch_t = ph_t.compress(native)
+    ch_h = hpack.new_hzr(4, 6, 20000).compress(native)
+    okz = ch_t == ch_h and ph_t.decompress(ch_t)[0] == native
+    print(f"hzr4: bytes_equal={ch_t == ch_h} roundtrip={okz}", flush=True)
+    if not okz:
+        print("FAIL", flush=True)
+        sys.exit(1)
+
     # batched serving path: compress_many streams equal sequential
     # compress() output payload-for-payload (vmap pass-1 + flat pack)
     _, native = make_ecg(12, 34199)
