@@ -232,6 +232,27 @@ def _pass1_xdelta_tail(ns: int, ch: int, nr_planes: int, header: bool):
     plane_len = ch * ns
     _, lengths = _block_layout(plane_len, nr_planes)
 
+    fmode = _fused_pass1_mode()
+    if fmode:
+        from ..ops import pallas_kernels as pk
+        interp_tok = fmode == "interp"
+
+        @jax.jit
+        def f_fused(work):
+            flat = work.reshape(-1)
+            if header:  # dct path: delta chain (dct.cpp:117-119)
+                flat = jops.xor_encode(jops.offset32(
+                    jops.delta_encode(flat), -128))
+            flat = jax.lax.optimization_barrier(flat)
+            tokw, bwords = pk.tokenize_planes_pallas(
+                flat, nr_planes, plane_len, interpret=interp_tok)
+            blocks = jax.lax.bitcast_convert_type(
+                bwords, jnp.uint8).reshape(tokw.shape[0], -1)
+            hist = jax_coder.hist_from_tokw(tokw)
+            return blocks, (tokw, hist)
+
+        return f_fused, lengths
+
     @jax.jit
     def f(work):
         flat = work.reshape(-1)

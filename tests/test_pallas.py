@@ -231,3 +231,25 @@ def test_fused_hzr_packer_bit_exact(rng, monkeypatch):
     assert comp == hpack.new_hzr(bps, ch, n).compress(native)
     out, _ = p.decompress(comp)
     assert out == native
+
+
+def test_fused_transform_packers_bit_exact(rng, monkeypatch):
+    """DCT and Hadamard packers through the fused tokenizer tail + flat
+    pack equal the host engine (lossy transforms themselves run the
+    strict-parity native kernels in both)."""
+    monkeypatch.setenv("RSPT_FUSED_PASS1", "interp")
+    from rspt_tpu.hzr import jax_coder
+    monkeypatch.setattr(jax_coder, "_PACK_MODE", "interp")
+    from rspt_tpu.packers import host as hpack
+    from rspt_tpu.packers import tpu as tpack
+
+    ch, n = 2, 4096
+    sig = np.cumsum(rng.normal(0, 150, (ch, n)), axis=1).astype(np.int32)
+    native = np.ascontiguousarray(sig.T).astype("<i4").tobytes()
+    for mk_t, mk_h in ((tpack.new_dct, hpack.new_dct),
+                       (tpack.new_hadamard, hpack.new_hadamard)):
+        pt, ph = mk_t(4, ch, n), mk_h(4, ch, n)
+        comp = pt.compress(native)
+        assert comp == ph.compress(native), mk_t.__name__
+        out, _ = pt.decompress(comp)
+        assert out == ph.decompress(ph.compress(native))[0]

@@ -64,6 +64,20 @@ def main():
         print("FAIL", flush=True)
         sys.exit(1)
 
+    # lossy transform packers through the fused tail + flat pack
+    _, native = make_ecg(2, 4096)
+    for mk_name in ("new_dct", "new_hadamard"):
+        pt2 = getattr(tpack, mk_name)(4, 2, 4096)
+        ph2 = getattr(hpack, mk_name)(4, 2, 4096)
+        c_t, c_h = pt2.compress(native), ph2.compress(native)
+        okl = c_t == c_h
+        rtl = pt2.decompress(c_t)[0] == ph2.decompress(c_h)[0]
+        print(f"{mk_name}: bytes_equal={okl} recon_equal={rtl}",
+              flush=True)
+        if not (okl and rtl):
+            print("FAIL", flush=True)
+            sys.exit(1)
+
     # batched serving path: compress_many streams equal sequential
     # compress() output payload-for-payload (vmap pass-1 + flat pack)
     _, native = make_ecg(12, 34199)
