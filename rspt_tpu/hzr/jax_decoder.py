@@ -293,8 +293,11 @@ def _walk_stream(src, out_size, gbase, out, huff):
             br = pyref._BitReader(memoryview(payload.tobytes()), 0,
                                   payload.size)
             tree = pyref._recover_tree(br)
+            # the stored CRC32C field (hzr_encode.c:474-481) rides along
+            # as a zero-cost content digest for decode-hint binding
+            crc = int.from_bytes(src[pos + 2:pos + 6].tobytes(), "little")
             huff.append((payload, payload.size * 8, br.pos, out_off, blen,
-                         tree))
+                         tree, crc))
             pos = dstart + esz
         else:
             raise ValueError("hzr: invalid encoding mode")
@@ -310,7 +313,8 @@ def _device_decode(huff, out, out_size) -> np.ndarray:
     l1 = np.zeros((nb, L1_SIZE), np.int32)
     l2_rows = []
     l2_base = np.zeros(nb, np.int32)
-    for i, (payload, pbits, dbits, ooff, olen, tree) in enumerate(huff):
+    for i, (payload, pbits, dbits, ooff, olen, tree,
+            _crc) in enumerate(huff):
         pw = np.zeros(max_words * 4, np.uint8)
         pw[:payload.size] = payload
         words[i] = pw.view("<u4").view(np.int32)
@@ -324,7 +328,8 @@ def _device_decode(huff, out, out_size) -> np.ndarray:
     lane_block, lane_entry0, lane_seg_end = [], [], []
     lane_out_segidx = []
     seg_of_block = []
-    for i, (payload, pbits, dbits, ooff, olen, tree) in enumerate(huff):
+    for i, (payload, pbits, dbits, ooff, olen, tree,
+            _crc) in enumerate(huff):
         nseg = max(1, -(-(pbits - dbits) // SEG_BITS))
         seg_of_block.append(nseg)
         for s in range(nseg):
@@ -379,6 +384,7 @@ def _device_decode(huff, out, out_size) -> np.ndarray:
                            emit=True)
     emitted = np.asarray(out_buf)
     # merge device-decoded HUFF regions with host COPY/FILL regions
-    for i, (payload, pbits, dbits, ooff, olen, tree) in enumerate(huff):
+    for i, (payload, pbits, dbits, ooff, olen, tree,
+            _crc) in enumerate(huff):
         out[ooff:ooff + olen] = emitted[ooff:ooff + olen]
     return out

@@ -74,6 +74,47 @@ _RLE_BASE = (0, 2, 3, 7, 23, 279)
 
 DEEP_BIT = 1 << 30
 
+# Emission-compaction absolute cap: the compaction output is a VMEM-
+# resident (1, sc_rows, 128) i32 buffer — bound it like the encoder
+# bounds its pack launches (t_rows<=16384 / nrows_f<=12288) so large
+# multi-payload batches can't request a >VMEM buffer at Mosaic compile.
+SC_ROWS_CAP = 12288
+
+
+class DecodeHints:
+    """Aligned-decode hints: converged fixpoint entries bound to the
+    stream content they were captured from (digest over the stored
+    per-block CRC32C fields + block geometry). `decode_many(hints=)`
+    only trusts entries whose digest matches the streams being decoded;
+    anything else silently falls back to the alignment fixpoint."""
+
+    __slots__ = ("digest", "entries")
+
+    def __init__(self, digest: int, entries):
+        self.digest = int(digest)
+        self.entries = entries
+
+
+def _hints_digest(parts) -> int:
+    import zlib
+    arr = np.asarray(parts, np.int64) if parts else np.zeros(1, np.int64)
+    return zlib.crc32(arr.tobytes())
+
+
+def _match_hints(hints, digest, shape):
+    """Return validated entry array or None (fixpoint runs)."""
+    if hints is None:
+        return None
+    if isinstance(hints, DecodeHints):
+        if hints.digest != digest:
+            return None
+        ent = hints.entries
+    else:  # legacy bare-array hints: never trusted without a digest
+        return None
+    if getattr(ent, "shape", None) != shape:
+        return None
+    return np.ascontiguousarray(ent, np.int32)
+
 
 # ---------------------------------------------------------------------------
 # Host: tree -> L1/L2/L3 LUTs (24-bit cap: every legal hzr code)
@@ -707,7 +748,8 @@ def decode_many(datas, interpret: bool = False, hints=None,
     dev_slots = int(_os.environ.get("RSPT_DEC_DEVICE_SLOTS", "8"))
     host_blocks = []
     dev = []  # (payload, pbits, dbits, out_off, olen, l1, l2, l3, nsl2, nsl3)
-    for payload, pbits, dbits, ooff, olen, tree in huff:
+    digest_parts = []
+    for payload, pbits, dbits, ooff, olen, tree, crc in huff:
         lut = build_lut16(tree)
         if lut is not None and (lut[3] > dev_slots
                                 or lut[4] > max(0, dev_slots - 8)):
@@ -718,6 +760,7 @@ def decode_many(datas, interpret: bool = False, hints=None,
             # device execution (dispatch is async)
             host_blocks.append((payload, ooff, olen))
             continue
+        digest_parts.append((crc, payload.size, dbits, ooff, olen))
         dev.append((payload, pbits, dbits, ooff, olen) + lut)
 
     def run_host_blocks():
@@ -849,12 +892,17 @@ def decode_many(datas, interpret: bool = False, hints=None,
     block_first[dead] = np.flatnonzero(dead) if dead.any() else 0
 
     # decode hints: entries captured from a previous decode of the
-    # same streams (the converged alignment fixpoint). The lane layout
-    # is deterministic per stream set, so matching-shape hints pin the
-    # entries exactly and the kernel skips the fixpoint sweeps.
+    # same streams (the converged alignment fixpoint). Hints are bound
+    # to the STREAM CONTENT via a digest over the stored per-block
+    # CRC32C fields + block geometry — a matching lane-layout shape
+    # alone (same sizes, different data: the fixed-size-frame serving
+    # case) must NOT skip the fixpoint, or the kernel would emit
+    # corrupted bytes with no error (device decode never checks CRCs).
+    digest = _hints_digest(digest_parts)
     wbase = np.right_shift(entry, 5)    # nominal window anchors
-    if hints is not None and getattr(hints, "shape", None) == entry.shape:
-        entry = np.ascontiguousarray(hints, np.int32)
+    h_entries = _match_hints(hints, digest, entry.shape)
+    if h_entries is not None:
+        entry = h_entries
         nl23[:, 2] = 1
     emis, counts, steps, entry_out = _run_kernel(
         jnp.asarray(nl23),
@@ -883,6 +931,8 @@ def decode_many(datas, interpret: bool = False, hints=None,
     sc_rows = 0
     if total < (1 << 23) and nrows_l * 128 * s_eff > 2 * (total + 10240):
         sc_rows = -(-(-(-total // 128) + 80) // 512) * 512
+        if sc_rows > SC_ROWS_CAP:  # compaction output must stay in VMEM
+            sc_rows = 0
     words = _place_emissions(
         emis, steps, counts, jnp.asarray(block_first),
         jnp.asarray(out_off_a), jnp.asarray(out_limit_a),
@@ -898,5 +948,5 @@ def decode_many(datas, interpret: bool = False, hints=None,
         out[ooff:ooff + olen] = emitted[ooff:ooff + olen]
     outs = [out[a:a + n].tobytes() for a, n in spans]
     if return_hints:
-        return outs, np.asarray(entry_out)
+        return outs, DecodeHints(digest, np.asarray(entry_out))
     return outs

@@ -56,7 +56,7 @@ class ThreadPool {
         }
         std::unique_lock<std::mutex> lk(mu_);
         fn_ = &fn;
-        total_ = m;
+        total_.store(m, std::memory_order_release);
         done_.store(0, std::memory_order_relaxed);
         // release: publishes fn_/total_/done_ to workers that skip the
         // cv path (late wakers from a previous epoch)
@@ -67,14 +67,15 @@ class ThreadPool {
         work();  // caller participates
         lk.lock();
         cv_done_.wait(lk, [&] {
-            return done_.load(std::memory_order_acquire) >= total_;
+            return done_.load(std::memory_order_acquire)
+                >= total_.load(std::memory_order_relaxed);
         });
         // close the gate: a late waker from this epoch must never see
         // next_ below a LATER run's total_ (it would claim a slot
         // before that run resets next_). Huge next_ + zero total_
         // makes the work() guard fail for any stale state.
         next_.store(1 << 30, std::memory_order_relaxed);
-        total_ = 0;
+        total_.store(0, std::memory_order_relaxed);
         fn_ = nullptr;
     }
 
@@ -88,11 +89,15 @@ class ThreadPool {
   private:
     void work() {
         int s;
+        // total_ is atomic (published with release in run()); fn_ is
+        // loaded into a local AFTER the next_ acquire so the pointer
+        // read is ordered behind the epoch's publication — no UB race
         while ((s = next_.fetch_add(1, std::memory_order_acquire))
-               < total_) {
-            (*fn_)(s);
+               < total_.load(std::memory_order_acquire)) {
+            const std::function<void(int)>* fn = fn_;
+            (*fn)(s);
             if (done_.fetch_add(1, std::memory_order_acq_rel) + 1
-                >= total_) {
+                >= total_.load(std::memory_order_relaxed)) {
                 std::lock_guard<std::mutex> lk(mu_);
                 cv_done_.notify_all();
             }
@@ -114,7 +119,7 @@ class ThreadPool {
     std::condition_variable cv_, cv_done_;
     std::vector<std::thread> workers_;
     const std::function<void(int)>* fn_ = nullptr;
-    int total_ = 0;
+    std::atomic<int> total_{0};
     uint64_t epoch_ = 0;
     std::atomic<int> next_{0};
     std::atomic<int> done_{0};
@@ -155,8 +160,7 @@ struct CrcInit {
     }
 } g_crc_init;
 
-uint32_t crc32c(const uint8_t* p, size_t n) {
-    uint32_t c = ~0u;
+static uint32_t crc32c_sw(const uint8_t* p, size_t n, uint32_t c) {
     while (n >= 8) {
         uint32_t lo, hi;
         memcpy(&lo, p, 4);
@@ -170,6 +174,131 @@ uint32_t crc32c(const uint8_t* p, size_t n) {
         n -= 8;
     }
     while (n--) c = g_crc_tab[0][(c ^ *p++) & 0xFF] ^ (c >> 8);
+    return c;
+}
+
+// Hardware CRC32C with runtime dispatch (the reference runtime-
+// dispatches SSE4.2/ARMv8 single-stream loops, hzr_crc32c_sse4.c:30-80;
+// here the HW path additionally runs 3 interleaved streams to cover
+// the crc32 instruction's 3-cycle latency, recombined with
+// precomputed GF(2) shift-by-leg tables).
+static const size_t kCrcLeg = 2048;  // bytes per interleaved stream leg
+
+uint32_t g_crc_shift[4][256];  // c -> state after kCrcLeg zero bytes
+
+struct CrcShiftInit {
+    CrcShiftInit() {  // runs after g_crc_init (same TU, declared later)
+        uint32_t z[32];
+        for (int i = 0; i < 32; ++i) {
+            uint32_t c = 1u << i;
+            for (size_t k = 0; k < kCrcLeg; ++k)
+                c = g_crc_tab[0][c & 0xFF] ^ (c >> 8);
+            z[i] = c;  // zero-byte evolution is GF(2)-linear in state
+        }
+        for (int j = 0; j < 4; ++j)
+            for (uint32_t b = 0; b < 256; ++b) {
+                uint32_t r = 0;
+                for (int k = 0; k < 8; ++k)
+                    if (b & (1u << k)) r ^= z[8 * j + k];
+                g_crc_shift[j][b] = r;
+            }
+    }
+} g_crc_shift_init;
+
+static inline uint32_t crc_shift_leg(uint32_t c) {
+    return g_crc_shift[0][c & 0xFF] ^ g_crc_shift[1][(c >> 8) & 0xFF] ^
+           g_crc_shift[2][(c >> 16) & 0xFF] ^ g_crc_shift[3][c >> 24];
+}
+
+#if defined(__x86_64__) || defined(__i386__)
+#include <nmmintrin.h>
+
+__attribute__((target("sse4.2")))
+static uint32_t crc32c_hw(const uint8_t* p, size_t n, uint32_t c) {
+    while (n >= 3 * kCrcLeg) {
+        uint64_t a = c, b = 0, d = 0;
+        const uint8_t* p1 = p + kCrcLeg;
+        const uint8_t* p2 = p + 2 * kCrcLeg;
+        for (size_t i = 0; i < kCrcLeg; i += 8) {
+            uint64_t w0, w1, w2;
+            memcpy(&w0, p + i, 8);
+            memcpy(&w1, p1 + i, 8);
+            memcpy(&w2, p2 + i, 8);
+            a = _mm_crc32_u64(a, w0);
+            b = _mm_crc32_u64(b, w1);
+            d = _mm_crc32_u64(d, w2);
+        }
+        // crc(X||Y) state = shift(state_X) ^ state_Y_from_zero
+        c = crc_shift_leg(crc_shift_leg((uint32_t)a) ^ (uint32_t)b) ^
+            (uint32_t)d;
+        p += 3 * kCrcLeg;
+        n -= 3 * kCrcLeg;
+    }
+    while (n >= 8) {
+        uint64_t w;
+        memcpy(&w, p, 8);
+        c = (uint32_t)_mm_crc32_u64(c, w);
+        p += 8;
+        n -= 8;
+    }
+    while (n--) c = _mm_crc32_u8(c, *p++);
+    return c;
+}
+
+static bool crc_hw_ok() {
+    static const bool v = __builtin_cpu_supports("sse4.2");
+    return v;
+}
+#elif defined(__aarch64__)
+#include <arm_acle.h>
+
+__attribute__((target("+crc")))
+static uint32_t crc32c_hw(const uint8_t* p, size_t n, uint32_t c) {
+    while (n >= 3 * kCrcLeg) {
+        uint32_t a = c, b = 0, d = 0;
+        const uint8_t* p1 = p + kCrcLeg;
+        const uint8_t* p2 = p + 2 * kCrcLeg;
+        for (size_t i = 0; i < kCrcLeg; i += 8) {
+            uint64_t w0, w1, w2;
+            memcpy(&w0, p + i, 8);
+            memcpy(&w1, p1 + i, 8);
+            memcpy(&w2, p2 + i, 8);
+            a = __crc32cd(a, w0);
+            b = __crc32cd(b, w1);
+            d = __crc32cd(d, w2);
+        }
+        c = crc_shift_leg(crc_shift_leg(a) ^ b) ^ d;
+        p += 3 * kCrcLeg;
+        n -= 3 * kCrcLeg;
+    }
+    while (n >= 8) {
+        uint64_t w;
+        memcpy(&w, p, 8);
+        c = __crc32cd(c, w);
+        p += 8;
+        n -= 8;
+    }
+    while (n--) c = __crc32cb(c, *p++);
+    return c;
+}
+
+static bool crc_hw_ok() {
+#if defined(__ARM_FEATURE_CRC32)
+    return true;
+#else
+    return (getauxval(AT_HWCAP) & HWCAP_CRC32) != 0;
+#endif
+}
+#else
+static uint32_t crc32c_hw(const uint8_t* p, size_t n, uint32_t c) {
+    return crc32c_sw(p, n, c);
+}
+static bool crc_hw_ok() { return false; }
+#endif
+
+uint32_t crc32c(const uint8_t* p, size_t n) {
+    uint32_t c = ~0u;
+    c = crc_hw_ok() ? crc32c_hw(p, n, c) : crc32c_sw(p, n, c);
     return ~c;
 }
 

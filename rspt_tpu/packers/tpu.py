@@ -69,11 +69,10 @@ def _blockify_tokenize(planes, plane_len, nr_planes, lengths_np):
 
 
 @functools.lru_cache(maxsize=64)
-def _pass1_hzr(ns: int, ch: int, bps: int, nr_planes: int):
+def _pass1_hzr(ns: int, ch: int, bps: int, nr_planes: int,
+               fmode: str = ""):
     plane_len = ch * ns
     _, lengths = _block_layout(plane_len, nr_planes)
-
-    fmode = _fused_pass1_mode()
     if fmode:
         # same fused tokenizer as the xdelta path, minus the delta
         # chain and the verify flag (hzr always keeps 4 planes —
@@ -105,7 +104,10 @@ def _pass1_hzr(ns: int, ch: int, bps: int, nr_planes: int):
 
 
 def _fused_pass1_mode() -> str:
-    """'' (off) / 'on' / 'interp' — resolved once per factory call.
+    """'' (off) / 'on' / 'interp' — resolved by CALLERS of the pass-1
+    factories and passed in as an explicit argument so it participates
+    in the lru_cache key (flipping RSPT_FUSED_PASS1/backend after a
+    shape is cached must not serve the stale pipeline).
     RSPT_FUSED_PASS1=0 disables, =interp forces the interpreter
     (CPU tests); default: on for the TPU backend."""
     import os as _os
@@ -121,11 +123,9 @@ def _fused_pass1_mode() -> str:
 
 @functools.lru_cache(maxsize=64)
 def _pass1_xdelta(ns: int, ch: int, bps: int, nr_planes: int,
-                  use_pallas: bool = False):
+                  use_pallas: bool = False, fmode: str = ""):
     plane_len = ch * ns
     _, lengths = _block_layout(plane_len, nr_planes)
-
-    fmode = _fused_pass1_mode()
     if fmode:
         from ..ops import pallas_kernels as pk
         interp_tok = fmode == "interp"
@@ -200,7 +200,8 @@ def _pass1_xdelta_batch(ns: int, ch: int, bps: int, nr_planes: int,
     (vmap), exactly like separate reference compress() calls."""
     plane_len = ch * ns
     nb_per, lengths = _block_layout(plane_len, nr_planes)
-    f_single, _ = _pass1_xdelta(ns, ch, bps, nr_planes)
+    f_single, _ = _pass1_xdelta(ns, ch, bps, nr_planes,
+                                fmode=_fused_pass1_mode())
 
     @jax.jit
     def f(raws):  # (batch, nbytes) u8
@@ -226,13 +227,12 @@ def _pass1_swizzle_means(ns: int, ch: int, bps: int):
 
 
 @functools.lru_cache(maxsize=64)
-def _pass1_xdelta_tail(ns: int, ch: int, nr_planes: int, header: bool):
+def _pass1_xdelta_tail(ns: int, ch: int, nr_planes: int, header: bool,
+                       fmode: str = ""):
     """delta/offset/xor → planes → tokenize, from an int32 workspace
     already on device (the transform packers' tail)."""
     plane_len = ch * ns
     _, lengths = _block_layout(plane_len, nr_planes)
-
-    fmode = _fused_pass1_mode()
     if fmode:
         from ..ops import pallas_kernels as pk
         interp_tok = fmode == "interp"
@@ -529,7 +529,8 @@ class TpuHzrPacker(_TpuPackerBase):
     def compress(self, src) -> bytes:
         c = self.cfg
         f, lengths = _pass1_hzr(c.nr_samples, c.nr_channels,
-                                c.bytes_per_sample, self.NR_PLANES)
+                                c.bytes_per_sample, self.NR_PLANES,
+                                _fused_pass1_mode())
         blocks, toks = f(jnp.asarray(_as_words(src, c.bytes_per_sample)))
         return _entropy_finish(blocks, toks, lengths, self.NR_PLANES,
                                self.METHOD, b"", self._encoder)
@@ -563,7 +564,8 @@ class TpuXdeltaHzrPacker(_TpuPackerBase):
         while True:
             f, lengths = _pass1_xdelta(c.nr_samples, c.nr_channels,
                                        c.bytes_per_sample, self.nr_planes,
-                                       self.use_pallas)
+                                       self.use_pallas,
+                                       _fused_pass1_mode())
             small, blocks, toks = f(raw)
             small_np = np.asarray(small)  # hist + verify flag, one d2h
             if bool(small_np[-1]):
@@ -780,7 +782,8 @@ class TpuDctPacker(_TpuPackerBase):
                                     c.nr_samples)
         dct = self._dct_fwd(enc - jnp.asarray(means)[:, None])
         f, lengths = _pass1_xdelta_tail(c.nr_samples, c.nr_channels,
-                                        self.NR_PLANES, True)
+                                        self.NR_PLANES, True,
+                                        _fused_pass1_mode())
         blocks, toks = f(dct)
         return _entropy_finish(blocks, toks, lengths, self.NR_PLANES,
                                self.METHOD, _means_header(means),
@@ -848,7 +851,8 @@ class TpuHadamardPacker(_TpuPackerBase):
                                       self.use_pallas)(
             enc, jnp.asarray(means))
         f, lengths = _pass1_xdelta_tail(c.nr_samples, c.nr_channels,
-                                        self.NR_PLANES, False)
+                                        self.NR_PLANES, False,
+                                        _fused_pass1_mode())
         blocks, toks = f(had)
         return _entropy_finish(blocks, toks, lengths, self.NR_PLANES,
                                self.METHOD, _means_header(means),

@@ -115,10 +115,12 @@ class ShardedHzrDecoder:
         return self._built
 
     def decode_many(self, datas, hints=None, return_hints: bool = False):
-        """hints/return_hints: aligned-decode hints — (entries, counts)
-        from a previous decode of the SAME streams skip every fixpoint
-        sweep (and its per-sweep ppermute carry exchange); only the
-        emission sweep runs."""
+        """hints/return_hints: aligned-decode hints — a
+        (digest, entries, counts) tuple from a previous decode of the
+        SAME streams skips every fixpoint sweep (and its per-sweep
+        ppermute carry exchange); only the emission sweep runs. The
+        digest binds the hints to the stream content — mismatches
+        fall back to the fixpoint."""
         from ..hzr import jax_decoder as jd
         import jax.numpy as jnp
         srcs = [np.frombuffer(memoryview(d).cast("B"), np.uint8)
@@ -145,8 +147,10 @@ class ShardedHzrDecoder:
         words = np.zeros((nb, max_words), np.int32)
         l1 = np.zeros((nb, jd.L1_SIZE), np.int32)
         l2_rows, l2_base = [], np.zeros(nb, np.int32)
-        for i, (payload, pbits, dbits, ooff, olen, tree) in \
+        digest_parts = []
+        for i, (payload, pbits, dbits, ooff, olen, tree, crc) in \
                 enumerate(huff):
+            digest_parts.append((crc, payload.size, dbits, ooff, olen))
             pw = np.zeros(max_words * 4, np.uint8)
             pw[:payload.size] = payload
             words[i] = pw.view("<u4").view(np.int32)
@@ -158,7 +162,7 @@ class ShardedHzrDecoder:
 
         lane_block, lane_entry, lane_seg_end = [], [], []
         seg_of_block = []
-        for i, (payload, pbits, dbits, ooff, olen, tree) in \
+        for i, (payload, pbits, dbits, ooff, olen, tree, _crc) in \
                 enumerate(huff):
             nseg = max(1, -(-(pbits - dbits) // jd.SEG_BITS))
             seg_of_block.append(nseg)
@@ -181,10 +185,17 @@ class ShardedHzrDecoder:
         dfirst[nl:] = True  # padding lanes pin to their (dead) entries
 
         fns = self._fns()
-        if hints is not None and getattr(hints[0], "shape", (0,))[0] \
-                == nl_pad:
-            entry = jnp.asarray(np.ascontiguousarray(hints[0], np.int32))
-            counts_np = np.asarray(hints[1])[:nl]
+        # hints are bound to stream CONTENT (per-block stored CRC32C
+        # fields + geometry), not just the lane-layout shape: same-size
+        # different-content streams must re-run the fixpoint or the
+        # emission sweep would write corrupted bytes unchecked.
+        from ..hzr.pallas_decoder import _hints_digest
+        digest = _hints_digest(digest_parts)
+        if (isinstance(hints, tuple) and len(hints) == 3
+                and hints[0] == digest
+                and getattr(hints[1], "shape", (0,))[0] == nl_pad):
+            entry = jnp.asarray(np.ascontiguousarray(hints[1], np.int32))
+            counts_np = np.asarray(hints[2])[:nl]
         else:
             entry, counts = fns["fixpoint"](
                 jnp.asarray(words), jnp.asarray(l1), jnp.asarray(l2),
@@ -210,13 +221,13 @@ class ShardedHzrDecoder:
             jnp.asarray(lane_seg_end), jnp.asarray(lane_pbits),
             jnp.asarray(out_bases), jnp.asarray(out_limit))
         emitted = np.asarray(bufs)[:total]
-        for payload, pbits, dbits, ooff, olen, tree in huff:
+        for payload, pbits, dbits, ooff, olen, tree, _crc in huff:
             out[ooff:ooff + olen] = emitted[ooff:ooff + olen]
         outs = [out[a:a + n].tobytes() for a, n in spans]
         if return_hints:
             cpad = np.zeros(nl_pad, np.int32)
             cpad[:nl] = counts_np
-            return outs, (np.asarray(entry), cpad)
+            return outs, (digest, np.asarray(entry), cpad)
         return outs
 
 

@@ -81,7 +81,7 @@ def test_deep_codes_on_device(monkeypatch):
     huff = []
     pallas_decoder._walk_stream(src, len(x), 0, out, huff)
     assert huff, "fixture regressed: no HUFF blocks"
-    assert all(pallas_decoder.build_lut16(t[-1]) is not None
+    assert all(pallas_decoder.build_lut16(t[5]) is not None
                for t in huff), "deep-code block fell out of the envelope"
     got = pallas_decoder.decode_many([st], interpret=True)
     assert got[0] == x
@@ -97,10 +97,32 @@ def test_decode_hints_roundtrip(rng):
     outs, hints = pallas_decoder.decode_many([st], interpret=True,
                                              return_hints=True)
     assert outs[0] == x.tobytes()
-    assert hints is not None and hints.size > 0
+    assert hints is not None and hints.entries.size > 0
     outs2 = pallas_decoder.decode_many([st], interpret=True, hints=hints)
     assert outs2[0] == x.tobytes()
-    # wrong-shape hints are ignored, not trusted
-    outs3 = pallas_decoder.decode_many([st], interpret=True,
-                                       hints=hints[:8])
+    # wrong-shape entries are ignored, not trusted
+    bad = pallas_decoder.DecodeHints(hints.digest, hints.entries[:8])
+    outs3 = pallas_decoder.decode_many([st], interpret=True, hints=bad)
     assert outs3[0] == x.tobytes()
+
+
+def test_decode_hints_bound_to_content(rng):
+    """Hints from stream A must NOT be trusted for a DIFFERENT stream
+    of identical sizes/lane layout (the fixed-size-frame serving trap):
+    the digest mismatch falls back to the fixpoint and decode stays
+    exact."""
+    a = np.where(rng.random(200000) < 0.5,
+                 rng.integers(1, 200, 200000), 0).astype(np.uint8)
+    b = a.copy()
+    b[100000:100100] ^= 0x55  # same length, different content
+    st_a = pyref.encode(a.tobytes())
+    _, hints = pallas_decoder.decode_many([st_a], interpret=True,
+                                          return_hints=True)
+    st_b = pyref.encode(b.tobytes())
+    outs = pallas_decoder.decode_many([st_b], interpret=True,
+                                      hints=hints)
+    assert outs[0] == b.tobytes()
+    # legacy bare-array hints are never trusted
+    outs2 = pallas_decoder.decode_many([st_b], interpret=True,
+                                       hints=hints.entries)
+    assert outs2[0] == b.tobytes()
