@@ -11,13 +11,17 @@ for the Huffman LUTs:
   lanes    = speculative segments: 8 sublane rows x 128 lanes per grid
              tile; each row belongs to ONE block (max-size blocks span
              two adjacent rows and never straddle a tile).
-  L1/L2/L3 = 8-bit peek LUT + two per-slot deeper 8-bit LUT levels
-             (hzr_decode.c:251-260 semantics widened to 24 bits — the
-             Fibonacci bound caps hzr codes at 23 bits, so every legal
-             block decodes on device); only >SLOT_CAP/SLOT3_CAP deep
-             prefix counts fall back to the host decoder. Slot counts
-             gate the deep gather loops PER TILE, so a deep-tree block
-             costs nothing for the rest of the batch.
+  LUT      = 8-bit peek root (hzr_decode.c:251-260 semantics) chained
+             into up to four 4-BIT levels (16 entries per deep slot),
+             covering the full 24-bit envelope — the Fibonacci bound
+             caps hzr codes at 23 bits, so every legal block decodes
+             on device. Nibble levels keep the deep cost proportional
+             to the tree's actual density: a near-random plane with
+             ~64 deep 8-bit prefixes costs ~8+6+2 masked chunk gathers
+             per step instead of ~128 under a byte-wide second level,
+             which is what lets real ECG low planes stay on device.
+             Per-TILE chunk counts gate every level's gather loop, so
+             a deep-tree block costs nothing for the rest of the batch.
   refill   = masked reduction over each lane's private word window,
              amortized by the 96-bit cache (~1 fetch per 32 bits).
   fixpoint = the alignment iteration entry(s+1)=exit(s) runs INSIDE
@@ -61,13 +65,14 @@ W_SEG = 40             # window words per lane (segw<=38 + straddle)
 STEP_CHUNK = 128       # emission ring rows per DMA flush
 MAX_STEPS = 1088       # static cap: 1-bit/symbol floor on 1024-bit segs
 STEP_BUCKETS = (128, 256, 544, 1088)
-SLOT_CAP = 32          # deep (>8-bit) prefix slots per block
-L2_SIZE = SLOT_CAP * 256
-SLOT3_CAP = 16         # deep (>16-bit) prefix slots per block
-L3_SIZE = SLOT3_CAP * 256
+NIB_LEVELS = 4         # 4-bit levels past the 8-bit root: 8+4*4=24 bits
+CHUNK_BUCKETS = (1, 2, 4, 8, 16, 32, 40, 64)  # per-level chunk caps
 K_PLACE = 96           # literals per byte-placement chunk (96 real +
                        # 32 dead lanes per 128-lane window-kernel row)
-FALLBACK_CAP = 8192    # compacted oversized-chunk literals per call
+FALLBACK_CAP = 32768   # compacted oversized-chunk literals per call
+                       # (compacted placement makes sparse-plane chunks
+                       # all-live, so mixed dense/sparse payloads push
+                       # tens of thousands of entries through here)
 
 _RLE_EBITS = (0, 0, 2, 4, 8, 14)
 _RLE_BASE = (0, 2, 3, 7, 23, 279)
@@ -120,80 +125,73 @@ def _match_hints(hints, digest, shape):
 # Host: tree -> L1/L2/L3 LUTs (24-bit cap: every legal hzr code)
 # ---------------------------------------------------------------------------
 
-def build_lut16(tree):
-    """Flatten a pyref tree into three LUT levels or None when the
-    block exceeds the kernel envelope (more than SLOT_CAP/SLOT3_CAP
-    deep prefixes; code length itself is Fibonacci-bounded at <=23
-    bits for <=64Ki counts, so three 8-bit levels always suffice).
+def build_lut_nib(tree):
+    """Flatten a pyref tree into an 8-bit root LUT chained into up to
+    NIB_LEVELS 4-bit levels, or None when a code exceeds 24 bits
+    (impossible for legal streams: the Fibonacci bound caps hzr codes
+    at 23 bits for <=64Ki+261 total counts).
 
     l1: leaf -> sym | bits<<16 (bits<=8); deep -> DEEP_BIT | slot.
-    l2[slot*256 + next8]: sym | totalbits<<16 (totalbits <= 16), or
-    DEEP_BIT | slot3 for >16-bit prefixes.
-    l3[slot3*256 + next8]: sym | totalbits<<16 (totalbits <= 24).
+    levels[k] (nslots_k * 16,) i32, slot-major: leaf ->
+    sym | totalbits<<16 (totalbits = 8 + 4k + suffix); internal at the
+    nibble boundary -> DEEP_BIT | next-level slot.
+    chunks[k] = ceil(nslots_k * 16 / 128): the per-level 128-wide
+    gather rows the kernel must sweep for this block.
     """
     l1 = np.zeros(256, np.int32)
-    l2 = np.zeros(L2_SIZE, np.int32)
-    l3 = np.zeros(L3_SIZE, np.int32)
-    nslots = 0
-    nslots3 = 0
+    slots = [[] for _ in range(NIB_LEVELS)]
 
-    def fill(arr, lo, code, bits, value):
-        step = 1 << bits
-        arr[lo + code:lo + 256:step] = value
+    def walk_nib(node, lvl):
+        if lvl >= NIB_LEVELS:
+            return None
+        sid = len(slots[lvl])
+        arr = np.zeros(16, np.int32)
+        slots[lvl].append(arr)
+
+        def w(nd, c, b):
+            if not isinstance(nd, tuple):
+                step = 1 << b
+                arr[c:16:step] = nd | ((8 + 4 * lvl + b) << 16)
+                return True
+            if b == 4:
+                s2 = walk_nib(nd, lvl + 1)
+                if s2 is None:
+                    return False
+                arr[c] = DEEP_BIT | s2
+                return True
+            return w(nd[0], c, b + 1) and w(nd[1], c | (1 << b), b + 1)
+
+        return sid if w(node, 0, 0) else None
 
     def walk(node, code, bits):
-        nonlocal nslots, nslots3
         if not isinstance(node, tuple):
             b = max(bits, 1)  # degenerate single-leaf consumes 1 bit
-            fill(l1, 0, code, bits, node | (b << 16))
+            step = 1 << bits
+            l1[code:256:step] = node | (b << 16)
             return True
         if bits == 8:
-            if nslots >= SLOT_CAP:
+            sid = walk_nib(node, 0)
+            if sid is None:
                 return False
-            slot = nslots
-            nslots += 1
-            l1[code] = DEEP_BIT | slot
-
-            def walk2(nd, c2, b2):
-                nonlocal nslots3
-                if not isinstance(nd, tuple):
-                    fill(l2, slot * 256, c2, b2, nd | ((8 + b2) << 16))
-                    return True
-                if b2 == 8:
-                    if nslots3 >= SLOT3_CAP:
-                        return False
-                    slot3 = nslots3
-                    nslots3 += 1
-                    l2[slot * 256 + c2] = DEEP_BIT | slot3
-
-                    def walk3(nd3, c3, b3):
-                        if not isinstance(nd3, tuple):
-                            fill(l3, slot3 * 256, c3, b3,
-                                 nd3 | ((16 + b3) << 16))
-                            return True
-                        if b3 >= 8:
-                            return False
-                        return walk3(nd3[0], c3, b3 + 1) and \
-                            walk3(nd3[1], c3 | (1 << b3), b3 + 1)
-
-                    return walk3(nd, 0, 0)
-                return walk2(nd[0], c2, b2 + 1) and \
-                    walk2(nd[1], c2 | (1 << b2), b2 + 1)
-
-            return walk2(node, 0, 0)
+            l1[code] = DEEP_BIT | sid
+            return True
         return walk(node[0], code, bits + 1) and \
             walk(node[1], code | (1 << bits), bits + 1)
 
     if not walk(tree, 0, 0):
         return None
-    return l1, l2, l3, nslots, nslots3
+    levels = [np.concatenate(s) if s else np.zeros(0, np.int32)
+              for s in slots]
+    chunks = [-(-lv.size // 128) if lv.size else 0 for lv in levels]
+    return l1, levels, chunks
 
 
 # ---------------------------------------------------------------------------
 # Kernel
 # ---------------------------------------------------------------------------
 
-def _decode_kernel(nl2_ref, win_ref, l1lo_ref, l1hi_ref, l2_ref, l3_ref,
+def _decode_kernel(ntc_ref, win_ref, l1lo_ref, l1hi_ref, lv1_ref,
+                   lv2_ref, lv3_ref, lv4_ref,
                    entry_ref, segend_ref, pbits_ref, first_ref,
                    wbase_ref, emis_ref, counts_ref, steps_ref,
                    entry_out_ref, ring_ref, sem_ref):
@@ -203,9 +201,7 @@ def _decode_kernel(nl2_ref, win_ref, l1lo_ref, l1hi_ref, l2_ref, l3_ref,
     ZERO = jnp.zeros(shape, u32)
     lane = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
     wseg = win_ref.shape[0]      # window rows, sized per launch
-    nl2 = nl2_ref[t, 0]          # deep L2 slots in this tile (often 0)
-    nl3 = nl2_ref[t, 1]          # deep L3 slots in this tile
-    trust = nl2_ref[t, 2]        # 1 = entries are exact (decode hints)
+    trust = ntc_ref[t, 4]        # 1 = entries are exact (decode hints)
 
     entry0 = entry_ref[...]
     seg_end = segend_ref[...]
@@ -218,51 +214,47 @@ def _decode_kernel(nl2_ref, win_ref, l1lo_ref, l1hi_ref, l2_ref, l3_ref,
     l1lo = l1lo_ref[...]
     l1hi = l1hi_ref[...]
 
-    def fetch_word(wptr):
-        # masked reduction over the word windows; a runtime fori (the
-        # leading dim of a 3D ref allows dynamic indexing) keeps the
-        # Mosaic statement count small — a 66-way unroll at every call
-        # site made remote compiles pathological
-        def body(w, acc):
-            return acc + jnp.where(wptr == w,
-                                   win_ref[pl.ds(w, 1)][0], 0)
-
-        acc = jax.lax.fori_loop(0, wseg, body,
-                                jnp.zeros(shape, jnp.int32))
+    def fetch_word(wptr, mask):
+        # masked reduction over the word windows, STATICALLY UNROLLED:
+        # a runtime-bounded fori costs ~90 ns/iteration on the VPU
+        # (loop branch + dynamic slice), while an unrolled chain of
+        # static-index where+adds is a few ns each — measured 10-30x
+        # cheaper at the window widths the buckets allow.
+        acc = jnp.zeros(shape, jnp.int32)
+        for w in range(wseg):
+            acc = acc + jnp.where(wptr == w, win_ref[w], 0)
         return pltpu.bitcast(acc, u32)
 
     def gather128(tbl, idx):
         return jnp.take_along_axis(tbl, idx, axis=1)
 
-    def sweep(entry, emit: bool):
-        """Lockstep decode from `entry` to segment end. Cache invariant:
-        bit 0 of c0 is the bit at `pos`; navail bits are valid."""
+    def sweep(entry):
+        """Lockstep decode from `entry` to segment end, EMITTING into
+        the ring (every fixpoint sweep emits; the converged sweep's
+        emissions are the valid ones — one fused pass instead of
+        fixpoint-then-emit saves a full sweep per call). Cache
+        invariant: bit 0 of c0 is the bit at `pos`; navail valid."""
+        emit = True
         active0 = (entry < seg_end) & (entry < pbits)
         wptr0 = jnp.right_shift(entry, 5) - win_base
-        w0 = fetch_word(wptr0)
+        w0 = fetch_word(wptr0, active0)
         sh0 = (entry & 31).astype(u32)
         c0 = jnp.where(sh0 > 0, w0 >> sh0, w0)
         navail0 = jnp.where(active0, 32 - (entry & 31), 0)
         # the loop carries `active` as int32: Mosaic cannot yield an
-        # i1 vector from a while region. Non-emit (fixpoint) sweeps
-        # only need exit POSITIONS, so outc and the RLE output-count
-        # math stay out of their carry — a while carry keeps its
-        # computation live, so dropping it here is a real ~15% saving
-        # on the alignment sweeps.
-        st0 = (entry, c0, ZERO, ZERO, navail0, wptr0 + 1) + \
-            ((jnp.zeros(shape, jnp.int32),) if emit else ()) + \
-            (jnp.int32(0), active0.astype(jnp.int32))
+        # i1 vector from a while region. litv counts literal emissions
+        # per lane (reduced once per sweep — sizes the placement
+        # compaction on the host without a per-step cross-lane reduce).
+        st0 = (entry, c0, ZERO, ZERO, navail0, wptr0 + 1,
+               jnp.zeros(shape, jnp.int32), jnp.zeros(shape, jnp.int32),
+               jnp.int32(0), active0.astype(jnp.int32))
 
         def cond(st):
             return jnp.any(st[-1] != 0)
 
         def body(st):
-            if emit:
-                (pos, c0, c1, c2, navail, wptr, outc, step,
-                 active_i) = st
-            else:
-                pos, c0, c1, c2, navail, wptr, step, active_i = st
-                outc = None
+            (pos, c0, c1, c2, navail, wptr, outc, litv, step,
+             active_i) = st
             active = active_i != 0
 
             # refill to >= 40 available bits (a step consumes <= 38)
@@ -272,7 +264,7 @@ def _decode_kernel(nl2_ref, win_ref, l1lo_ref, l1hi_ref, l2_ref, l3_ref,
             def rbody(rst):
                 c0r, c1r, c2r, nav, wp = rst
                 need = active & (nav < 40)
-                w = fetch_word(wp)
+                w = fetch_word(wp, need)
                 nv = nav.astype(u32)
                 lo_ins = jnp.where(nv < 32, w << nv, u32(0))
                 mid_ins = jnp.where(
@@ -294,32 +286,29 @@ def _decode_kernel(nl2_ref, win_ref, l1lo_ref, l1hi_ref, l2_ref, l3_ref,
             idx8 = pltpu.bitcast(c0 & u32(255), jnp.int32)
             g_lo = gather128(l1lo, idx8 & 127)
             g_hi = gather128(l1hi, idx8 & 127)
-            e1 = jnp.where(idx8 < 128, g_lo, g_hi)
-            is_deep = (e1 & DEEP_BIT) != 0
-            idx16 = (e1 & 0xFFFF) * 256 + \
-                pltpu.bitcast((c0 >> u32(8)) & u32(255), jnp.int32)
-
-            def l2body(p2, acc):
-                g = gather128(l2_ref[pl.ds(p2, 1)][0], idx16 & 127)
-                return jnp.where((idx16 >> 7) == p2, g, acc)
-
-            # dynamic bound: zero iterations when no block in the batch
-            # needs >8-bit codes (the common case — 16 gathers saved
-            # per lockstep step)
-            e2 = jax.lax.fori_loop(0, nl2 * 2, l2body,
-                                   jnp.zeros(shape, jnp.int32))
-            # third level: >16-bit codes (<=23 by the Fibonacci bound)
-            is_deep3 = is_deep & ((e2 & DEEP_BIT) != 0)
-            idx24 = (e2 & 0xFFFF) * 256 + \
-                pltpu.bitcast((c0 >> u32(16)) & u32(255), jnp.int32)
-
-            def l3body(p3, acc):
-                g = gather128(l3_ref[pl.ds(p3, 1)][0], idx24 & 127)
-                return jnp.where((idx24 >> 7) == p3, g, acc)
-
-            e3 = jax.lax.fori_loop(0, nl3 * 2, l3body,
-                                   jnp.zeros(shape, jnp.int32))
-            ent = jnp.where(is_deep3, e3, jnp.where(is_deep, e2, e1))
+            ent = jnp.where(idx8 < 128, g_lo, g_hi)
+            deep = (ent & DEEP_BIT) != 0
+            # chained 4-bit levels: a deep entry's low 16 bits name the
+            # next level's slot; idx = slot*16 + the peek's next nibble.
+            # Each level is a masked gather over that level's 128-wide
+            # chunk rows, STATICALLY UNROLLED to the batch's bucketed
+            # chunk cap (the array shape): unrolled static-index
+            # gather+select chains measure 10-30x cheaper than a
+            # runtime-bounded fori on the VPU. Cost still scales with
+            # actual tree density via the caps: ~64 deep prefixes ->
+            # ~8+6+2 chunks vs ~128 under a byte-wide second level,
+            # and a shallow batch compiles with cap 1 per level.
+            for k, lv_ref in enumerate((lv1_ref, lv2_ref, lv3_ref,
+                                        lv4_ref)):
+                nib = pltpu.bitcast(
+                    (c0 >> u32(8 + 4 * k)) & u32(15), jnp.int32)
+                idxk = (ent & 0xFFFF) * 16 + nib
+                ek = jnp.zeros(shape, jnp.int32)
+                for p in range(lv_ref.shape[0]):
+                    g = gather128(lv_ref[p], idxk & 127)
+                    ek = jnp.where((idxk >> 7) == p, g, ek)
+                ent = jnp.where(deep, ek, ent)
+                deep = deep & ((ek & DEEP_BIT) != 0)
             sym = ent & 0x1FF
             cb = ((ent >> 16) & 0xFF).astype(u32)
 
@@ -332,17 +321,16 @@ def _decode_kernel(nl2_ref, win_ref, l1lo_ref, l1hi_ref, l2_ref, l3_ref,
                 return r
 
             ebv = pick(_RLE_EBITS)
-            if emit:
-                basev = pick(_RLE_BASE)
-                tail = (c0 >> cb) | jnp.where(cb > 0,
-                                              c1 << (u32(32) - cb),
-                                              u32(0))
-                mask = (u32(1) << ebv.astype(u32)) - u32(1)
-                extra = pltpu.bitcast(tail & mask, jnp.int32)
-                extra = jnp.where(ebv > 0, extra, 0)
-                is_rle = sym >= 256
-                nout = jnp.where(is_rle, basev + extra, 1)
-                is_lit = (~is_rle) & (sym > 0)
+            basev = pick(_RLE_BASE)
+            tail = (c0 >> cb) | jnp.where(cb > 0,
+                                          c1 << (u32(32) - cb),
+                                          u32(0))
+            mask = (u32(1) << ebv.astype(u32)) - u32(1)
+            extra = pltpu.bitcast(tail & mask, jnp.int32)
+            extra = jnp.where(ebv > 0, extra, 0)
+            is_rle = sym >= 256
+            nout = jnp.where(is_rle, basev + extra, 1)
+            is_lit = (~is_rle) & (sym > 0)
 
             consume = pltpu.bitcast(cb, jnp.int32) + ebv
             cu = consume.astype(u32)
@@ -356,23 +344,22 @@ def _decode_kernel(nl2_ref, win_ref, l1lo_ref, l1hi_ref, l2_ref, l3_ref,
             n1 = jnp.where(cs > 0, (d1 >> cs) | (d2 << inv), d1)
             n2 = jnp.where(cs > 0, d2 >> cs, d2)
 
-            if emit:
-                # Non-literal/inactive steps still record outc (sym=0):
-                # per-lane positions are then monotone over ALL entries,
-                # which lets placement skip the global running-max scan.
-                packed = (outc << 9) | jnp.where(active & is_lit, sym, 0)
-                ring_ref[step % STEP_CHUNK] = packed
+            # Non-literal/inactive steps still record outc (sym=0):
+            # per-lane positions are then monotone over ALL entries,
+            # which lets placement skip the global running-max scan.
+            packed = (outc << 9) | jnp.where(active & is_lit, sym, 0)
+            ring_ref[step % STEP_CHUNK] = packed
 
-                @pl.when(step % STEP_CHUNK == STEP_CHUNK - 1)
-                def _():
-                    chunk = step // STEP_CHUNK
-                    dma = pltpu.make_async_copy(
-                        ring_ref,
-                        emis_ref.at[t, pl.ds(chunk * STEP_CHUNK,
-                                             STEP_CHUNK)],
-                        sem_ref)
-                    dma.start()
-                    dma.wait()
+            @pl.when(step % STEP_CHUNK == STEP_CHUNK - 1)
+            def _():
+                chunk = step // STEP_CHUNK
+                dma = pltpu.make_async_copy(
+                    ring_ref,
+                    emis_ref.at[t, pl.ds(chunk * STEP_CHUNK,
+                                         STEP_CHUNK)],
+                    sem_ref)
+                dma.start()
+                dma.wait()
 
             pos_n = jnp.where(active, pos + consume, pos)
             active_n = active & (pos_n < seg_end) & (pos_n < pbits)
@@ -381,66 +368,75 @@ def _decode_kernel(nl2_ref, win_ref, l1lo_ref, l1hi_ref, l2_ref, l3_ref,
                     jnp.where(active, n1, c1),
                     jnp.where(active, n2, c2),
                     jnp.where(active, navail - consume, navail),
-                    wptr) + \
-                ((jnp.where(active, outc + nout, outc),) if emit
-                 else ()) + \
-                (step + 1, active_n.astype(jnp.int32))
+                    wptr,
+                    jnp.where(active, outc + nout, outc),
+                    litv + (active & is_lit).astype(jnp.int32),
+                    step + 1, active_n.astype(jnp.int32))
 
         out = jax.lax.while_loop(cond, body, st0)
-        if emit:
-            return out[0], out[6], out[7]
-        return out[0], None, out[6]
+        return out[0], out[6], out[7], out[8]
 
     # alignment fixpoint: entry(s+1) = exit(s); after k sweeps the
     # first k segments of every block are exact, so the cap guarantees
-    # correctness even without early convergence
+    # correctness even without early convergence. Every sweep emits:
+    # once entries stop changing, the sweep that just ran started from
+    # the exact fixpoint entries, so its ring/output stats are the
+    # valid ones — no separate emission pass.
+    ring_ref[...] = jnp.zeros((STEP_CHUNK, 8, 128), jnp.int32)
+
     def fcond(st):
-        # trusted entries (decode hints) skip the fixpoint entirely
-        return st[1] & (st[2] < SEG_PER_BLOCK + 2) & (trust == 0)
+        return st[1] & (st[2] < SEG_PER_BLOCK + 2)
 
     def fbody(st):
         entry, _, it = st
-        exits, _, _ = sweep(entry, False)
+        exits, counts, litv, steps = sweep(entry)
+
+        # per-sweep tail flush: emis rows must reflect THIS sweep
+        @pl.when(steps % STEP_CHUNK != 0)
+        def _():
+            dma = pltpu.make_async_copy(
+                ring_ref,
+                emis_ref.at[t, pl.ds((steps // STEP_CHUNK) * STEP_CHUNK,
+                                     STEP_CHUNK)],
+                sem_ref)
+            dma.start()
+            dma.wait()
+
+        counts_ref[...] = counts
+        steps_ref[t, 0] = steps
+        steps_ref[t, 2] = jnp.sum(litv)
         nxt = pltpu.roll(exits, 1, 1)
         prev_row = pltpu.roll(exits, 1, 0)
         col0 = jnp.broadcast_to(prev_row[:, 127:128], shape)
         shifted = jnp.where(lane == 0, col0, nxt)
         new_entry = jnp.where(first, entry0, shifted)
-        return new_entry, jnp.any(new_entry != entry), it + 1
+        # trusted entries (decode hints) stop after the single sweep
+        changed = jnp.any(new_entry != entry) & (trust == 0)
+        return new_entry, changed, it + 1
 
     entry, _, fp_iters = jax.lax.while_loop(
         fcond, fbody, (entry0, jnp.bool_(True), jnp.int32(0)))
 
-    ring_ref[...] = jnp.zeros((STEP_CHUNK, 8, 128), jnp.int32)
-    _, counts, steps = sweep(entry, True)
-
-    @pl.when(steps % STEP_CHUNK != 0)
-    def _():
-        dma = pltpu.make_async_copy(
-            ring_ref,
-            emis_ref.at[t, pl.ds((steps // STEP_CHUNK) * STEP_CHUNK,
-                                 STEP_CHUNK)],
-            sem_ref)
-        dma.start()
-        dma.wait()
-
-    counts_ref[...] = counts
-    steps_ref[t, 0] = steps
     steps_ref[t, 1] = fp_iters
     entry_out_ref[...] = entry   # converged entries -> decode hints
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def _run_kernel(nl2, win, l1lo, l1hi, l2, l3, entry, segend, pbits,
-                first, wbase, interpret: bool = False):
+def _run_kernel(ntc, win, l1lo, l1hi, lv1, lv2, lv3, lv4, entry, segend,
+                pbits, first, wbase, interpret: bool = False):
     ntiles = entry.shape[0] // 8
     wseg = win.shape[0]
+
+    def _lv_spec(lv):
+        return pl.BlockSpec((lv.shape[0], 8, 128), lambda t: (0, t, 0),
+                            memory_space=pltpu.VMEM)
+
     emis, counts, steps, entry_out = pl.pallas_call(
         _decode_kernel,
         out_shape=(
             jax.ShapeDtypeStruct((ntiles, MAX_STEPS, 8, 128), jnp.int32),
             jax.ShapeDtypeStruct((ntiles * 8, 128), jnp.int32),
-            jax.ShapeDtypeStruct((ntiles, 2), jnp.int32),
+            jax.ShapeDtypeStruct((ntiles, 3), jnp.int32),
             jax.ShapeDtypeStruct((ntiles * 8, 128), jnp.int32),
         ),
         grid=(ntiles,),
@@ -452,10 +448,10 @@ def _run_kernel(nl2, win, l1lo, l1hi, l2, l3, entry, segend, pbits,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((8, 128), lambda t: (t, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((l2.shape[0], 8, 128), lambda t: (0, t, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((l3.shape[0], 8, 128), lambda t: (0, t, 0),
-                         memory_space=pltpu.VMEM),
+            _lv_spec(lv1),
+            _lv_spec(lv2),
+            _lv_spec(lv3),
+            _lv_spec(lv4),
             pl.BlockSpec((8, 128), lambda t: (t, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((8, 128), lambda t: (t, 0),
@@ -471,7 +467,7 @@ def _run_kernel(nl2, win, l1lo, l1hi, l2, l3, entry, segend, pbits,
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((8, 128), lambda t: (t, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((ntiles, 2), lambda t: (0, 0),
+            pl.BlockSpec((ntiles, 3), lambda t: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((8, 128), lambda t: (t, 0),
                          memory_space=pltpu.VMEM),
@@ -480,7 +476,8 @@ def _run_kernel(nl2, win, l1lo, l1hi, l2, l3, entry, segend, pbits,
                         pltpu.SemaphoreType.DMA],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
-    )(nl2, win, l1lo, l1hi, l2, l3, entry, segend, pbits, first, wbase)
+    )(ntc, win, l1lo, l1hi, lv1, lv2, lv3, lv4, entry, segend, pbits,
+      first, wbase)
     return emis, counts, steps, entry_out
 
 
@@ -604,36 +601,55 @@ def _place_emissions(emis, steps_used, counts, block_first, out_off,
     words = _pack_fields(vals, jnp.where(fits, nbits, 0), offs, nrows,
                          interpret, K)
 
-    # fallback: oversized-chunk literals -> rank-compact via the same
-    # packer (rank offsets are dense, so chunks always fit), then one
-    # small scatter bounded by FALLBACK_CAP
+    # fallback: oversized-chunk literals -> compact, then one small
+    # scatter bounded by FALLBACK_CAP
     fb = (~fits) & live_p
     nfb = jnp.sum(fb, dtype=jnp.int32)
     flat = words.reshape(nrows * 128)
 
     def with_fallback(flat):
-        rank0 = jnp.cumsum(fb.astype(jnp.int32), axis=1) - 1
-        rank = jnp.maximum(rank0, 0)      # monotone incl. dead slots
-        Kf = K_PLACE
-        Sp2 = -(-Sp // Kf) * Kf
-        pad2 = ((0, 0), (0, Sp2 - Sp))
-        fb2 = jnp.pad(fb, pad2)
-        nb2 = jnp.where(fb2, 32, 0)
-        rank2 = jnp.pad(rank, pad2, mode="edge")
-        # +16 rows: merge_place needs 2048 words of gbase headroom
-        nrows_fb = (-(-FALLBACK_CAP // 128) + 16 + 7) // 8 * 8
-        fb_val = _pack_fields(jnp.pad(jnp.where(fb, vals, 0), pad2),
-                              nb2, rank2 * 32, nrows_fb, interpret, Kf)
-        fb_pos = _pack_fields(
-            jnp.pad(jnp.where(fb, offs.astype(jnp.uint32) >> 3,
-                              jnp.uint32(0)), pad2),
-            nb2, rank2 * 32, nrows_fb, interpret, Kf)
-        fbv = fb_val.reshape(-1)[:FALLBACK_CAP]
-        fbp = fb_pos.reshape(-1)[:FALLBACK_CAP]
+        if nrows * 512 < (1 << 23):
+            # single compact pass over (pos<<8 | byte) words (pos fits
+            # 23 bits whenever the output is < 8 MB) — one kernel
+            # instead of two full-S rank-pack passes; on literal-dense
+            # decodes those two passes used to dominate placement.
+            from ..ops.pallas_kernels import compact_tokens_pallas
+            vfb = jnp.where(fb, ((offs >> 3) << 8)
+                            | vals.astype(jnp.int32), 0)
+            rows_fb = -(-(FALLBACK_CAP // 128 + 24) // 8) * 8
+            pk_fb = compact_tokens_pallas(
+                vfb, jnp.zeros(1, jnp.int32), rows_fb,
+                interpret=interpret, nonzero_valid=True)
+            flatv = pk_fb.reshape(-1)[:FALLBACK_CAP]
+            fbv = (flatv & 0xFF).astype(jnp.uint32)
+            fbp = jnp.right_shift(flatv, 8).astype(jnp.uint32)
+        else:
+            # rank-compact via the packer (rank offsets are dense, so
+            # chunks always fit)
+            rank0 = jnp.cumsum(fb.astype(jnp.int32), axis=1) - 1
+            rank = jnp.maximum(rank0, 0)  # monotone incl. dead slots
+            Kf = K_PLACE
+            Sp2 = -(-Sp // Kf) * Kf
+            pad2 = ((0, 0), (0, Sp2 - Sp))
+            fb2 = jnp.pad(fb, pad2)
+            nb2 = jnp.where(fb2, 32, 0)
+            rank2 = jnp.pad(rank, pad2, mode="edge")
+            # +16 rows: merge_place needs 2048 words of gbase headroom
+            nrows_fb = (-(-FALLBACK_CAP // 128) + 16 + 7) // 8 * 8
+            fb_val = _pack_fields(jnp.pad(jnp.where(fb, vals, 0), pad2),
+                                  nb2, rank2 * 32, nrows_fb, interpret,
+                                  Kf)
+            fb_pos = _pack_fields(
+                jnp.pad(jnp.where(fb, offs.astype(jnp.uint32) >> 3,
+                                  jnp.uint32(0)), pad2),
+                nb2, rank2 * 32, nrows_fb, interpret, Kf)
+            fbv = fb_val.reshape(-1)[:FALLBACK_CAP].astype(jnp.uint32)
+            fbp = fb_pos.reshape(-1)[:FALLBACK_CAP].astype(jnp.uint32)
         slot_live = jnp.arange(FALLBACK_CAP, dtype=jnp.int32) < nfb
-        word_ix = jnp.where(slot_live, fbp >> 2, nrows * 128)
+        word_ix = jnp.where(slot_live, (fbp >> 2).astype(jnp.int32),
+                            nrows * 128)
         shift = ((fbp & 3) * 8).astype(jnp.uint32)
-        contrib = (fbv.astype(jnp.uint32) << shift).astype(jnp.int32)
+        contrib = (fbv << shift).astype(jnp.int32)
         return flat.at[word_ix].add(jnp.where(slot_live, contrib, 0),
                                     mode="drop")
 
@@ -739,20 +755,20 @@ def decode_many(datas, interpret: bool = False, hints=None,
 
     # --- host: LUTs, fallback split, lane layout -------------------------
     # Device-vs-host routing is a COST heuristic, not a capability
-    # limit: the kernel's deep-LUT lookup is O(slots) masked gathers
-    # per lockstep step, so deep-tree blocks (many >8-bit prefixes —
-    # e.g. near-random low planes) decode faster on the host's native
-    # LUT loop. RSPT_DEC_DEVICE_SLOTS widens the device envelope up to
-    # the full L1/L2/L3 capability (any legal hzr block).
+    # limit: the kernel's deep-LUT lookup costs one masked gather per
+    # 128-entry chunk per nibble level per lockstep step, so only
+    # pathologically dense trees (sum of chunk counts past the cap)
+    # route to the host's native LUT loop. RSPT_DEC_DEVICE_CHUNKS
+    # widens/narrows the envelope; the kernel itself covers any legal
+    # hzr block (24-bit cap >= the 23-bit Fibonacci bound).
     import os as _os
-    dev_slots = int(_os.environ.get("RSPT_DEC_DEVICE_SLOTS", "8"))
+    dev_chunks = int(_os.environ.get("RSPT_DEC_DEVICE_CHUNKS", "64"))
     host_blocks = []
-    dev = []  # (payload, pbits, dbits, out_off, olen, l1, l2, l3, nsl2, nsl3)
+    dev = []  # (payload, pbits, dbits, out_off, olen, l1, levels, chunks)
     digest_parts = []
     for payload, pbits, dbits, ooff, olen, tree, crc in huff:
-        lut = build_lut16(tree)
-        if lut is not None and (lut[3] > dev_slots
-                                or lut[4] > max(0, dev_slots - 8)):
+        lut = build_lut_nib(tree)
+        if lut is not None and sum(lut[2]) > dev_chunks:
             lut = None
         if lut is None:
             # routed to the host decoder; deferred until after the
@@ -789,8 +805,8 @@ def decode_many(datas, interpret: bool = False, hints=None,
     rows = []          # list of (block_idx, seg_lo)
     blk_rows = []
     max_segw = 8
-    for i, (payload, pbits, dbits, ooff, olen, l1, l2, l3, nsl,
-            nsl3) in enumerate(dev):
+    for i, (payload, pbits, dbits, ooff, olen, l1, levels,
+            chunks) in enumerate(dev):
         body_bits = max(pbits - dbits, 1)
         body_words = -(-body_bits // 32)
         # segment size scales with payload: small (highly compressed,
@@ -824,25 +840,25 @@ def decode_many(datas, interpret: bool = False, hints=None,
     win = np.zeros((wseg, nrows_l, 128), np.int32)
     l1lo = np.zeros((nrows_l, 128), np.int32)
     l1hi = np.zeros((nrows_l, 128), np.int32)
-    # LUT arrays sized to the batch's actual deep-slot use (bucketed):
-    # a 64-row l2 block per tile costs real VMEM/DMA even when nl2=0
-    def _cap(used, caps):
-        for c in caps:
+    # per-level LUT arrays sized to the batch's actual chunk use
+    # (bucketed): chunk rows cost real VMEM/DMA even when unused
+    def _cap(used):
+        for c in CHUNK_BUCKETS:
             if used <= c:
                 return c
-        return caps[-1]
+        return used
 
-    cap2 = _cap(max([d[8] for d in dev] or [0]), (1, 8, SLOT_CAP))
-    cap3 = _cap(max([d[9] for d in dev] or [0]), (1, 8, SLOT3_CAP))
-    l2a = np.zeros((cap2 * 2, nrows_l, 128), np.int32)
-    l3a = np.zeros((cap3 * 2, nrows_l, 128), np.int32)
+    capc = [_cap(max([d[7][k] for d in dev] or [0]) or 1)
+            for k in range(NIB_LEVELS)]
+    lva = [np.zeros((capc[k], nrows_l, 128), np.int32)
+           for k in range(NIB_LEVELS)]
     entry = np.zeros((nrows_l, 128), np.int32)
     segend = np.zeros((nrows_l, 128), np.int32)
     pbits_a = np.zeros((nrows_l, 128), np.int32)
     # default-pin every lane (padding rows never update); live rows
     # overwrite their live prefix below
     first = np.ones((nrows_l, 128), np.int32)
-    nl23 = np.zeros((nrows_l // 8, 3), np.int32)  # per-tile slots+trust
+    ntc = np.zeros((nrows_l // 8, 5), np.int32)  # per-tile chunks+trust
     lane_live = np.zeros(nl, bool)
     block_first = np.zeros(nl, np.int32)
     out_off_a = np.zeros(nl, np.int32)
@@ -853,14 +869,16 @@ def decode_many(datas, interpret: bool = False, hints=None,
     for r, (bi, seg_lo) in enumerate(rows):
         if bi < 0:
             continue
-        payload, pbits, dbits, ooff, olen, l1, l2, l3, nsl, nsl3 = dev[bi]
+        payload, pbits, dbits, ooff, olen, l1, levels, chunks = dev[bi]
         segw, nseg, nrow = blk_rows[bi]
         l1lo[r] = l1[:128]
         l1hi[r] = l1[128:]
-        nl23[r // 8, 0] = max(nl23[r // 8, 0], nsl)
-        nl23[r // 8, 1] = max(nl23[r // 8, 1], nsl3)
-        l2a[:, r, :] = l2.reshape(-1, 128)[:cap2 * 2]
-        l3a[:, r, :] = l3.reshape(-1, 128)[:cap3 * 2]
+        for k in range(NIB_LEVELS):
+            if chunks[k]:
+                flat = np.zeros(capc[k] * 128, np.int32)
+                flat[:levels[k].size] = levels[k]
+                lva[k][:, r, :] = flat.reshape(capc[k], 128)
+                ntc[r // 8, k] = max(ntc[r // 8, k], chunks[k])
         nj = min(128, nseg - seg_lo)
         s = seg_lo + np.arange(nj)
         e0 = dbits + s * segw * 32
@@ -903,11 +921,12 @@ def decode_many(datas, interpret: bool = False, hints=None,
     h_entries = _match_hints(hints, digest, entry.shape)
     if h_entries is not None:
         entry = h_entries
-        nl23[:, 2] = 1
+        ntc[:, 4] = 1
     emis, counts, steps, entry_out = _run_kernel(
-        jnp.asarray(nl23),
+        jnp.asarray(ntc),
         jnp.asarray(win), jnp.asarray(l1lo), jnp.asarray(l1hi),
-        jnp.asarray(l2a), jnp.asarray(l3a), jnp.asarray(entry),
+        jnp.asarray(lva[0]), jnp.asarray(lva[1]), jnp.asarray(lva[2]),
+        jnp.asarray(lva[3]), jnp.asarray(entry),
         jnp.asarray(segend), jnp.asarray(pbits_a), jnp.asarray(first),
         jnp.asarray(wbase), interpret=interpret)
     # the device kernel is now in flight: host-decode the routed-out
@@ -923,16 +942,18 @@ def decode_many(datas, interpret: bool = False, hints=None,
     # the real data needs 2048+ words of headroom above it
     nrows_out = -(-(total // 4 + 2 + 2048 + 192) // 128)
     nrows_out = -(-nrows_out // 8) * 8
-    # emission compaction bound: literals <= output bytes; bucketed so
-    # jit traces stay few. Positions must fit pos<<8 (total < 2^23).
-    # Only worth it when the emission grid is much larger than the
-    # byte bound (high-s_eff regimes) — otherwise the "compacted"
-    # stream is no smaller than the grid and the extra pass loses.
+    # emission compaction bound: the kernel reports the EXACT literal
+    # count (steps[:, 2]), so the compacted problem is sized to the
+    # true literal stream; bucketed so jit traces stay few. Positions
+    # must fit pos<<8 (total < 2^23). Only worth it when it at least
+    # halves the pack problem — otherwise the extra pass loses.
+    lit_total = int(steps_np[:, 2].sum())
+    grid = nrows_l * 128 * s_eff
     sc_rows = 0
-    if total < (1 << 23) and nrows_l * 128 * s_eff > 2 * (total + 10240):
-        sc_rows = -(-(-(-total // 128) + 80) // 512) * 512
-        if sc_rows > SC_ROWS_CAP:  # compaction output must stay in VMEM
-            sc_rows = 0
+    if total < (1 << 23):
+        sc_rows = -(-(-(-lit_total // 128) + 80) // 512) * 512
+        if sc_rows > SC_ROWS_CAP or sc_rows * 128 * 2 > grid:
+            sc_rows = 0  # no shrink / compaction output past VMEM cap
     words = _place_emissions(
         emis, steps, counts, jnp.asarray(block_first),
         jnp.asarray(out_off_a), jnp.asarray(out_limit_a),
@@ -944,7 +965,7 @@ def decode_many(datas, interpret: bool = False, hints=None,
         outs = jax_decoder.decode_many(datas)
         return (outs, None) if return_hints else outs
     emitted = words_np.view("<u4").view(np.uint8)[:total]
-    for payload, pbits, dbits, ooff, olen, l1, l2, l3, nsl, ns3 in dev:
+    for payload, pbits, dbits, ooff, olen, l1, levels, chunks in dev:
         out[ooff:ooff + olen] = emitted[ooff:ooff + olen]
     outs = [out[a:a + n].tobytes() for a, n in spans]
     if return_hints:

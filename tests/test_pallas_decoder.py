@@ -65,13 +65,11 @@ def test_padding_bit_speculation_regression():
     roundtrip([a, b])
 
 
-def test_deep_codes_on_device(monkeypatch):
-    """Blocks with >16-bit Huffman codes (smooth byte distributions)
-    CAN decode on-device via the third LUT level (L1/L2/L3, 24-bit cap
-    >= the 23-bit Fibonacci bound). By default such blocks route to the
-    host decoder on cost grounds; RSPT_DEC_DEVICE_SLOTS widens the
-    device envelope."""
-    monkeypatch.setenv("RSPT_DEC_DEVICE_SLOTS", "32")
+def test_deep_codes_on_device():
+    """Blocks with deep Huffman codes (smooth byte distributions — the
+    real ECG low planes) decode on-device via the nibble-chained LUT
+    (8-bit root + 4-bit levels, 24-bit cap >= the 23-bit Fibonacci
+    bound) within the default chunk budget — no host routing."""
     rng = np.random.default_rng(11)
     x = rng.normal(0, 30, 200000).astype(np.int32).astype(
         np.uint8).tobytes()
@@ -81,10 +79,36 @@ def test_deep_codes_on_device(monkeypatch):
     huff = []
     pallas_decoder._walk_stream(src, len(x), 0, out, huff)
     assert huff, "fixture regressed: no HUFF blocks"
-    assert all(pallas_decoder.build_lut16(t[5]) is not None
-               for t in huff), "deep-code block fell out of the envelope"
+    luts = [pallas_decoder.build_lut_nib(t[5]) for t in huff]
+    assert all(lut is not None for lut in luts), \
+        "deep-code block fell out of the envelope"
+    assert all(sum(lut[2]) <= 64 for lut in luts), \
+        "deep block exceeds the default device chunk budget"
     got = pallas_decoder.decode_many([st], interpret=True)
     assert got[0] == x
+
+
+def test_very_deep_codes_on_device():
+    """>16-bit codes exercise the 3rd/4th nibble levels."""
+    rng = np.random.default_rng(13)
+    # geometric symbol distribution: counts halve per symbol, giving a
+    # Fibonacci-style skewed tree with >16-bit codes on the cold tail
+    x = np.minimum(rng.geometric(0.5, 250000), 255).astype(np.uint8)
+    st = pyref.encode(x.tobytes())
+    src = np.frombuffer(st, np.uint8)
+    huff = []
+    pallas_decoder._walk_stream(src, len(x), 0,
+                                np.zeros(len(x), np.uint8), huff)
+    maxdepth = 0
+    for t in huff:
+        def depth(nd, b=0):
+            if not isinstance(nd, tuple):
+                return b
+            return max(depth(nd[0], b + 1), depth(nd[1], b + 1))
+        maxdepth = max(maxdepth, depth(t[5]))
+    got = pallas_decoder.decode_many([st], interpret=True)
+    assert got[0] == x.tobytes()
+    assert maxdepth > 12, f"fixture too shallow ({maxdepth})"
 
 
 def test_decode_hints_roundtrip(rng):

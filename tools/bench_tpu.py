@@ -292,19 +292,19 @@ def main():
         pos += clen
     plane_bytes = sum(int.from_bytes(st[:4], "little") for st in streams)
     # fraction of decoded bytes the device path handles (the rest are
-    # deep-tree blocks routed to the host decoder on cost grounds)
-    dev_slots = int(os.environ.get("RSPT_DEC_DEVICE_SLOTS", "8"))
+    # pathologically dense trees routed to the host decoder on cost
+    # grounds — past the per-block chunk cap)
+    dev_chunks = int(os.environ.get("RSPT_DEC_DEVICE_CHUNKS", "64"))
     devb = totb = 0
     for st in streams:
         src_ = np.frombuffer(st, np.uint8)
         osz = int.from_bytes(st[:4], "little")
         huff_ = []
         pd._walk_stream(src_, osz, 0, np.zeros(osz, np.uint8), huff_)
-        for payload, pbits, dbits, ooff, olen, tree in huff_:
+        for payload, pbits, dbits, ooff, olen, tree, _crc in huff_:
             totb += olen
-            lut = pd.build_lut16(tree)
-            if lut is not None and lut[3] <= dev_slots \
-                    and lut[4] <= max(0, dev_slots - 8):
+            lut = pd.build_lut_nib(tree)
+            if lut is not None and sum(lut[2]) <= dev_chunks:
                 devb += olen
     out["dec_device_bytes_frac"] = round(devb / max(totb, 1), 4)
     outs = pd.decode_many(streams)
