@@ -60,7 +60,10 @@ try:
 except Exception:  # pragma: no cover
     _HAVE_PALLAS = False
 
-SEG_PER_BLOCK = 512    # max segments per block -> 4 lane rows
+SEG_PER_BLOCK = 1024   # max segments per block -> a full 8-row tile;
+                       # more segments = shorter segments = smaller
+                       # per-lane word windows (the unrolled fetch scan
+                       # is the step body's largest vector cost)
 W_SEG = 40             # window words per lane (segw<=38 + straddle)
 STEP_CHUNK = 128       # emission ring rows per DMA flush
 MAX_STEPS = 1088       # static cap: 1-bit/symbol floor on 1024-bit segs
@@ -214,7 +217,7 @@ def _decode_kernel(ntc_ref, win_ref, l1lo_ref, l1hi_ref, lv1_ref,
     l1lo = l1lo_ref[...]
     l1hi = l1hi_ref[...]
 
-    def fetch_word(wptr, mask):
+    def fetch_word(wptr):
         # masked reduction over the word windows, STATICALLY UNROLLED:
         # a runtime-bounded fori costs ~90 ns/iteration on the VPU
         # (loop branch + dynamic slice), while an unrolled chain of
@@ -237,7 +240,7 @@ def _decode_kernel(ntc_ref, win_ref, l1lo_ref, l1hi_ref, lv1_ref,
         emit = True
         active0 = (entry < seg_end) & (entry < pbits)
         wptr0 = jnp.right_shift(entry, 5) - win_base
-        w0 = fetch_word(wptr0, active0)
+        w0 = fetch_word(wptr0)
         sh0 = (entry & 31).astype(u32)
         c0 = jnp.where(sh0 > 0, w0 >> sh0, w0)
         navail0 = jnp.where(active0, 32 - (entry & 31), 0)
@@ -257,14 +260,16 @@ def _decode_kernel(ntc_ref, win_ref, l1lo_ref, l1hi_ref, lv1_ref,
              active_i) = st
             active = active_i != 0
 
-            # refill to >= 40 available bits (a step consumes <= 38)
-            def rcond(rst):
-                return jnp.any(active & (rst[3] < 40))
-
+            # refill to >= 40 available bits (a step consumes <= 38,
+            # so navail >= 2 on entry and exactly TWO unconditional
+            # masked rounds restore the invariant: 2 -> 34 -> 66).
+            # Unrolled instead of a while: the while's any()-cond costs
+            # a cross-lane scalar reduce per evaluation, which measured
+            # as a large share of the step.
             def rbody(rst):
                 c0r, c1r, c2r, nav, wp = rst
                 need = active & (nav < 40)
-                w = fetch_word(wp, need)
+                w = fetch_word(wp)
                 nv = nav.astype(u32)
                 lo_ins = jnp.where(nv < 32, w << nv, u32(0))
                 mid_ins = jnp.where(
@@ -280,8 +285,8 @@ def _decode_kernel(ntc_ref, win_ref, l1lo_ref, l1hi_ref, lv1_ref,
                 wp = jnp.where(need, wp + 1, wp)
                 return c0r, c1r, c2r, nav, wp
 
-            c0, c1, c2, navail, wptr = jax.lax.while_loop(
-                rcond, rbody, (c0, c1, c2, navail, wptr))
+            c0, c1, c2, navail, wptr = rbody(rbody(
+                (c0, c1, c2, navail, wptr)))
 
             idx8 = pltpu.bitcast(c0 & u32(255), jnp.int32)
             g_lo = gather128(l1lo, idx8 & 127)
@@ -373,7 +378,12 @@ def _decode_kernel(ntc_ref, win_ref, l1lo_ref, l1hi_ref, lv1_ref,
                     litv + (active & is_lit).astype(jnp.int32),
                     step + 1, active_n.astype(jnp.int32))
 
-        out = jax.lax.while_loop(cond, body, st0)
+        # 2x-unrolled body: the while cond's any() is a cross-lane
+        # scalar reduce + sync (~170 ns measured); checking it every
+        # other step halves that cost for one masked no-op step per
+        # sweep (every step is fully `active`-masked, so running one
+        # extra is harmless).
+        out = jax.lax.while_loop(cond, lambda st: body(body(st)), st0)
         return out[0], out[6], out[7], out[8]
 
     # alignment fixpoint: entry(s+1) = exit(s); after k sweeps the
