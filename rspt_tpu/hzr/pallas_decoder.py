@@ -626,7 +626,7 @@ def _place_emissions(emis, steps_used, counts, block_first, out_off,
             from ..ops.pallas_kernels import compact_tokens_pallas
             vfb = jnp.where(fb, ((offs >> 3) << 8)
                             | vals.astype(jnp.int32), 0)
-            rows_fb = -(-(FALLBACK_CAP // 128 + 24) // 8) * 8
+            rows_fb = -(-(FALLBACK_CAP // 128 + 136) // 8) * 8
             pk_fb = compact_tokens_pallas(
                 vfb, jnp.zeros(1, jnp.int32), rows_fb,
                 interpret=interpret, nonzero_valid=True)
@@ -961,7 +961,7 @@ def decode_many(datas, interpret: bool = False, hints=None,
     grid = nrows_l * 128 * s_eff
     sc_rows = 0
     if total < (1 << 23):
-        sc_rows = -(-(-(-lit_total // 128) + 80) // 512) * 512
+        sc_rows = -(-(-(-lit_total // 128) + 144) // 512) * 512
         if sc_rows > SC_ROWS_CAP or sc_rows * 128 * 2 > grid:
             sc_rows = 0  # no shrink / compaction output past VMEM cap
     words = _place_emissions(

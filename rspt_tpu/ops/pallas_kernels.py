@@ -725,8 +725,7 @@ def token_group_windows_grouped_pallas(tokc, lut3, interpret: bool = False):
 
 
 R_CT = 128     # token rows per compaction tile (16 Ki positions)
-CT_SUP = 16    # rows merged per compaction super (d <= 2047)
-CT_ACC = 24    # compaction accumulator rows (16-row super spans <= 17)
+CT_TACC = 136  # whole-tile accumulator rows (128-row tile spans <= 130)
 
 
 def _make_compact_kernel(nonzero_valid: bool):
@@ -743,8 +742,8 @@ def _compact_tokens_kernel(base_ref, tokw_ref, out_ref, carry_ref,
 
     Every stage is the pack machinery's own medicine: in-row ranks via
     one exact MXU tri dot, source lanes via the 7-step binary search,
-    8-row supers rolled + one-hot-dot expanded and placed with one RMW
-    (positions are disjoint, so ADD is exact). The running token count
+    the whole tile rolled + one-hot-dot expanded and placed with one
+    RMW (positions are disjoint, so ADD is exact). The running count
     carries across a block's tiles in SMEM; base_ref holds each block's
     flat token base (host-computed, group-aligned so downstream groups
     never straddle blocks)."""
@@ -790,41 +789,43 @@ def _compact_tokens_kernel(base_ref, tokw_ref, out_ref, carry_ref,
         (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32).astype(jnp.int32)[:, 0:1]
 
+    # whole-tile placement: all R=128 rows in ONE one-hot MXU pass —
+    # (CT_TACC,128)@(128,128) dots keep the systolic array at full
+    # contraction depth, vs 64 (24,16)@(16,128) slivers whose fixed
+    # issue cost dominated (measured ~2x on the compact stage)
     carry = carry_ref[0]
-    lane8 = jax.lax.broadcasted_iota(jnp.int32, (CT_SUP, 128), 1)
-    rowiota = jax.lax.broadcasted_iota(jnp.int32, (CT_ACC, CT_SUP), 0)
+    lane8 = jax.lax.broadcasted_iota(jnp.int32, (R, 128), 1)
+    rowiota = jax.lax.broadcasted_iota(jnp.int32, (CT_TACC, R), 0)
     u32 = jnp.uint32
 
-    for sup in range(R // CT_SUP):
-        rows = packed[CT_SUP * sup:CT_SUP * (sup + 1)]
-        off = carry + rowbase[CT_SUP * sup:CT_SUP * (sup + 1)]  # (S,1)
-        row0 = off[0, 0] >> 7
-        d = off - (row0 << 7)                        # 0..~2047
-        sh = d & 127
-        rot = rows
-        for k in (1, 2, 4, 8, 16, 32, 64):
-            rot = jnp.where((sh & k) != 0, pltpu.roll(rot, k, 1), rot)
-        lo = jnp.where(lane8 >= sh, rot, 0)
-        hi = jnp.where(lane8 < sh, rot, 0)
-        rc = (d >> 7).reshape(1, CT_SUP)             # acc row per source
-        x_lo = (rowiota == rc).astype(jnp.float32)
-        x_hi = (rowiota == rc + 1).astype(jnp.float32)
+    off = carry + rowbase                            # (R, 1)
+    row0 = off[0, 0] >> 7
+    d = off - (row0 << 7)                            # 0..R*128/128+1
+    sh = d & 127
+    rot = packed
+    for k in (1, 2, 4, 8, 16, 32, 64):
+        rot = jnp.where((sh & k) != 0, pltpu.roll(rot, k, 1), rot)
+    lo = jnp.where(lane8 >= sh, rot, 0)
+    hi = jnp.where(lane8 < sh, rot, 0)
+    rc = (d >> 7).reshape(1, R)                      # acc row per source
+    x_lo = (rowiota == rc).astype(jnp.float32)
+    x_hi = (rowiota == rc + 1).astype(jnp.float32)
 
-        def quarters(sp):
-            up = pltpu.bitcast(sp, u32)
-            return [pltpu.bitcast((up >> u32(8 * q)) & u32(0xFF),
-                                  jnp.int32).astype(jnp.float32)
-                    for q in range(4)]
+    def quarters(sp):
+        up = pltpu.bitcast(sp, u32)
+        return [pltpu.bitcast((up >> u32(8 * q)) & u32(0xFF),
+                              jnp.int32).astype(jnp.float32)
+                for q in range(4)]
 
-        qlo = quarters(lo)
-        qhi = quarters(hi)
-        dot = functools.partial(jnp.dot,
-                                preferred_element_type=jnp.float32)
-        acc = jnp.zeros((CT_ACC, 128), jnp.int32)
-        for q in range(4):
-            a_q = dot(x_lo, qlo[q]) + dot(x_hi, qhi[q])
-            acc = acc | (a_q.astype(jnp.int32) << (8 * q))
-        out_ref[0, pl.ds(row0, CT_ACC), :] += acc
+    qlo = quarters(lo)
+    qhi = quarters(hi)
+    dot = functools.partial(jnp.dot,
+                            preferred_element_type=jnp.float32)
+    acc = jnp.zeros((CT_TACC, 128), jnp.int32)
+    for q in range(4):
+        a_q = dot(x_lo, qlo[q]) + dot(x_hi, qhi[q])
+        acc = acc | (a_q.astype(jnp.int32) << (8 * q))
+    out_ref[0, pl.ds(row0, CT_TACC), :] += acc
 
     carry_ref[0] = carry + rowbase[R - 1, 0] + cnt[R - 1, 0]
 
@@ -838,7 +839,7 @@ def compact_tokens_pallas(tokw, bases, t_rows: int,
     """(nb, ntok) token words → (t_rows, 128) flat compacted tokens;
     block b's valid tokens land in order at flat index bases[b]
     (host-computed from the histograms, group-aligned). t_rows must
-    give >= CT_ACC rows of headroom past the last block's span."""
+    give >= CT_TACC rows of headroom past the last block's span."""
     nb, ntok = tokw.shape
     ntiles = -(-ntok // (R_CT * 128))
     t4 = jnp.pad(tokw.astype(jnp.int32),

@@ -43,7 +43,8 @@ def main():
     from rspt_tpu.hzr import jax_coder
     import rspt_tpu.hzr.pallas_decoder as pd
     from rspt_tpu.packers import tpu as tpack
-    from rspt_tpu.packers.tpu import _pass1_xdelta
+    from rspt_tpu.packers.tpu import (_fused_pass1_mode,
+                                      _pass1_xdelta)
 
     def loop_time(make_body, iters=9, reps=5):
         """Per-iteration device time via the K-loop slope."""
@@ -90,7 +91,8 @@ def main():
     # --- device-compute encode (slope-timed) -------------------------
     # '<i4' word view, as the packer transfers it (packers/tpu._as_words)
     raw = jax.device_put(np.frombuffer(native, "<i4"))
-    f1, lengths_np = _pass1_xdelta(n, ch, bps, planes)
+    f1, lengths_np = _pass1_xdelta(n, ch, bps, planes,
+                                   fmode=_fused_pass1_mode())
     small, blocks, toks = f1(raw)
     fused = len(toks) == 2   # fused pass-1: (token words, hist)
     hist = toks[-1]
@@ -189,7 +191,8 @@ def main():
         n4 = n * 4
         native4 = native * 4     # tiled: same statistics, no COPY blocks
         raw4 = jax.device_put(np.frombuffer(native4, "<i4"))
-        f4, lengths4 = _pass1_xdelta(n4, ch, bps, planes)
+        f4, lengths4 = _pass1_xdelta(n4, ch, bps, planes,
+                                     fmode=_fused_pass1_mode())
         small4, blocks4, toks4 = f4(raw4)
         if len(toks4) == 2:
             tokw4 = toks4[0]
