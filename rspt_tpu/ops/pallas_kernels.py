@@ -995,7 +995,9 @@ def _make_tokenize_kernel(nr_planes: int, nb_per: int, tail_len: int):
         lane = jax.lax.broadcasted_iota(jnp.int32, (R, 128), 1)
         row = jax.lax.broadcasted_iota(jnp.int32, (R, 128), 0)
         idx = row * 128 + lane
-        limit = jnp.where(j == nb_per - 1, tail_len, B_)
+        # grid is batch-major: slab j belongs to payload j // nb_per,
+        # and each payload's LAST slab carries the tail
+        limit = jnp.where(j % nb_per == nb_per - 1, tail_len, B_)
         inblk = idx < limit
         # packed-byte gather indices (lane l of the word tile collects
         # bytes 4l..4l+3; lanes ≥ 32 are dead)
@@ -1005,7 +1007,7 @@ def _make_tokenize_kernel(nr_planes: int, nb_per: int, tail_len: int):
             byte = jnp.right_shift(slab, 8 * p) & 255
             g = [jnp.take_along_axis(byte, gidx[k], axis=1)
                  for k in range(4)]
-            bw_ref[p, 0] = (g[0] | (g[1] << 8) | (g[2] << 16)
+            bw_ref[0, p, 0] = (g[0] | (g[1] << 8) | (g[2] << 16)
                             | (g[3] << 24))[:, :32]
 
             iszero = (byte == 0) & inblk
@@ -1043,7 +1045,7 @@ def _make_tokenize_kernel(nr_planes: int, nb_per: int, tail_len: int):
                             jnp.where(is_cs, run_sym, 0))
             extra = jnp.where(is_cs, run_extra, 0)
             ebits = jnp.where(is_cs, run_ebits, 0)
-            tokw_ref[p, 0] = (sym | (ebits << 9) | (extra << 13)
+            tokw_ref[0, p, 0] = (sym | (ebits << 9) | (extra << 13)
                               | (tval.astype(jnp.int32) << 27))
 
     return kernel
@@ -1056,38 +1058,43 @@ def tokenize_planes_pallas(flat_i32, nr_planes: int, plane_len: int,
     """Fused plane-extract + tokenize (hzr_encode.c:133-173 runs).
 
     flat_i32: (plane_len,) int32 signal (already through whatever
-    pre-transform the packer applies). Returns
-      tokw   (nr_planes*nb_per, 64Ki) int32 packed token words,
-      bwords (nr_planes*nb_per, 16Ki) int32 plane bytes 4-per-word
-    in the plane-major block order the packers use.
+    pre-transform the packer applies), or (batch, plane_len) for the
+    serving path — ONE kernel launch covers the whole batch (a vmapped
+    launch measured ~40% superlinear). Returns
+      tokw   (batch*nr_planes*nb_per, 64Ki) int32 packed token words,
+      bwords (batch*nr_planes*nb_per, 16Ki) int32 plane bytes 4/word
+    payload-major then plane-major — the block order the packers use.
     """
     B_ = _TOK_ROWS * 128
     nb_per = max(1, -(-plane_len // B_))
     tail = plane_len - (nb_per - 1) * B_
-    xp = jnp.zeros(nb_per * B_, jnp.int32).at[:plane_len].set(
-        flat_i32[:plane_len].astype(jnp.int32))
-    x4 = xp.reshape(nb_per, _TOK_ROWS, 128)
+    batched = flat_i32.ndim == 2
+    batch = flat_i32.shape[0] if batched else 1
+    x2 = flat_i32.reshape(batch, -1)
+    xp = jnp.zeros((batch, nb_per * B_), jnp.int32).at[
+        :, :plane_len].set(x2[:, :plane_len].astype(jnp.int32))
+    x4 = xp.reshape(batch * nb_per, _TOK_ROWS, 128)
 
     tokw, bw = pl.pallas_call(
         _make_tokenize_kernel(nr_planes, nb_per, tail),
         out_shape=(
-            jax.ShapeDtypeStruct((nr_planes, nb_per, _TOK_ROWS, 128),
-                                 jnp.int32),
-            jax.ShapeDtypeStruct((nr_planes, nb_per, _TOK_ROWS, 32),
-                                 jnp.int32),
+            jax.ShapeDtypeStruct(
+                (batch, nr_planes, nb_per, _TOK_ROWS, 128), jnp.int32),
+            jax.ShapeDtypeStruct(
+                (batch, nr_planes, nb_per, _TOK_ROWS, 32), jnp.int32),
         ),
-        grid=(nb_per,),
+        grid=(batch * nb_per,),
         in_specs=[pl.BlockSpec((1, _TOK_ROWS, 128), lambda b: (b, 0, 0),
                                memory_space=pltpu.VMEM)],
         out_specs=(
-            pl.BlockSpec((nr_planes, 1, _TOK_ROWS, 128),
-                         lambda b: (0, b, 0, 0),
+            pl.BlockSpec((1, nr_planes, 1, _TOK_ROWS, 128),
+                         lambda b: (b // nb_per, 0, b % nb_per, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((nr_planes, 1, _TOK_ROWS, 32),
-                         lambda b: (0, b, 0, 0),
+            pl.BlockSpec((1, nr_planes, 1, _TOK_ROWS, 32),
+                         lambda b: (b // nb_per, 0, b % nb_per, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
         interpret=interpret,
     )(x4)
-    nb = nr_planes * nb_per
+    nb = batch * nr_planes * nb_per
     return (tokw.reshape(nb, B_), bw.reshape(nb, _TOK_ROWS * 32))

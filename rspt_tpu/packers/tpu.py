@@ -193,15 +193,54 @@ def _pass1_xdelta(ns: int, ch: int, bps: int, nr_planes: int,
 
 @functools.lru_cache(maxsize=64)
 def _pass1_xdelta_batch(ns: int, ch: int, bps: int, nr_planes: int,
-                        batch: int):
+                        batch: int, fmode: str = None):
     """Batched pass 1: `batch` independent payloads of identical config
     in one dispatch (the serving path — fixed link costs amortize over
-    the whole batch). Each payload's scan chains stay independent
-    (vmap), exactly like separate reference compress() calls."""
+    the whole batch). Each payload's scan chains stay independent,
+    exactly like separate reference compress() calls.
+
+    In fused mode only the cheap elementwise pre-chain is vmapped; the
+    tokenizer runs as ONE Pallas launch over the whole batch (a vmapped
+    per-payload launch measured ~40% superlinear on chip)."""
     plane_len = ch * ns
     nb_per, lengths = _block_layout(plane_len, nr_planes)
-    f_single, _ = _pass1_xdelta(ns, ch, bps, nr_planes,
-                                fmode=_fused_pass1_mode())
+    if fmode is None:  # resolved here only for back-compat callers
+        fmode = _fused_pass1_mode()
+    tiled = np.tile(lengths, batch)
+
+    if fmode:
+        from ..ops import pallas_kernels as pk
+        interp_tok = fmode == "interp"
+
+        @jax.jit
+        def f_fused(raws):  # (batch, nwords) i32
+            def pre(raw):
+                enc = jops.native_to_i32(raw, ns, ch, bps).reshape(-1)
+                enc = jops.xor_encode(jops.offset32(
+                    jops.delta_encode(enc), -128))
+                if nr_planes < 4:
+                    sh = jnp.int32(32 - 8 * nr_planes)
+                    ok = jnp.all(jnp.right_shift(
+                        jnp.left_shift(enc, sh), sh) == enc)
+                else:
+                    ok = jnp.bool_(True)
+                return enc, ok
+
+            encs, oks = jax.vmap(pre)(raws)
+            encs = jax.lax.optimization_barrier(encs)
+            tokw, bwords = pk.tokenize_planes_pallas(
+                encs, nr_planes, plane_len, interpret=interp_tok)
+            blocks = jax.lax.bitcast_convert_type(
+                bwords, jnp.uint8).reshape(tokw.shape[0], -1)
+            hist = jax_coder.hist_from_tokw(tokw)
+            small = jnp.concatenate(
+                [hist.reshape(batch, -1),
+                 oks.astype(jnp.int32)[:, None]], axis=1)
+            return small, blocks, (tokw, hist)
+
+        return f_fused, lengths, tiled
+
+    f_single, _ = _pass1_xdelta(ns, ch, bps, nr_planes, fmode=fmode)
 
     @jax.jit
     def f(raws):  # (batch, nbytes) u8
@@ -211,7 +250,6 @@ def _pass1_xdelta_batch(ns: int, ch: int, bps: int, nr_planes: int,
         toks = tuple(t.reshape(batch * nb, -1) for t in toks)
         return small.reshape(batch, -1), blocks, toks
 
-    tiled = np.tile(lengths, batch)
     return f, lengths, tiled
 
 

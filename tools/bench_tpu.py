@@ -240,7 +240,8 @@ def main():
             raise RuntimeError("extras disabled")
         from rspt_tpu.packers.tpu import _pass1_xdelta_batch
         BATCH = 4
-        fb, _, lengths_b = _pass1_xdelta_batch(n, ch, bps, planes, BATCH)
+        fb, _, lengths_b = _pass1_xdelta_batch(
+            n, ch, bps, planes, BATCH, _fused_pass1_mode())
         raws = jnp.asarray(np.stack(
             [np.frombuffer(native, "<i4")] * BATCH))
         small_b, blocks_b, toks_b = fb(raws)
