@@ -33,11 +33,15 @@ class ShardedHzrDecoder:
     is the sharding contract; segments subdivide blocks further).
 
     Reuses the host stream walk + LUT construction of
-    hzr/jax_decoder.py and runs its two device stages under shard_map:
-    the alignment fixpoint exchanges one exit-position carry per shard
-    boundary over ICI (ppermute), and the emission sweep scatters each
-    shard's literals into a shard-local buffer; the host ORs the
-    shard buffers (literal positions are disjoint).
+    hzr/jax_decoder.py and runs its two device stages under shard_map.
+    Blocks are bin-packed onto shards so no block's segment lanes ever
+    straddle a shard boundary: the alignment fixpoint is then fully
+    shard-local — zero collectives inside the sweep loop, and each
+    shard's while_loop exits as soon as ITS lanes converge (divergent
+    trip counts are legal exactly because the loop body has no
+    collectives). The only collective on the decode path is the final
+    reduce-scatter of emitted bytes (literal positions are disjoint,
+    so sum == OR).
     """
 
     def __init__(self, mesh: Optional[Mesh] = None):
@@ -49,12 +53,16 @@ class ShardedHzrDecoder:
         if self._built:
             return self._built
         from ..hzr import jax_decoder as jd
-        from .scans import _shift_from_left
         mesh = self.mesh
         import jax.numpy as jnp
 
         def fixpoint(words, l1, l2, l2_base, block_of_lane, entry0,
                      seg_end, pbits, dfirst):
+            # Lanes are block-aligned per shard (decode_many bin-packs
+            # whole blocks), so the carry shift never crosses the shard
+            # boundary: lane 0 of every shard is a block-first lane and
+            # takes entry0, not the shifted value. No collectives in
+            # the loop ⇒ shards may run different sweep counts.
             nl = entry0.shape[0]
             zero = jnp.zeros(nl, jnp.int32)
             dummy = jnp.zeros(1, jnp.uint8)
@@ -64,12 +72,9 @@ class ShardedHzrDecoder:
                 exits, counts, _ = jd._sweep_impl(
                     words, l1, l2, l2_base, block_of_lane, entry,
                     seg_end, pbits, zero, zero, dummy, False)
-                prev = _shift_from_left(exits[-1], AXIS, jnp.int32(0))
-                shifted = jnp.concatenate([prev[None], exits[:-1]])
+                shifted = jnp.concatenate([exits[:1], exits[:-1]])
                 new_entry = jnp.where(dfirst, entry0, shifted)
-                changed = jax.lax.psum(
-                    jnp.any(new_entry != entry).astype(jnp.int32),
-                    AXIS) > 0
+                changed = jnp.any(new_entry != entry)
                 return new_entry, counts, changed
 
             def cond(st):
@@ -160,29 +165,41 @@ class ShardedHzrDecoder:
             l2_rows.append(b)
         l2 = np.concatenate(l2_rows, axis=0)
 
-        lane_block, lane_entry, lane_seg_end = [], [], []
-        seg_of_block = []
-        for i, (payload, pbits, dbits, ooff, olen, tree, _crc) in \
-                enumerate(huff):
-            nseg = max(1, -(-(pbits - dbits) // jd.SEG_BITS))
-            seg_of_block.append(nseg)
-            for s in range(nseg):
-                lane_block.append(i)
-                lane_entry.append(dbits + s * jd.SEG_BITS)
-                lane_seg_end.append(min(dbits + (s + 1) * jd.SEG_BITS,
-                                        pbits))
-        nl = len(lane_block)
-        nl_pad = -(-nl // self.ndev) * self.ndev
-        padn = nl_pad - nl
-        lane_block = np.asarray(lane_block + [0] * padn, np.int32)
-        lane_entry = np.asarray(lane_entry + [0] * padn, np.int32)
-        lane_seg_end = np.asarray(lane_seg_end + [0] * padn, np.int32)
-        lane_pbits = np.asarray(
-            [huff[b][1] for b in lane_block[:nl]] + [0] * padn, np.int32)
-        seg_starts = np.cumsum([0] + seg_of_block[:-1])
-        dfirst = np.zeros(nl_pad, bool)
-        dfirst[seg_starts] = True
-        dfirst[nl:] = True  # padding lanes pin to their (dead) entries
+        # Bin-pack whole blocks onto shards (heaviest-first into the
+        # least-loaded shard, deterministic): a block's segment lanes
+        # never straddle a shard boundary, so the fixpoint carry chain
+        # stays shard-local and the sweep loop needs no collectives.
+        seg_of_block = [max(1, -(-(h[1] - h[2]) // jd.SEG_BITS))
+                        for h in huff]
+        ndev = self.ndev
+        loads = [0] * ndev
+        shard_blocks = [[] for _ in range(ndev)]
+        for i in sorted(range(nb), key=lambda k: (-seg_of_block[k], k)):
+            d = min(range(ndev), key=lambda k: (loads[k], k))
+            shard_blocks[d].append(i)
+            loads[d] += seg_of_block[i]
+        L = max(max(loads), 1)
+        nl_pad = ndev * L
+        lane_block = np.zeros(nl_pad, np.int32)
+        lane_entry = np.zeros(nl_pad, np.int32)
+        lane_seg_end = np.zeros(nl_pad, np.int32)
+        lane_pbits = np.zeros(nl_pad, np.int32)
+        dfirst = np.ones(nl_pad, bool)   # padding lanes pin to entry0
+        slot_of_block = np.zeros(nb, np.int64)
+        for d in range(ndev):
+            cur = d * L
+            for i in sorted(shard_blocks[d]):
+                payload, pbits, dbits, ooff, olen, tree, _crc = huff[i]
+                nseg = seg_of_block[i]
+                slot_of_block[i] = cur
+                for s in range(nseg):
+                    lane_block[cur] = i
+                    lane_entry[cur] = dbits + s * jd.SEG_BITS
+                    lane_seg_end[cur] = min(dbits + (s + 1) * jd.SEG_BITS,
+                                            pbits)
+                    lane_pbits[cur] = pbits
+                    dfirst[cur] = s == 0
+                    cur += 1
 
         fns = self._fns()
         # hints are bound to stream CONTENT (per-block stored CRC32C
@@ -195,25 +212,23 @@ class ShardedHzrDecoder:
                 and hints[0] == digest
                 and getattr(hints[1], "shape", (0,))[0] == nl_pad):
             entry = jnp.asarray(np.ascontiguousarray(hints[1], np.int32))
-            counts_np = np.asarray(hints[2])[:nl]
+            counts_np = np.asarray(hints[2])
         else:
             entry, counts = fns["fixpoint"](
                 jnp.asarray(words), jnp.asarray(l1), jnp.asarray(l2),
                 jnp.asarray(l2_base), jnp.asarray(lane_block),
                 jnp.asarray(lane_entry), jnp.asarray(lane_seg_end),
                 jnp.asarray(lane_pbits), jnp.asarray(dfirst))
-            counts_np = np.asarray(counts)[:nl]
+            counts_np = np.asarray(counts)
         out_bases = np.zeros(nl_pad, np.int32)
-        li = 0
+        out_limit = np.zeros(nl_pad, np.int32)
         for i, nseg in enumerate(seg_of_block):
             ooff, olen = huff[i][3], huff[i][4]
-            c = counts_np[li:li + nseg]
-            out_bases[li:li + nseg] = ooff + np.concatenate(
+            sl = int(slot_of_block[i])
+            c = counts_np[sl:sl + nseg]
+            out_bases[sl:sl + nseg] = ooff + np.concatenate(
                 ([0], np.cumsum(c[:-1])))
-            li += nseg
-        out_limit = np.zeros(nl_pad, np.int32)
-        out_limit[:nl] = [huff[b][3] + huff[b][4]
-                          for b in lane_block[:nl]]
+            out_limit[sl:sl + nseg] = ooff + olen
 
         bufs = fns["make_emit"](max(total, 1))(
             jnp.asarray(words), jnp.asarray(l1), jnp.asarray(l2),
@@ -225,9 +240,8 @@ class ShardedHzrDecoder:
             out[ooff:ooff + olen] = emitted[ooff:ooff + olen]
         outs = [out[a:a + n].tobytes() for a, n in spans]
         if return_hints:
-            cpad = np.zeros(nl_pad, np.int32)
-            cpad[:nl] = counts_np
-            return outs, (digest, np.asarray(entry), cpad)
+            return outs, (digest, np.asarray(entry),
+                          np.asarray(counts_np, np.int32))
         return outs
 
 

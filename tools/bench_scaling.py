@@ -112,10 +112,20 @@ def dec_step():
     jax.block_until_ready((entry, counts, emit(*a)))
 
 tddev = best(dec_step)
+
+# hinted decode device step (the fixed-stream serving path): the
+# alignment fixpoint is skipped entirely — only the emission sweep
+# plus its reduce-scatter run on device
+def dec_step_hint():
+    emit, a = holder["emit"]
+    jax.block_until_ready(emit(*a))
+
+tdhint = best(dec_step_hint)
 print(json.dumps({{"enc_gbps": data.size / te / 1e9,
                    "enc_dev_gbps": data.size / tdev / 1e9,
                    "dec_gbps": data.size / td / 1e9,
-                   "dec_dev_gbps": data.size / tddev / 1e9}}))
+                   "dec_dev_gbps": data.size / tddev / 1e9,
+                   "dec_hint_dev_gbps": data.size / tdhint / 1e9}}))
 """
 
 
@@ -139,31 +149,49 @@ def main():
                   file=sys.stderr)
             continue
         got = json.loads(r.stdout.strip().splitlines()[-1])
-        if not base:
-            base = got
-        entry = {}
-        for key, label in (("enc_gbps", "encode"),
-                           ("enc_dev_gbps", "encode_device_step"),
-                           ("dec_gbps", "decode"),
-                           ("dec_dev_gbps", "decode_device_step")):
-            g = got[key]
-            entry[f"{label}_gbps"] = round(g, 4)
-            entry[f"{label}_scaling_efficiency"] = round(
-                g / (base[key] * cores), 3)
-        results[nd] = entry
-        print(f"{nd} devices ({cores} cores): "
+        got["cores"] = cores
+        results[nd] = got
+
+    KEYS = (("enc_gbps", "encode"),
+            ("enc_dev_gbps", "encode_device_step"),
+            ("dec_gbps", "decode"),
+            ("dec_dev_gbps", "decode_device_step"),
+            ("dec_hint_dev_gbps", "decode_hinted_device_step"))
+    # Efficiency basis: per-core throughput normalized to the BEST
+    # per-core rate observed across the sweep — ≤ 1.0 for every point
+    # by construction (the old speedup/min(nd,cores) basis could exceed
+    # 1.0 whenever the 1-device baseline ran below the machine's
+    # per-core rate, which proves nothing).
+    out = {}
+    for key, label in KEYS:
+        best_pc = max((g[key] / g["cores"] for g in results.values()
+                       if key in g), default=1.0)
+        for nd, g in results.items():
+            if key not in g:
+                continue
+            e = out.setdefault(nd, {"cores": g["cores"]})
+            e[f"{label}_gbps"] = round(g[key], 4)
+            e[f"{label}_scaling_efficiency"] = round(
+                g[key] / (best_pc * g["cores"]), 3)
+    for nd, entry in out.items():
+        print(f"{nd} devices ({entry['cores']} cores): "
               f"encode {entry['encode_gbps']} GB/s "
               f"(eff {entry['encode_scaling_efficiency']:.1%}), "
               f"device-step {entry['encode_device_step_gbps']} GB/s "
               f"(eff {entry['encode_device_step_scaling_efficiency']:.1%}), "
-              f"decode {entry['decode_gbps']} GB/s "
-              f"(eff {entry['decode_scaling_efficiency']:.1%})",
+              f"decode dev-step {entry['decode_device_step_gbps']} GB/s "
+              f"(eff {entry['decode_device_step_scaling_efficiency']:.1%}), "
+              f"hinted {entry.get('decode_hinted_device_step_gbps')} GB/s "
+              f"(eff {entry.get('decode_hinted_device_step_scaling_efficiency')})",
               file=sys.stderr)
     print(json.dumps({
         "metric": "sharded_hzr_scaling_1core_per_device",
         "host_cores": ncores,
-        "efficiency_basis": "speedup / min(nd, host_cores)",
-        "results": results}))
+        "efficiency_basis": ("per-core throughput / best observed "
+                             "per-core rate (<=1.0 by construction); "
+                             "cores = min(nd, host_cores) pinned via "
+                             "taskset"),
+        "results": out}))
 
 
 if __name__ == "__main__":
