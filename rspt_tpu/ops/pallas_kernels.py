@@ -1007,7 +1007,7 @@ def _make_tokenize_kernel(nr_planes: int, nb_per: int, tail_len: int):
             byte = jnp.right_shift(slab, 8 * p) & 255
             g = [jnp.take_along_axis(byte, gidx[k], axis=1)
                  for k in range(4)]
-            bw_ref[0, p, 0] = (g[0] | (g[1] << 8) | (g[2] << 16)
+            bw_ref[p, 0] = (g[0] | (g[1] << 8) | (g[2] << 16)
                             | (g[3] << 24))[:, :32]
 
             iszero = (byte == 0) & inblk
@@ -1045,7 +1045,7 @@ def _make_tokenize_kernel(nr_planes: int, nb_per: int, tail_len: int):
                             jnp.where(is_cs, run_sym, 0))
             extra = jnp.where(is_cs, run_extra, 0)
             ebits = jnp.where(is_cs, run_ebits, 0)
-            tokw_ref[0, p, 0] = (sym | (ebits << 9) | (extra << 13)
+            tokw_ref[p, 0] = (sym | (ebits << 9) | (extra << 13)
                               | (tval.astype(jnp.int32) << 27))
 
     return kernel
@@ -1075,26 +1075,36 @@ def tokenize_planes_pallas(flat_i32, nr_planes: int, plane_len: int,
         :, :plane_len].set(x2[:, :plane_len].astype(jnp.int32))
     x4 = xp.reshape(batch * nb_per, _TOK_ROWS, 128)
 
+    # The kernel writes the PLANE-MAJOR 4-D layout (planes, batch*nb,
+    # rows, 128) — a 5-D payload-major out spec measured ~4x slower on
+    # chip (Mosaic handles the extra leading block dim poorly), so the
+    # payload-major row order callers expect is restored below with one
+    # XLA transpose (zero-cost at batch 1; ~3% of the kernel at batch 4)
     tokw, bw = pl.pallas_call(
         _make_tokenize_kernel(nr_planes, nb_per, tail),
         out_shape=(
             jax.ShapeDtypeStruct(
-                (batch, nr_planes, nb_per, _TOK_ROWS, 128), jnp.int32),
+                (nr_planes, batch * nb_per, _TOK_ROWS, 128), jnp.int32),
             jax.ShapeDtypeStruct(
-                (batch, nr_planes, nb_per, _TOK_ROWS, 32), jnp.int32),
+                (nr_planes, batch * nb_per, _TOK_ROWS, 32), jnp.int32),
         ),
         grid=(batch * nb_per,),
         in_specs=[pl.BlockSpec((1, _TOK_ROWS, 128), lambda b: (b, 0, 0),
                                memory_space=pltpu.VMEM)],
         out_specs=(
-            pl.BlockSpec((1, nr_planes, 1, _TOK_ROWS, 128),
-                         lambda b: (b // nb_per, 0, b % nb_per, 0, 0),
+            pl.BlockSpec((nr_planes, 1, _TOK_ROWS, 128),
+                         lambda b: (0, b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, nr_planes, 1, _TOK_ROWS, 32),
-                         lambda b: (b // nb_per, 0, b % nb_per, 0, 0),
+            pl.BlockSpec((nr_planes, 1, _TOK_ROWS, 32),
+                         lambda b: (0, b, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
         interpret=interpret,
     )(x4)
     nb = batch * nr_planes * nb_per
+    if batch > 1:
+        tokw = tokw.reshape(nr_planes, batch, nb_per, _TOK_ROWS, 128
+                            ).swapaxes(0, 1)
+        bw = bw.reshape(nr_planes, batch, nb_per, _TOK_ROWS, 32
+                        ).swapaxes(0, 1)
     return (tokw.reshape(nb, B_), bw.reshape(nb, _TOK_ROWS * 32))
