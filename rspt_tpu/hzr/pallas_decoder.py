@@ -76,6 +76,10 @@ FALLBACK_CAP = 32768   # compacted oversized-chunk literals per call
                        # (compacted placement makes sparse-plane chunks
                        # all-live, so mixed dense/sparse payloads push
                        # tens of thousands of entries through here)
+FB_SMALL = 2048        # fallback-scatter buckets: TPU scatters
+FB_MID = 16384         # serialize per SLOT (~7 ns each measured), so
+                       # the scatter size buckets on the runtime count
+                       # instead of always paying the 32 Ki worst case
 
 _RLE_EBITS = (0, 0, 2, 4, 8, 14)
 _RLE_BASE = (0, 2, 3, 7, 23, 279)
@@ -197,7 +201,7 @@ def _decode_kernel(ntc_ref, win_ref, l1lo_ref, l1hi_ref, lv1_ref,
                    lv2_ref, lv3_ref, lv4_ref,
                    entry_ref, segend_ref, pbits_ref, first_ref,
                    wbase_ref, emis_ref, counts_ref, steps_ref,
-                   entry_out_ref, ring_ref, sem_ref):
+                   entry_out_ref, ring_ref, ent_ref, sem_ref):
     t = pl.program_id(0)
     shape = (8, 128)
     u32 = jnp.uint32
@@ -291,29 +295,53 @@ def _decode_kernel(ntc_ref, win_ref, l1lo_ref, l1hi_ref, lv1_ref,
             idx8 = pltpu.bitcast(c0 & u32(255), jnp.int32)
             g_lo = gather128(l1lo, idx8 & 127)
             g_hi = gather128(l1hi, idx8 & 127)
-            ent = jnp.where(idx8 < 128, g_lo, g_hi)
-            deep = (ent & DEEP_BIT) != 0
+            ent0 = jnp.where(idx8 < 128, g_lo, g_hi)
+            deep0 = ((ent0 & DEEP_BIT) != 0) & active
+            ent_ref[...] = ent0
+
             # chained 4-bit levels: a deep entry's low 16 bits name the
             # next level's slot; idx = slot*16 + the peek's next nibble.
             # Each level is a masked gather over that level's 128-wide
             # chunk rows, STATICALLY UNROLLED to the batch's bucketed
             # chunk cap (the array shape): unrolled static-index
             # gather+select chains measure 10-30x cheaper than a
-            # runtime-bounded fori on the VPU. Cost still scales with
-            # actual tree density via the caps: ~64 deep prefixes ->
-            # ~8+6+2 chunks vs ~128 under a byte-wide second level,
-            # and a shallow batch compiles with cap 1 per level.
-            for k, lv_ref in enumerate((lv1_ref, lv2_ref, lv3_ref,
-                                        lv4_ref)):
-                nib = pltpu.bitcast(
-                    (c0 >> u32(8 + 4 * k)) & u32(15), jnp.int32)
-                idxk = (ent & 0xFFFF) * 16 + nib
+            # runtime-bounded fori on the VPU. The whole chain sits
+            # behind an any(deep) gate (one cross-lane reduce, ~170 ns)
+            # so steps/tiles where every lane hit a <=8-bit code skip
+            # every gather — deep codes are the RARE symbols even in
+            # deep trees, and most tiles' trees have no deep node at
+            # all; a second gate skips levels 2-4 (>12-bit codes).
+            @pl.when(jnp.any(deep0))
+            def _():
+                nib = pltpu.bitcast((c0 >> u32(8)) & u32(15), jnp.int32)
+                idxk = (ent0 & 0xFFFF) * 16 + nib
                 ek = jnp.zeros(shape, jnp.int32)
-                for p in range(lv_ref.shape[0]):
-                    g = gather128(lv_ref[p], idxk & 127)
+                for p in range(lv1_ref.shape[0]):
+                    g = gather128(lv1_ref[p], idxk & 127)
                     ek = jnp.where((idxk >> 7) == p, g, ek)
-                ent = jnp.where(deep, ek, ent)
-                deep = deep & ((ek & DEEP_BIT) != 0)
+                ent = jnp.where(deep0, ek, ent0)
+                deep = deep0 & ((ek & DEEP_BIT) != 0)
+                ent_ref[...] = ent
+
+                @pl.when(jnp.any(deep))
+                def _():
+                    e2 = ent
+                    d2 = deep
+                    for k, lv_ref in enumerate((lv2_ref, lv3_ref,
+                                                lv4_ref)):
+                        nb_ = pltpu.bitcast(
+                            (c0 >> u32(12 + 4 * k)) & u32(15),
+                            jnp.int32)
+                        idk = (e2 & 0xFFFF) * 16 + nb_
+                        ek2 = jnp.zeros(shape, jnp.int32)
+                        for p in range(lv_ref.shape[0]):
+                            g = gather128(lv_ref[p], idk & 127)
+                            ek2 = jnp.where((idk >> 7) == p, g, ek2)
+                        e2 = jnp.where(d2, ek2, e2)
+                        d2 = d2 & ((ek2 & DEEP_BIT) != 0)
+                    ent_ref[...] = e2
+
+            ent = ent_ref[...]
             sym = ent & 0x1FF
             cb = ((ent >> 16) & 0xFF).astype(u32)
 
@@ -483,6 +511,7 @@ def _run_kernel(ntc, win, l1lo, l1hi, lv1, lv2, lv3, lv4, entry, segend,
                          memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[pltpu.VMEM((STEP_CHUNK, 8, 128), jnp.int32),
+                        pltpu.VMEM((8, 128), jnp.int32),
                         pltpu.SemaphoreType.DMA],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
@@ -595,29 +624,32 @@ def _place_emissions(emis, steps_used, counts, block_first, out_off,
     vals = jnp.pad(vals, pad)
     live_p = jnp.pad(live_f, pad)
 
-    # chunk span check (pack windows hold <= 126 words) + merge_place's
-    # within-group d <= 1023 contract (chunk base vs its 8-group base)
-    from ..ops.pallas_kernels import GSIZE
+    # chunk span check (2-row pack windows hold <= 254 words) +
+    # super_place's within-super d <= D_CLAMP contract (chunk base vs
+    # its 32-chunk super's base)
+    from ..ops.pallas_kernels import D_CLAMP, SUP_CHUNKS
     o3 = offs.reshape(1, Sp // K, K)
-    span_ok = ((o3[:, :, -1] - o3[:, :, 0]) >> 5) <= 120
+    span_ok = ((o3[:, :, -1] - o3[:, :, 0]) >> 5) <= 248
     nchunks = Sp // K
-    ngr = -(-nchunks // GSIZE)
+    ngr = -(-nchunks // SUP_CHUNKS)
     cb_ = jnp.pad(o3[:, :, 0] >> 5,
-                  ((0, 0), (0, ngr * GSIZE - nchunks)), mode="edge")
-    dd = cb_ - jnp.repeat(cb_[:, ::GSIZE], GSIZE, axis=1)
-    span_ok = span_ok & (dd <= 1023)[:, :nchunks]
+                  ((0, 0), (0, ngr * SUP_CHUNKS - nchunks)), mode="edge")
+    dd = cb_ - jnp.repeat(cb_[:, ::SUP_CHUNKS], SUP_CHUNKS, axis=1)
+    span_ok = span_ok & (dd <= D_CLAMP)[:, :nchunks]
     fits = jnp.repeat(span_ok, K, axis=1).reshape(1, Sp)
 
     words = _pack_fields(vals, jnp.where(fits, nbits, 0), offs, nrows,
                          interpret, K)
 
     # fallback: oversized-chunk literals -> compact, then one small
-    # scatter bounded by FALLBACK_CAP
+    # scatter bounded by the bucket cap (TPU scatters serialize per
+    # slot, so the scatter size is bucketed on the runtime count: the
+    # common few-stragglers case pays a 2 Ki-slot scatter, not 32 Ki)
     fb = (~fits) & live_p
     nfb = jnp.sum(fb, dtype=jnp.int32)
     flat = words.reshape(nrows * 128)
 
-    def with_fallback(flat):
+    def with_fallback(flat, cap=FALLBACK_CAP):
         if nrows * 512 < (1 << 23):
             # single compact pass over (pos<<8 | byte) words (pos fits
             # 23 bits whenever the output is < 8 MB) — one kernel
@@ -626,11 +658,11 @@ def _place_emissions(emis, steps_used, counts, block_first, out_off,
             from ..ops.pallas_kernels import compact_tokens_pallas
             vfb = jnp.where(fb, ((offs >> 3) << 8)
                             | vals.astype(jnp.int32), 0)
-            rows_fb = -(-(FALLBACK_CAP // 128 + 136) // 8) * 8
+            rows_fb = -(-(cap // 128 + 136) // 8) * 8
             pk_fb = compact_tokens_pallas(
                 vfb, jnp.zeros(1, jnp.int32), rows_fb,
                 interpret=interpret, nonzero_valid=True)
-            flatv = pk_fb.reshape(-1)[:FALLBACK_CAP]
+            flatv = pk_fb.reshape(-1)[:cap]
             fbv = (flatv & 0xFF).astype(jnp.uint32)
             fbp = jnp.right_shift(flatv, 8).astype(jnp.uint32)
         else:
@@ -644,8 +676,8 @@ def _place_emissions(emis, steps_used, counts, block_first, out_off,
             fb2 = jnp.pad(fb, pad2)
             nb2 = jnp.where(fb2, 32, 0)
             rank2 = jnp.pad(rank, pad2, mode="edge")
-            # +16 rows: merge_place needs 2048 words of gbase headroom
-            nrows_fb = (-(-FALLBACK_CAP // 128) + 16 + 7) // 8 * 8
+            # +48 rows: super_place needs ACC_ROWS rows of base headroom
+            nrows_fb = (-(-cap // 128) + 48 + 7) // 8 * 8
             fb_val = _pack_fields(jnp.pad(jnp.where(fb, vals, 0), pad2),
                                   nb2, rank2 * 32, nrows_fb, interpret,
                                   Kf)
@@ -653,9 +685,9 @@ def _place_emissions(emis, steps_used, counts, block_first, out_off,
                 jnp.pad(jnp.where(fb, offs.astype(jnp.uint32) >> 3,
                                   jnp.uint32(0)), pad2),
                 nb2, rank2 * 32, nrows_fb, interpret, Kf)
-            fbv = fb_val.reshape(-1)[:FALLBACK_CAP].astype(jnp.uint32)
-            fbp = fb_pos.reshape(-1)[:FALLBACK_CAP].astype(jnp.uint32)
-        slot_live = jnp.arange(FALLBACK_CAP, dtype=jnp.int32) < nfb
+            fbv = fb_val.reshape(-1)[:cap].astype(jnp.uint32)
+            fbp = fb_pos.reshape(-1)[:cap].astype(jnp.uint32)
+        slot_live = jnp.arange(cap, dtype=jnp.int32) < nfb
         word_ix = jnp.where(slot_live, (fbp >> 2).astype(jnp.int32),
                             nrows * 128)
         shift = ((fbp & 3) * 8).astype(jnp.uint32)
@@ -663,12 +695,85 @@ def _place_emissions(emis, steps_used, counts, block_first, out_off,
         return flat.at[word_ix].add(jnp.where(slot_live, contrib, 0),
                                     mode="drop")
 
-    # the two extra pack passes only run when an oversized chunk exists
-    flat = jax.lax.cond(nfb > 0, with_fallback, lambda f: f, flat)
+    # --- tier 2: re-pack oversized chunks at 16 entries/chunk ---------
+    # Sparse planes (literals across long zero runs) make 128-entry
+    # chunks span thousands of words; tier 2 GATHERS the failing chunks
+    # (chunk-aligned — no extra compaction pass) and runs the same
+    # windows+super machinery with 16-entry chunks (span/8), leaving
+    # only a tiny residual for the serialized scatter. This replaced a
+    # ~0.4 ms always-32Ki scatter path with ~0.1 ms on the 12-ch ECG.
+    fail = (~span_ok)[0]                   # (nchunks,) chunk-level
+    nfc = jnp.sum(fail, dtype=jnp.int32)
+
+    def tier2(flat, cap_fc):
+        from ..ops.pallas_kernels import compact_tokens_pallas
+        idx = jnp.nonzero(fail, size=cap_fc, fill_value=nchunks)[0]
+        o3r = offs.reshape(Sp // K, K)
+        v3r = vals.reshape(Sp // K, K)
+        l3r = live_p.reshape(Sp // K, K)
+        S2 = cap_fc * K
+        # one dead pad row at index nchunks (edge offsets keep bases
+        # monotone; idx is ascending so gathered bases stay monotone)
+        o2 = jnp.concatenate(
+            [o3r, jnp.broadcast_to(o3r[-1:, -1:], (1, K))])[idx]
+        v2 = jnp.concatenate(
+            [v3r, jnp.zeros((1, K), v3r.dtype)])[idx].reshape(1, S2)
+        l2_ = jnp.concatenate(
+            [l3r, jnp.zeros((1, K), l3r.dtype)])[idx].reshape(1, S2)
+        o2 = o2.reshape(1, S2)
+        K2 = 16
+        o16 = o2.reshape(1, S2 // K2, K2)
+        ok16 = ((o16[:, :, -1] - o16[:, :, 0]) >> 5) <= 248
+        nch2 = S2 // K2
+        ng2 = -(-nch2 // SUP_CHUNKS)
+        cb2 = jnp.pad(o16[:, :, 0] >> 5,
+                      ((0, 0), (0, ng2 * SUP_CHUNKS - nch2)),
+                      mode="edge")
+        dd2 = cb2 - jnp.repeat(cb2[:, ::SUP_CHUNKS], SUP_CHUNKS, axis=1)
+        ok16 = ok16 & (dd2 <= D_CLAMP)[:, :nch2]
+        fits2 = jnp.repeat(ok16, K2, axis=1).reshape(1, S2)
+        nb2 = jnp.where(fits2 & l2_, 8, 0)
+        w2 = _pack_fields(v2, nb2, o2, nrows, interpret, K2)
+        flat = flat + w2.reshape(-1)     # disjoint writers: add == OR
+        # residual (sub-chunk still overspanning): small scatter
+        fb2 = (~fits2) & l2_
+        nfb2 = jnp.sum(fb2, dtype=jnp.int32)
+        vfb = jnp.where(fb2, ((o2 >> 3) << 8) | v2.astype(jnp.int32), 0)
+        rows_fb = -(-(FB_SMALL // 128 + 136) // 8) * 8
+        pk_fb = compact_tokens_pallas(
+            vfb, jnp.zeros(1, jnp.int32), rows_fb,
+            interpret=interpret, nonzero_valid=True)
+        flatv = pk_fb.reshape(-1)[:FB_SMALL]
+        fbv = (flatv & 0xFF).astype(jnp.uint32)
+        fbp = jnp.right_shift(flatv, 8).astype(jnp.uint32)
+        slot_live = jnp.arange(FB_SMALL, dtype=jnp.int32) < nfb2
+        word_ix = jnp.where(slot_live, (fbp >> 2).astype(jnp.int32),
+                            nrows * 128)
+        shift = ((fbp & 3) * 8).astype(jnp.uint32)
+        contrib = (fbv << shift).astype(jnp.int32)
+        flat = flat.at[word_ix].add(jnp.where(slot_live, contrib, 0),
+                                    mode="drop")
+        return flat, nfb2 > FB_SMALL
+
+    FC_CAP = 128
+    use_t2 = (nfc > 0) & (nfc <= FC_CAP)
+    flat, t2_over = jax.lax.cond(
+        use_t2, lambda f: tier2(f, FC_CAP),
+        lambda f: (f, jnp.bool_(False)), flat)
+
+    # too many failing chunks for tier 2 (pathological sparsity):
+    # the compact+scatter ladder, bucketed on the runtime count
+    flat = jax.lax.cond(
+        nfc > FC_CAP,
+        lambda f: jax.lax.cond(
+            nfb <= FB_MID,
+            lambda h: with_fallback(h, cap=FB_MID),
+            with_fallback, f),
+        lambda f: f, flat)
     # the overflow flag rides in the (slack) last word: one d2h fetch
     # instead of two (every host-visible scalar costs a full link RTT)
-    flat = flat.at[nrows * 128 - 1].set(
-        (nfb > FALLBACK_CAP).astype(jnp.int32))
+    overflow = t2_over | ((nfc > FC_CAP) & (nfb > FALLBACK_CAP))
+    flat = flat.at[nrows * 128 - 1].set(overflow.astype(jnp.int32))
     return flat.reshape(nrows, 128)
 
 
@@ -676,13 +781,17 @@ def _pack_fields(vals, nbits, offs, nrows, interpret, K=K_PLACE):
     """Adapter onto the encoder's Pallas pack kernels for <=32-bit
     fields with monotone offsets (single logical block). Window build
     is the single-plane chunk_windows kernel (these fields never
-    straddle a word); placement merges 8 chunks per super via
-    merge_place — callers must route any chunk whose base is >1023
-    words past its group's base to the fallback (decoder output
-    offsets are near-dense, so that only happens across very long
-    zero-run gaps, which the span check already diverts)."""
-    from ..ops.pallas_kernels import (GSIZE, R_CW, chunk_windows1_pallas,
-                                      merge_place_pallas)
+    straddle a word); placement merges SUP_CHUNKS chunks per super via
+    the encoder's whole-tile super_place (one barrel rotate + one-hot
+    MXU row expansion per 32 chunks — the old 8-chunk merge_place was
+    iteration-overhead-bound and dominated decode placement). Callers
+    must route any chunk whose base is > D_CLAMP words past its
+    super's base to the fallback (decoder output offsets are
+    near-dense, so that only happens across very long zero-run gaps,
+    which the span check already diverts)."""
+    from ..ops.pallas_kernels import (ACC_ROWS, D_CLAMP, R_CW,
+                                      SUP_CHUNKS, chunk_windows2_pallas,
+                                      super_place_pallas)
 
     S = vals.shape[1]
     nchunks = S // K
@@ -709,16 +818,22 @@ def _pack_fields(vals, nbits, offs, nrows, interpret, K=K_PLACE):
     bases_p = jnp.pad(bases, ((0, 0), (0, nchunks_p - nchunks)),
                       mode="edge")
     local = jnp.clip(prep(word, fill=1 << 22) - bases_p[:, :, None],
-                     0, 125)
+                     0, 254)
     live_c = jnp.any(prep(jnp.where(live, 1, 0)) > 0, axis=2,
                      keepdims=True)
-    dense = chunk_windows1_pallas(local, prep(c0), interpret=interpret)
-    gbase = jnp.clip(bases_p[:, ::GSIZE], 0, nrows * 128 - 2048)
-    d = jnp.clip(bases_p - jnp.repeat(gbase, GSIZE, axis=1), 0, 1023)
-    glive = jnp.any(live_c.reshape(1, -1, GSIZE, 1), axis=2)
-    out = merge_place_pallas(dense, d[:, :, None], gbase[:, :, None],
-                             glive.astype(jnp.int32), nrows,
-                             interpret=interpret)
+    w0, w1 = chunk_windows2_pallas(local, prep(c0), interpret=interpret)
+    nsup = nchunks_p // SUP_CHUNKS
+    superbase = jnp.clip(bases_p[:, ::SUP_CHUNKS], 0,
+                         (nrows - ACC_ROWS) * 128)
+    d = jnp.clip(bases_p - jnp.repeat(superbase, SUP_CHUNKS, axis=1),
+                 0, D_CLAMP)
+    slive = jnp.any(live_c.reshape(1, nsup, SUP_CHUNKS), axis=2)
+    out = super_place_pallas(
+        w0, w1, d[:, :, None],
+        d.reshape(1, nsup, SUP_CHUNKS), superbase[:, :, None],
+        jnp.zeros((1, nsup, 1), jnp.int32),
+        slive[:, :, None].astype(jnp.int32), nrows,
+        interpret=interpret)
     return out.reshape(nrows, 128)
 
 
@@ -948,9 +1063,9 @@ def decode_many(datas, interpret: bool = False, hints=None,
     steps_np = np.asarray(steps)
     s_eff = _bucket_steps(int(steps_np[:, 0].max(initial=1)))
 
-    # slack: merge_place clamps group bases at nrows*128 - 2048, so
-    # the real data needs 2048+ words of headroom above it
-    nrows_out = -(-(total // 4 + 2 + 2048 + 192) // 128)
+    # slack: super_place clamps super bases at (nrows-ACC_ROWS)*128, so
+    # the real data needs ACC_ROWS*128 (= 6144) words of headroom
+    nrows_out = -(-(total // 4 + 2 + 6144 + 192) // 128)
     nrows_out = -(-nrows_out // 8) * 8
     # emission compaction bound: the kernel reports the EXACT literal
     # count (steps[:, 2]), so the compacted problem is sized to the

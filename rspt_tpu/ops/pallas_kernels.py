@@ -164,6 +164,53 @@ def chunk_windows1_pallas(local, c0, interpret: bool = False):
     )(local, c0)
 
 
+def _chunk_windows2_kernel(local_ref, c0_ref, d0_ref, d1_ref):
+    """Two-row variant of _chunk_windows1_kernel: dense window rows
+    for words 0..127 and 128..255 past the chunk base (span <= 254
+    words), for single-plane fields whose 128 entries can straddle
+    long gaps — the decoder's literal placement across zero runs."""
+    loc = local_ref[0]
+    lane = jax.lax.broadcasted_iota(jnp.int32, loc.shape, 1)
+    tri = _tri128()
+    incl = _mxu_iprefix32(c0_ref[0], tri)
+    l127 = loc[:, 127:128]
+
+    def search(target):
+        cnt = jnp.zeros(loc.shape, jnp.int32)
+        for b in (64, 32, 16, 8, 4, 2, 1):
+            t = cnt + b
+            vb = jnp.take_along_axis(loc, t - 1, axis=1)
+            cnt = jnp.where(vb <= target, t, cnt)
+        return jnp.where(l127 <= target, 128, cnt)
+
+    def gsum(cnt):
+        g = jnp.take_along_axis(incl, jnp.clip(cnt - 1, 0, 127), axis=1)
+        return jnp.where(cnt == 0, 0, g)
+
+    g0l = gsum(search(lane))
+    g0h = gsum(search(lane + 128))
+    d0_ref[0] = g0l - jnp.where(lane < 1, 0, pltpu.roll(g0l, 1, 1))
+    d1_ref[0] = g0h - jnp.where(lane < 1, pltpu.roll(g0l, 1, 1),
+                                pltpu.roll(g0h, 1, 1))
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def chunk_windows2_pallas(local, c0, interpret: bool = False):
+    """chunk_windows1 with a 2-row (256-word) window per chunk."""
+    nb, nc, _ = local.shape
+    spec = pl.BlockSpec((1, R_CW, 128), lambda b, g: (b, g, 0),
+                        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _chunk_windows2_kernel,
+        out_shape=(jax.ShapeDtypeStruct((nb, nc, 128), jnp.int32),
+                   jax.ShapeDtypeStruct((nb, nc, 128), jnp.int32)),
+        grid=(nb, nc // R_CW),
+        in_specs=[spec] * 2,
+        out_specs=(spec, spec),
+        interpret=interpret,
+    )(local, c0)
+
+
 def _merge_place_kernel(dense_ref, dw_ref, gbase_ref, glive_ref,
                         out_ref):
     """Sequential placement of GSIZE-chunk super-windows.

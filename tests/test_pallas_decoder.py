@@ -150,3 +150,18 @@ def test_decode_hints_bound_to_content(rng):
     outs2 = pallas_decoder.decode_many([st_b], interpret=True,
                                        hints=hints.entries)
     assert outs2[0] == b.tobytes()
+
+
+def test_tier2_sparse_chunk_repack(rng):
+    """Dense+sparse mixed payloads: 128-entry chunks of the compacted
+    literal stream overspan the 254-word pack windows on the sparse
+    blocks and must route through the tier-2 16-entry re-pack (and its
+    residual scatter) without byte loss."""
+    dense = rng.integers(0, 12, 3 * 65536).astype(np.uint8)
+    sparse = np.zeros(2 * 65536, np.uint8)
+    idx = rng.choice(sparse.size, 2500, replace=False)
+    sparse[idx] = rng.integers(1, 255, idx.size)
+    super_sparse = np.zeros(65536, np.uint8)     # gaps > 4 KiB: the
+    sidx = np.arange(8, 65536, 5000)             # tier-2 residual path
+    super_sparse[sidx] = rng.integers(1, 255, sidx.size)
+    roundtrip([dense, sparse, super_sparse])
