@@ -84,6 +84,10 @@ FB_MID = 16384         # serialize per SLOT (~7 ns each measured), so
 _RLE_EBITS = (0, 0, 2, 4, 8, 14)
 _RLE_BASE = (0, 2, 3, 7, 23, 279)
 
+# diagnostic: how many decode_many calls hit the placement-overflow
+# XLA-decoder fallback (pathological sparsity past every tier)
+overflow_fallbacks = 0
+
 DEEP_BIT = 1 << 30
 
 # Emission-compaction absolute cap: the compaction output is a VMEM-
@@ -721,39 +725,50 @@ def _place_emissions(emis, steps_used, counts, block_first, out_off,
         l2_ = jnp.concatenate(
             [l3r, jnp.zeros((1, K), l3r.dtype)])[idx].reshape(1, S2)
         o2 = o2.reshape(1, S2)
+        # 16-entry sub-chunks through the MERGE placement: a group of
+        # 8 sub-chunks is exactly one original chunk, so the group
+        # d <= 1023 contract sees only within-chunk spans — never the
+        # (arbitrarily large) gaps between gathered failing chunks,
+        # which broke the 32-super D_CLAMP contract here.
         K2 = 16
         o16 = o2.reshape(1, S2 // K2, K2)
-        ok16 = ((o16[:, :, -1] - o16[:, :, 0]) >> 5) <= 248
-        nch2 = S2 // K2
-        ng2 = -(-nch2 // SUP_CHUNKS)
-        cb2 = jnp.pad(o16[:, :, 0] >> 5,
-                      ((0, 0), (0, ng2 * SUP_CHUNKS - nch2)),
-                      mode="edge")
-        dd2 = cb2 - jnp.repeat(cb2[:, ::SUP_CHUNKS], SUP_CHUNKS, axis=1)
-        ok16 = ok16 & (dd2 <= D_CLAMP)[:, :nch2]
+        ok16 = ((o16[:, :, -1] - o16[:, :, 0]) >> 5) <= 120
+        cb2 = o16[:, :, 0] >> 5
+        dd2 = cb2 - jnp.repeat(cb2[:, ::8], 8, axis=1)
+        ok16 = ok16 & (dd2 <= 1023)
         fits2 = jnp.repeat(ok16, K2, axis=1).reshape(1, S2)
         nb2 = jnp.where(fits2 & l2_, 8, 0)
-        w2 = _pack_fields(v2, nb2, o2, nrows, interpret, K2)
+        w2 = _pack_fields_merge(v2, nb2, o2, nrows, interpret, K2)
         flat = flat + w2.reshape(-1)     # disjoint writers: add == OR
-        # residual (sub-chunk still overspanning): small scatter
+        # residual (super-sparse: sub-chunk still overspanning, or the
+        # original chunk spans past the 1023-word group contract):
+        # compact + scatter, size bucketed on the runtime count
         fb2 = (~fits2) & l2_
         nfb2 = jnp.sum(fb2, dtype=jnp.int32)
         vfb = jnp.where(fb2, ((o2 >> 3) << 8) | v2.astype(jnp.int32), 0)
-        rows_fb = -(-(FB_SMALL // 128 + 136) // 8) * 8
-        pk_fb = compact_tokens_pallas(
-            vfb, jnp.zeros(1, jnp.int32), rows_fb,
-            interpret=interpret, nonzero_valid=True)
-        flatv = pk_fb.reshape(-1)[:FB_SMALL]
-        fbv = (flatv & 0xFF).astype(jnp.uint32)
-        fbp = jnp.right_shift(flatv, 8).astype(jnp.uint32)
-        slot_live = jnp.arange(FB_SMALL, dtype=jnp.int32) < nfb2
-        word_ix = jnp.where(slot_live, (fbp >> 2).astype(jnp.int32),
-                            nrows * 128)
-        shift = ((fbp & 3) * 8).astype(jnp.uint32)
-        contrib = (fbv << shift).astype(jnp.int32)
-        flat = flat.at[word_ix].add(jnp.where(slot_live, contrib, 0),
-                                    mode="drop")
-        return flat, nfb2 > FB_SMALL
+
+        def resid_scatter(flat, cap):
+            rows_fb = -(-(cap // 128 + 136) // 8) * 8
+            pk_fb = compact_tokens_pallas(
+                vfb, jnp.zeros(1, jnp.int32), rows_fb,
+                interpret=interpret, nonzero_valid=True)
+            flatv = pk_fb.reshape(-1)[:cap]
+            fbv = (flatv & 0xFF).astype(jnp.uint32)
+            fbp = jnp.right_shift(flatv, 8).astype(jnp.uint32)
+            slot_live = jnp.arange(cap, dtype=jnp.int32) < nfb2
+            word_ix = jnp.where(slot_live,
+                                (fbp >> 2).astype(jnp.int32),
+                                nrows * 128)
+            shift = ((fbp & 3) * 8).astype(jnp.uint32)
+            contrib = (fbv << shift).astype(jnp.int32)
+            return flat.at[word_ix].add(
+                jnp.where(slot_live, contrib, 0), mode="drop")
+
+        flat = jax.lax.cond(
+            nfb2 <= 2 * FB_SMALL,
+            lambda f: resid_scatter(f, 2 * FB_SMALL),
+            lambda f: resid_scatter(f, FB_MID), flat)
+        return flat, nfb2 > FB_MID
 
     FC_CAP = 128
     use_t2 = (nfc > 0) & (nfc <= FC_CAP)
@@ -775,6 +790,48 @@ def _place_emissions(emis, steps_used, counts, block_first, out_off,
     overflow = t2_over | ((nfc > FC_CAP) & (nfb > FALLBACK_CAP))
     flat = flat.at[nrows * 128 - 1].set(overflow.astype(jnp.int32))
     return flat.reshape(nrows, 128)
+
+
+def _pack_fields_merge(vals, nbits, offs, nrows, interpret, K):
+    """_pack_fields via the 8-chunk merge_place kernel: within-GROUP
+    d <= 1023 words instead of within-32-super d <= D_CLAMP. Used by
+    the tier-2 sparse re-pack, where 8 sub-chunks = exactly one
+    original 128-entry chunk — the group then never spans the (large)
+    gaps BETWEEN gathered failing chunks, only within one."""
+    from ..ops.pallas_kernels import (GSIZE, R_CW, chunk_windows1_pallas,
+                                      merge_place_pallas)
+
+    S = vals.shape[1]
+    nchunks = S // K
+    nchunks_p = -(-nchunks // R_CW) * R_CW
+    sh = (offs & 31).astype(jnp.uint32)
+    live = nbits > 0
+    lo = jnp.where(live, vals, jnp.uint32(0))
+    c0 = (lo << sh).astype(jnp.int32)
+    word = jnp.right_shift(offs, 5)
+    bases = jnp.right_shift(offs[:, ::K], 5)
+
+    def prep(a, fill=0):
+        a = a.reshape(1, nchunks, K)
+        a = jnp.pad(a, ((0, 0), (0, nchunks_p - nchunks), (0, 0)),
+                    constant_values=fill)
+        return jnp.pad(a, ((0, 0), (0, 0), (0, 128 - K)),
+                       constant_values=fill)
+
+    bases_p = jnp.pad(bases, ((0, 0), (0, nchunks_p - nchunks)),
+                      mode="edge")
+    local = jnp.clip(prep(word, fill=1 << 22) - bases_p[:, :, None],
+                     0, 125)
+    live_c = jnp.any(prep(jnp.where(live, 1, 0)) > 0, axis=2,
+                     keepdims=True)
+    dense = chunk_windows1_pallas(local, prep(c0), interpret=interpret)
+    gbase = jnp.clip(bases_p[:, ::GSIZE], 0, nrows * 128 - 2048)
+    d = jnp.clip(bases_p - jnp.repeat(gbase, GSIZE, axis=1), 0, 1023)
+    glive = jnp.any(live_c.reshape(1, -1, GSIZE, 1), axis=2)
+    out = merge_place_pallas(dense, d[:, :, None], gbase[:, :, None],
+                             glive.astype(jnp.int32), nrows,
+                             interpret=interpret)
+    return out.reshape(nrows, 128)
 
 
 def _pack_fields(vals, nbits, offs, nrows, interpret, K=K_PLACE):
@@ -1086,6 +1143,12 @@ def decode_many(datas, interpret: bool = False, hints=None,
         interpret=interpret)
     words_np = np.asarray(words).reshape(-1)
     if words_np[-1] != 0:  # fallback overflow: pathological sparsity
+        global overflow_fallbacks
+        overflow_fallbacks += 1
+        import logging
+        logging.getLogger("rspt_tpu.hzr").info(
+            "pallas decode: placement overflow, XLA decoder fallback "
+            "(count=%d)", overflow_fallbacks)
         from . import jax_decoder
         outs = jax_decoder.decode_many(datas)
         return (outs, None) if return_hints else outs

@@ -49,8 +49,7 @@ def main():
     src = (base + rng.normal(0, 30_000, (ch, n))).astype(np.int32)
 
     cos_t = nops.dct_cos_table(n)
-    cs = np.full(n, np.sqrt(2.0 / n), np.float32)
-    cs[0] = np.sqrt(1.0 / n)
+    cs = nops.dct_cs(n)
     try:
         from rspt_tpu.native import bindings as nat
         fwd_ref = np.stack([nat.dct_forward(src[j], cos_t, cs, quality)
