@@ -461,6 +461,111 @@ def _entropy_streams(blocks_dev, toks, lengths_np, n_chunks: int,
     return streams
 
 
+def _entropy_streams_pipelined(toks, lengths_np, batch: int,
+                               planes: int, hist_np, wave: int = 4):
+    """Software-pipelined batch entropy stage (the serving e2e path).
+
+    The sequential chain per batch is pass-1 → hist d2h → host Huffman
+    tables → device pack → payload d2h → host assemble; host and
+    device each idle during the other's phase. Splitting the batch
+    into payload waves overlaps wave i's HOST table building with wave
+    i-1's DEVICE pack and its async d2h (copy_to_host_async), so e2e
+    cost per payload approaches max(host, device) instead of their
+    sum. Each wave's streams are byte-identical to a per-wave
+    _entropy_streams call (same tables, same flat layout).
+
+    Returns the per-chunk stream list, or None when any wave leaves
+    the flat-pack envelope (COPY fallback / VMEM caps) — the caller
+    then takes the unpipelined path for the whole batch.
+    """
+    tokw, _hist = toks
+    nb = tokw.shape[0]
+    nbp = nb // batch                     # blocks per payload
+    from ..ops.pallas_kernels import ACC_ROWS
+    mode, _plat = jax_coder._resolve_pack_mode(None)
+    if mode not in ("pallas", "interp"):
+        return None
+
+    def dispatch(p0, p1):
+        """Host tables + layout + pack dispatch for payloads [p0,p1)."""
+        r = slice(p0 * nbp, p1 * nbp)
+        h = hist_np[r]
+        ln = lengths_np[r]
+        codes, cbits, desc_bytes, desc_bits, is_fill = \
+            jax_coder.host_tables(h, ln)
+        total_bits_h, comp_len, is_huff, any_copy = \
+            jax_coder.host_layout(h, ln, cbits, desc_bits, is_fill)
+        total_payload = int(comp_len.sum())
+        nrows_f = -(-(total_payload // 4 + 2) // 128) + ACC_ROWS
+        nrows_f = -(-nrows_f // 8) * 8
+        if any_copy or nrows_f > 12288:
+            return None
+        hoff = (np.cumsum(comp_len) - comp_len).astype(np.int64)
+        bases, T, ng, g2b, gfirst = jax_coder.flat_compact_layout(
+            h, is_huff)
+        t_rows = T // 128 + 512 + 24
+        splits = jax_coder.compact_split_plan(h, is_huff)
+        if ng == 0 or (not splits and t_rows > 16384):
+            return None
+        comb_np = ((codes.astype(np.uint32) & np.uint32(0xFFFFFF))
+                   | (cbits.astype(np.uint32) << np.uint32(24))
+                   ).view(np.int32)
+        lut3 = np.zeros((ng, 3 * 128), np.int32)
+        lut3[:, :comb_np.shape[1]] = comb_np[g2b]
+        words = jax_coder.pack_tokens_flat2(
+            tokw[r], jax.device_put(bases),
+            jax.device_put(lut3.reshape(ng, 3, 128)),
+            jax.device_put(desc_bits[g2b].astype(np.int32)),
+            jax.device_put(hoff[g2b].astype(np.int32)),
+            jax.device_put(gfirst),
+            t_rows=t_rows, T=T, nrows_f=nrows_f,
+            interpret=(mode == "interp"), compact_splits=splits)
+        try:
+            words.copy_to_host_async()
+        except Exception:
+            pass
+        fill_byte = jax_coder.fill_bytes_from_hist(h)
+        return (words, total_payload, hoff, comp_len, desc_bytes,
+                total_bits_h, is_fill, fill_byte, ln, p1 - p0)
+
+    def finish(st):
+        (words, total_payload, hoff, comp_len, desc_bytes,
+         total_bits_h, is_fill, fill_byte, ln, npay) = st
+        tight = np.asarray(words).reshape(-1).view("<u4").view(
+            np.uint8)[:total_payload].copy()
+        for i in np.flatnonzero(comp_len):
+            dlen = min(jax_coder.DESC_STRIDE, int(comp_len[i]))
+            hi = int(hoff[i])
+            tight[hi:hi + dlen] |= desc_bytes[i, :dlen]
+        copy_np = np.zeros(0, np.uint8)
+        copy_len = np.zeros(len(comp_len), np.int64)
+        streams = []
+        n_chunks = npay * planes
+        nb_per = len(comp_len) // n_chunks
+        for k in range(n_chunks):
+            s = slice(k * nb_per, (k + 1) * nb_per)
+            hbase = int(hoff[s.start]) if s.start < len(hoff) else 0
+            streams.append(jax_coder.assemble_compact(
+                ln[s], tight[hbase:], comp_len[s], copy_np,
+                copy_len[s], total_bits_h[s], is_fill[s],
+                fill_byte[s]))
+        return streams
+
+    waves = [(w, min(w + wave, batch)) for w in range(0, batch, wave)]
+    staged = []
+    streams_all = []
+    for p0, p1 in waves:
+        st = dispatch(p0, p1)
+        if st is None:
+            return None  # caller reruns the whole batch unpipelined
+        staged.append(st)
+        if len(staged) > 1:
+            streams_all.extend(finish(staged.pop(0)))
+    while staged:
+        streams_all.extend(finish(staged.pop(0)))
+    return streams_all
+
+
 def _container(method: int, header: bytes, streams) -> bytes:
     parts = [bytes([method]), header]
     for stream in streams:
@@ -675,9 +780,18 @@ class TpuXdeltaHzrPacker(_TpuPackerBase):
                 sub_tiled = np.tile(lengths, idx.size)
                 sub_hist = small_np[idx, :-1].reshape(
                     -1, jax_coder.NUM_SYMBOLS)
-            streams = _entropy_streams(sub_blocks, sub_toks, sub_tiled,
-                                       idx.size * lvl, self._encoder,
-                                       hist_np=sub_hist)
+            streams = None
+            if (idx.size == batch and idx.size > 4
+                    and self._encoder is None and len(toks) == 2):
+                # pipelined waves: wave i's host Huffman tables overlap
+                # wave i-1's device pack + async d2h
+                streams = _entropy_streams_pipelined(
+                    sub_toks, sub_tiled, idx.size, lvl, sub_hist)
+            if streams is None:
+                streams = _entropy_streams(sub_blocks, sub_toks,
+                                           sub_tiled, idx.size * lvl,
+                                           self._encoder,
+                                           hist_np=sub_hist)
             for j, b in enumerate(idx):
                 containers[int(b)] = _container(
                     self.METHOD, b"", streams[j * lvl:(j + 1) * lvl])
@@ -865,17 +979,22 @@ class TpuHadamardPacker(_TpuPackerBase):
     """Lossy FWHT packer (signal_packer_hadamard.cpp:35-107); int32
     butterflies, integer-exact /n quantization. n must be 2^k.
 
-    use_pallas=True runs the VMEM-resident Pallas butterfly kernel
-    (ops/pallas_kernels.fwht_pallas) instead of the XLA reshape
-    butterflies — same exact int32 results, one HBM read+write per
-    element instead of one per stage."""
+    The VMEM-resident Pallas butterfly kernel
+    (ops/pallas_kernels.fwht_pallas) replaces the XLA reshape
+    butterflies by default on TPU — int32-exact on chip (verified vs
+    the serial reference, tools/check_lossy_chip.py) and at least as
+    fast (one HBM read+write per element instead of one per stage).
+    Off-TPU the XLA formulation runs (the Pallas interpreter is
+    test-only)."""
 
     METHOD = 2
     NR_PLANES = 3
     QUALITY = 1.0
 
-    def __init__(self, *a, use_pallas: bool = False, **kw):
+    def __init__(self, *a, use_pallas: bool = None, **kw):
         super().__init__(*a, **kw)
+        if use_pallas is None:
+            use_pallas = jax.default_backend() == "tpu"
         self.use_pallas = use_pallas
 
     def compress(self, src) -> bytes:

@@ -91,3 +91,17 @@ def test_tpu_decompress_many_device(rng, monkeypatch):
     comps = [p.compress(nat) for nat in natives]
     outs = p.decompress_many(comps)
     assert outs == natives
+
+
+def test_tpu_batch8_pipelined_matches_single(payloads):
+    """Batch > 4 takes the wave-pipelined entropy path (host tables
+    overlapping device pack) — streams must stay byte-identical."""
+    ch, n, srcs = payloads
+    srcs8 = list(srcs) * 2
+    pb = tpack.new_xdelta_hzr(4, ch, n, 3)
+    got = pb.compress_many(srcs8)
+    for src, g in zip(srcs8, got):
+        ps = tpack.new_xdelta_hzr(4, ch, n, 3)
+        assert g == ps.compress(src)
+        out, _ = ps.decompress(g)
+        assert out == src

@@ -84,6 +84,59 @@ print("STREAM_BEST %.6f %.1f" % (best, len(native)/best/1e6))
     return {"stages_ms": stages, "throughput": best}
 
 
+def lossy_chip():
+    """DCT df32 parity envelope + transform timings on the chip."""
+    r = run([sys.executable, "tools/check_lossy_chip.py"])
+    for line in reversed(r.stdout.strip().splitlines()):
+        try:
+            return json.loads(line)
+        except ValueError:
+            continue
+    return {"error": r.stderr[-400:]}
+
+
+def serving_e2e(batch=8):
+    """e2e encode ms/payload at batch N through the pipelined path
+    (host tables overlap device pack + async d2h) vs per-payload."""
+    code = r"""
+import sys, time, json
+sys.path.insert(0, @REPO@)
+import numpy as np
+from bench import _enable_compile_cache, make_ecg
+_enable_compile_cache()
+from rspt_tpu.packers import tpu as tpack
+ch, n, bps, planes = 12, 34199, 4, 3
+sig, native = make_ecg(ch, n)
+srcs = [native] * @BATCH@
+p = tpack.new_xdelta_hzr(bps, ch, n, planes)
+outs = p.compress_many(srcs)
+single = tpack.new_xdelta_hzr(bps, ch, n, planes).compress(native)
+assert all(bytes(o) == bytes(single) for o in outs)
+best_b = 9e9
+for _ in range(5):
+    t0 = time.perf_counter()
+    p.compress_many(srcs)
+    best_b = min(best_b, time.perf_counter() - t0)
+ps = tpack.new_xdelta_hzr(bps, ch, n, planes)
+ps.compress(native)
+best_1 = 9e9
+for _ in range(5):
+    t0 = time.perf_counter()
+    ps.compress(native)
+    best_1 = min(best_1, time.perf_counter() - t0)
+print(json.dumps({"batch": @BATCH@,
+                  "e2e_ms_per_payload_batch": best_b / @BATCH@ * 1e3,
+                  "e2e_ms_single": best_1 * 1e3}))
+""".replace("@REPO@", repr(REPO)).replace("@BATCH@", str(batch))
+    r = run([sys.executable, "-c", code])
+    for line in reversed(r.stdout.strip().splitlines()):
+        try:
+            return json.loads(line)
+        except ValueError:
+            continue
+    return {"error": r.stderr[-400:]}
+
+
 def main():
     rnd = int(sys.argv[1]) if len(sys.argv) > 1 else 2
     art = {
@@ -92,10 +145,14 @@ def main():
         "method": ("encode stages: interleaved K-loop slope, min of 7 "
                    "rounds (tools/profile_stages_ab.py); decode: "
                    "tools/bench_tpu.py device-compute split; streaming: "
-                   "native stage marks, best of 7 pushes"),
+                   "native stage marks, best of 7 pushes; lossy: "
+                   "tools/check_lossy_chip.py; serving: pipelined "
+                   "compress_many e2e over the tunneled link"),
         "encode_stages_ms": encode_stages(),
         "device_bench": decode_split(),
         "streaming": streaming_stages(),
+        "lossy": lossy_chip(),
+        "serving_e2e": serving_e2e(),
     }
     path = os.path.join(REPO, "PROFILE_r%02d.json" % rnd)
     with open(path, "w") as f:
