@@ -585,15 +585,22 @@ def flat_compact_layout(hist_np, is_huff):
 def _pack_tokens_flat2_impl(tokw, bases, lut3, dbits_g, woff_g, gfirst,
                             t_rows: int, T: int, nrows_f: int,
                             interpret: bool = False,
-                            compact_splits: tuple = ()):
+                            compact_splits: tuple = (),
+                            gmeta=None, hint_rows: int = 0):
     """Compacted flat pack: tokens of every HUFF block compacted to a
     dense group-aligned stream (3-4x fewer pack slots than the
     positional (nb, 64Ki) layout), then windows with per-group block
-    LUTs and one flat exact-offset placement."""
-    from ..ops.pallas_kernels import (ACC_ROWS, D_CLAMP, SUP_CHUNKS,
-                                      compact_tokens_pallas,
-                                      super_place_flat_pallas,
-                                      token_group_windows_grouped_pallas)
+    LUTs and one flat exact-offset placement.
+
+    With hint_rows > 0 (and gmeta (ng, 4) from hzr/sidecar.py), the
+    windows pass also exports per-token bit offsets and a second small
+    kernel turns them into aligned-decode sidecar entries — returns
+    (words, entries) instead of words."""
+    from ..ops.pallas_kernels import (
+        ACC_ROWS, D_CLAMP, SUP_CHUNKS, compact_tokens_pallas,
+        sidecar_entries_pallas, super_place_flat_pallas,
+        token_group_windows_grouped_off_pallas,
+        token_group_windows_grouped_pallas)
 
     if compact_splits:
         # large batches: split the compaction into block-range chunks so
@@ -615,8 +622,13 @@ def _pack_tokens_flat2_impl(tokw, bases, lut3, dbits_g, woff_g, gfirst,
         tokc = compact_tokens_pallas(tokw, bases, t_rows,
                                      interpret=interpret)
         flat = tokc.reshape(1, -1)[:, :T]
-    w0, w1, cbase, clive, gtot = token_group_windows_grouped_pallas(
-        flat, lut3, interpret=interpret)
+    if hint_rows:
+        w0, w1, cbase, clive, gtot, toff = \
+            token_group_windows_grouped_off_pallas(
+                flat, lut3, interpret=interpret)
+    else:
+        w0, w1, cbase, clive, gtot = token_group_windows_grouped_pallas(
+            flat, lut3, interpret=interpret)
     ng = gtot.shape[1]
     gb = gtot
     p = 1
@@ -625,6 +637,10 @@ def _pack_tokens_flat2_impl(tokw, bases, lut3, dbits_g, woff_g, gfirst,
         p *= 2
     e = gb - gtot                      # global exclusive bit scan
     e_in = e - jnp.take(e[0], gfirst)[None, :]   # restart per block
+    entries = None
+    if hint_rows:
+        entries = sidecar_entries_pallas(flat, toff, gmeta, e_in[0],
+                                         hint_rows, interpret=interpret)
     group_base = woff_g[None, :] * 8 + dbits_g[None, :] + e_in
     nc = cbase.shape[1]
     nsup = nc // SUP_CHUNKS
@@ -637,17 +653,18 @@ def _pack_tokens_flat2_impl(tokw, bases, lut3, dbits_g, woff_g, gfirst,
                      0, (nrows_f - ACC_ROWS) * 128)
     sbits = gb_s & 31
     slive = jnp.any(clive.reshape(1, nsup, SUP_CHUNKS) > 0, axis=2)
-    return super_place_flat_pallas(
+    words = super_place_flat_pallas(
         w0, w1, d[:, :, None], d.reshape(1, nsup, SUP_CHUNKS),
         wbase[:, :, None], sbits[:, :, None],
         slive[:, :, None].astype(jnp.int32), nrows_f,
         interpret=interpret)
+    return (words, entries) if hint_rows else words
 
 
 pack_tokens_flat2 = jax.jit(
     _pack_tokens_flat2_impl,
     static_argnames=("t_rows", "T", "nrows_f", "interpret",
-                     "compact_splits"))
+                     "compact_splits", "hint_rows"))
 
 
 def compact_split_plan(hist_np, is_huff, cap_tokens: int = 640 * 1024):

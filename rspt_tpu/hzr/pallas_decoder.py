@@ -117,6 +117,40 @@ def _hints_digest(parts) -> int:
     return zlib.crc32(arr.tobytes())
 
 
+def lane_rows(geom):
+    """Segment-lane layout shared by the decoder and the encoder-side
+    sidecar builder (hzr/sidecar.py): per block ceil(nseg/128) rows,
+    blocks contiguous, never straddling an 8-row tile.
+
+    geom: [(pbits, dbits)] per device-routed block, in stream order.
+    Returns (rows, blk_rows): rows = [(block_idx, seg_lo)] with -1
+    padding rows; blk_rows = [(segw, nseg, nrow)] per block. Both sides
+    MUST use this one function — a layout mismatch invalidates
+    encoder-built hints (the digest/shape check then falls back to the
+    alignment fixpoint, so it degrades, never corrupts)."""
+    rows = []
+    blk_rows = []
+    for i, (pbits, dbits) in enumerate(geom):
+        body_bits = max(pbits - dbits, 1)
+        body_words = -(-body_bits // 32)
+        # segment size scales with payload: small (highly compressed,
+        # short-code) payloads take short segments so their lockstep
+        # step count — and with it the emission buckets — stays low,
+        # without spreading tiny payloads over all 1024 segments
+        segw = max(8, -(-body_words // SEG_PER_BLOCK))
+        nseg = -(-body_words // segw)
+        nrow = -(-nseg // 128)
+        blk_rows.append((segw, nseg, nrow))
+        if (len(rows) % 8) + nrow > 8:
+            while len(rows) % 8:
+                rows.append((-1, 0))
+        for r in range(nrow):
+            rows.append((i, r * 128))
+    while len(rows) % 8:
+        rows.append((-1, 0))
+    return rows, blk_rows
+
+
 def _match_hints(hints, digest, shape):
     """Return validated entry array or None (fixpoint runs)."""
     if hints is None:
@@ -982,31 +1016,9 @@ def decode_many(datas, interpret: bool = False, hints=None,
         outs = [out[a:a + n].tobytes() for a, n in spans]
         return (outs, None) if return_hints else outs
 
-    # --- lane layout: per block ceil(nseg/128) rows, blocks contiguous,
-    # never straddling an 8-row tile ------------------------------------
-    rows = []          # list of (block_idx, seg_lo)
-    blk_rows = []
-    max_segw = 8
-    for i, (payload, pbits, dbits, ooff, olen, l1, levels,
-            chunks) in enumerate(dev):
-        body_bits = max(pbits - dbits, 1)
-        body_words = -(-body_bits // 32)
-        # segment size scales with payload: small (highly compressed,
-        # short-code) payloads take short segments so their lockstep
-        # step count — and with it the emission buckets — stays low,
-        # without spreading tiny payloads over all 512 segments
-        segw = max(8, -(-body_words // SEG_PER_BLOCK))
-        max_segw = max(max_segw, segw)
-        nseg = -(-body_words // segw)
-        nrow = -(-nseg // 128)
-        blk_rows.append((segw, nseg, nrow))
-        if (len(rows) % 8) + nrow > 8:
-            while len(rows) % 8:
-                rows.append((-1, 0))
-        for r in range(nrow):
-            rows.append((i, r * 128))
-    while len(rows) % 8:
-        rows.append((-1, 0))
+    # --- lane layout: shared with the encoder-side sidecar builder ------
+    rows, blk_rows = lane_rows([(d[1], d[2]) for d in dev])
+    max_segw = max(8, max(b[0] for b in blk_rows))
     nrows_l = len(rows)
     nl = nrows_l * 128
 

@@ -348,8 +348,20 @@ def _tokw_windows_kernel(tokw_ref, lut_ref, w0_ref, w1_ref, cbase_ref,
                   cbase_ref, clive_ref, gtot_ref)
 
 
+def _tokw_windows_off_kernel(tokw_ref, lut_ref, w0_ref, w1_ref,
+                             cbase_ref, clive_ref, gtot_ref, off_ref):
+    """_tokw_windows_kernel that ALSO exports each token's group-local
+    exclusive bit offset (for the encoder-side aligned-decode sidecar:
+    segment entry = first symbol start >= the nominal boundary)."""
+    w = tokw_ref[0, 0]
+    _windows_core(w & 511, jnp.right_shift(w, 13) & 16383,
+                  jnp.right_shift(w, 9) & 15,
+                  jnp.right_shift(w, 27) & 1, lut_ref, w0_ref, w1_ref,
+                  cbase_ref, clive_ref, gtot_ref, off_ref)
+
+
 def _windows_core(sym, extra, ebit, tval, lut_ref, w0_ref, w1_ref,
-                  cbase_ref, clive_ref, gtot_ref):
+                  cbase_ref, clive_ref, gtot_ref, off_ref=None):
     u32 = jnp.uint32
     idx = sym & 127
     g0 = jnp.take_along_axis(lut_ref[0, 0], idx, axis=1)
@@ -391,6 +403,8 @@ def _windows_core(sym, extra, ebit, tval, lut_ref, w0_ref, w1_ref,
                                  ).astype(jnp.int32) << (8 * k)
         c = sk if c is None else c + sk
     excl = v + c - nbits
+    if off_ref is not None:
+        off_ref[0, 0] = excl
     # group bit total, broadcast over the (R, 1) column block (a (1, 1)
     # block shape is rejected by the Mosaic tiling check)
     gtot_ref[0, 0] = jnp.broadcast_to((excl + nbits)[R - 1:R, 127:128],
@@ -771,6 +785,43 @@ def token_group_windows_grouped_pallas(tokc, lut3, interpret: bool = False):
             gtot[0, :, 0, 0][None, :])
 
 
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def token_group_windows_grouped_off_pallas(tokc, lut3,
+                                           interpret: bool = False):
+    """token_group_windows_grouped_pallas that also returns each
+    token's group-local exclusive bit offset (sidecar entries)."""
+    ntok = tokc.shape[1]
+    ng = ntok // GROUP_TOK
+    t4 = tokc.reshape(1, ng, R_TV, 128)
+    lut4 = jnp.broadcast_to(lut3.reshape(ng, 3, 1, 128),
+                            (ng, 3, R_TV, 128))
+    spec = pl.BlockSpec((1, 1, R_TV, 128), lambda g: (0, g, 0, 0),
+                        memory_space=pltpu.VMEM)
+    cspec = pl.BlockSpec((1, 1, R_TV, 1), lambda g: (0, g, 0, 0),
+                         memory_space=pltpu.VMEM)
+    w0, w1, cbase, clive, gtot, off = pl.pallas_call(
+        _tokw_windows_off_kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((1, ng, R_TV, 128), jnp.int32),
+            jax.ShapeDtypeStruct((1, ng, R_TV, 128), jnp.int32),
+            jax.ShapeDtypeStruct((1, ng, R_TV, 1), jnp.int32),
+            jax.ShapeDtypeStruct((1, ng, R_TV, 1), jnp.int32),
+            jax.ShapeDtypeStruct((1, ng, R_TV, 1), jnp.int32),
+            jax.ShapeDtypeStruct((1, ng, R_TV, 128), jnp.int32),
+        ),
+        grid=(ng,),
+        in_specs=[spec,
+                  pl.BlockSpec((1, 3, R_TV, 128), lambda g: (g, 0, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=(spec, spec, cspec, cspec, cspec, spec),
+        interpret=interpret,
+    )(t4, lut4)
+    nc = ng * R_TV
+    return (w0.reshape(1, nc, 128), w1.reshape(1, nc, 128),
+            cbase.reshape(1, nc), clive.reshape(1, nc),
+            gtot[0, :, 0, 0][None, :], off.reshape(1, ng * GROUP_TOK))
+
+
 R_CT = 128     # token rows per compaction tile (16 Ki positions)
 CT_TACC = 136  # whole-tile accumulator rows (128-row tile spans <= 130)
 
@@ -906,6 +957,160 @@ def compact_tokens_pallas(tokw, bases, t_rows: int,
         scratch_shapes=[pltpu.SMEM((1,), jnp.int32)],
         interpret=interpret,
     )(bases, t4)
+    return out[0]
+
+
+SIDE_ROWS = 16  # sidecar placement window rows: a group's flags span
+#                 <= ceil(8192*37/256/128)+2 = 12 rows (token <= 37 bits,
+#                 segment >= 256 bits)
+
+
+def _sidecar_entries_kernel(meta_ref, ein_ref, tokw_ref, off_ref,
+                            out_ref, carry_ref):
+    """Aligned-decode sidecar: per-segment entry bit offsets, computed
+    at ENCODE time from the flat pack's own token offsets.
+
+    The decoder's converged fixpoint entry for segment s is exactly
+    "first symbol start >= the nominal boundary dbits + s*segw*32"
+    (pallas_decoder._run_kernel semantics). A token is that first
+    symbol iff its boundary count c = (bits-before-token)//W exceeds
+    the previous token's — and since every hzr token is <= 37 bits
+    < W >= 256, c steps by at most 1, so flagged tokens within a row
+    land at CONSECUTIVE segment lanes. That makes placement the
+    compact kernel's own recipe: in-row flag ranks (vr = c - row
+    start), the 7-step source binary search, whole-tile roll +
+    one-hot MXU placement into a 16-row window.
+
+    Grid (ng,): one 8192-token windows group per step. meta (ng, 4)
+    SMEM i32: [newblk, W=segw*32, lane_base+1, dbits]; ein (ng,) SMEM:
+    the group's exclusive bit offset within its block (the flat pack's
+    cross-group scan). Carry: segment counter of the previous token
+    (resets at each block's first group). out: (out_rows, 128) entry
+    lanes matching pallas_decoder.lane_rows, plus a park area for
+    blocks the decoder routes off-device."""
+    g = pl.program_id(0)
+
+    @pl.when(g == 0)
+    def _():
+        out_ref[...] = jnp.zeros(out_ref.shape, jnp.int32)
+
+    @pl.when(meta_ref[g, 0] != 0)
+    def _():
+        carry_ref[0] = 0
+
+    W = meta_ref[g, 1]
+    lb1 = meta_ref[g, 2]
+    dbits = meta_ref[g, 3]
+    ein = ein_ref[g]
+
+    w = tokw_ref[0, 0]                       # (R_TV, 128)
+    off = off_ref[0, 0]
+    valid = (jnp.right_shift(w, 27) & 1) != 0
+    x = ein + off                            # body-relative bit prefix
+    # exact divide by the per-block scalar W: f32 quotient + int fixup
+    # (x < 2**19 and W <= 512 are f32-exact; the quotient may round
+    # across an integer, the +-1 correction restores floor semantics)
+    q = jnp.floor(x.astype(jnp.float32)
+                  * (1.0 / W.astype(jnp.float32))).astype(jnp.int32)
+    q = (q + ((q + 1) * W <= x).astype(jnp.int32)
+         - (q * W > x).astype(jnp.int32))
+    # invalid tail tokens never advance the prefix (nbits = 0), so q is
+    # constant across them — no masking needed beyond the value plane
+    c = q
+
+    R = w.shape[0]
+    riota = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)
+    clast = c[:, 127:128]                    # (R, 1)
+    # segment counter at each row start: clast shifted down one row
+    # (tiny MXU shift-dot; Mosaic has no sublane roll for (R, 1)
+    # shapes). Byte-quarter split: the MXU rounds f32 operands to bf16,
+    # so clast (<= nseg ~ 2**11) must ride in <= 8-bit exact pieces.
+    jr = jax.lax.broadcasted_iota(jnp.int32, (R, R), 0)
+    qr = jax.lax.broadcasted_iota(jnp.int32, (R, R), 1)
+    down = (qr == jr - 1).astype(jnp.float32)
+    prev = jnp.zeros((R, 1), jnp.int32)
+    for k in (0, 1):
+        qk = pltpu.bitcast((pltpu.bitcast(clast, jnp.uint32)
+                            >> jnp.uint32(8 * k)) & jnp.uint32(255),
+                           jnp.int32)
+        prev = prev | (jnp.dot(down, qk.astype(jnp.float32),
+                               preferred_element_type=jnp.float32
+                               ).astype(jnp.int32) << (8 * k))
+    prev = jnp.where(riota == 0,
+                     jnp.broadcast_to(carry_ref[0], (R, 1)), prev)
+    vr = c - prev                            # inclusive in-row flag rank
+    cnt = clast - prev                       # flags per row
+
+    # source lane for output slot o: first lane with vr == o + 1
+    lane = jax.lax.broadcasted_iota(jnp.int32, (R, 128), 1)
+    src = jnp.zeros((R, 128), jnp.int32)
+    for step in (64, 32, 16, 8, 4, 2, 1):
+        nxt = src + step
+        v = jnp.take_along_axis(vr, nxt - 1, axis=1)
+        src = jnp.where(v <= lane, nxt, src)
+    start = jnp.where(valid, dbits + x, 0)   # block-relative bit start
+    packed = jnp.where(lane < cnt,
+                       jnp.take_along_axis(start, jnp.minimum(src, 127),
+                                           axis=1), 0)
+
+    # whole-tile one-hot placement (compact kernel tail, 16-row window)
+    offr = lb1 + prev                        # (R, 1) dest of first flag
+    row0 = offr[0, 0] >> 7
+    d = offr - (row0 << 7)
+    sh = d & 127
+    rot = packed
+    for k in (1, 2, 4, 8, 16, 32, 64):
+        rot = jnp.where((sh & k) != 0, pltpu.roll(rot, k, 1), rot)
+    lane8 = lane
+    lo = jnp.where(lane8 >= sh, rot, 0)
+    hi = jnp.where(lane8 < sh, rot, 0)
+    rc = (d >> 7).reshape(1, R)
+    rowiota = jax.lax.broadcasted_iota(jnp.int32, (SIDE_ROWS, R), 0)
+    x_lo = (rowiota == rc).astype(jnp.float32)
+    x_hi = (rowiota == rc + 1).astype(jnp.float32)
+    u32 = jnp.uint32
+
+    def quarters(sp):
+        up = pltpu.bitcast(sp, u32)
+        return [pltpu.bitcast((up >> u32(8 * k)) & u32(0xFF),
+                              jnp.int32).astype(jnp.float32)
+                for k in range(4)]
+
+    qlo = quarters(lo)
+    qhi = quarters(hi)
+    dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
+    acc = jnp.zeros((SIDE_ROWS, 128), jnp.int32)
+    for k in range(3):                       # starts < 2**19: 3 quarters
+        a_k = dot(x_lo, qlo[k]) + dot(x_hi, qhi[k])
+        acc = acc | (a_k.astype(jnp.int32) << (8 * k))
+    out_ref[0, pl.ds(row0, SIDE_ROWS), :] += acc
+
+    carry_ref[0] = clast[R - 1, 0]
+
+
+@functools.partial(jax.jit, static_argnames=("out_rows", "interpret"))
+def sidecar_entries_pallas(flat, off, meta, ein, out_rows: int,
+                           interpret: bool = False):
+    """(1, T) flat tokens + group-local bit offsets → (out_rows, 128)
+    aligned-decode entry lanes (0 where no symbol starts in a segment;
+    hzr/sidecar.py merges the host init plane over those)."""
+    ng = flat.shape[1] // GROUP_TOK
+    t4 = flat.reshape(1, ng, R_TV, 128)
+    o4 = off.reshape(1, ng, R_TV, 128)
+    spec = pl.BlockSpec((1, 1, R_TV, 128), lambda g: (0, g, 0, 0),
+                        memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        _sidecar_entries_kernel,
+        out_shape=jax.ShapeDtypeStruct((1, out_rows, 128), jnp.int32),
+        grid=(ng,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.SMEM),
+                  spec, spec],
+        out_specs=pl.BlockSpec((1, out_rows, 128), lambda g: (0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.SMEM((1,), jnp.int32)],
+        interpret=interpret,
+    )(meta, ein, t4, o4)
     return out[0]
 
 

@@ -308,13 +308,22 @@ def _pass1_xdelta_tail(ns: int, ch: int, nr_planes: int, header: bool,
 # ---------------------------------------------------------------------------
 
 def _entropy_streams(blocks_dev, toks, lengths_np, n_chunks: int,
-                     encoder=None, hist_np=None):
+                     encoder=None, hist_np=None, want_hints=False):
     """Host tables → pack dispatch → per-chunk hzr streams.
 
     The flat block batch is split into ``n_chunks`` equal chunk groups
     (byte planes for a single payload; payload×plane for a batch) and
     one complete hzr stream is assembled per chunk.
+
+    want_hints: also build the encode-time aligned-decode sidecar
+    (hzr/sidecar.py) — returns (streams, DecodeHints-or-None). The
+    hints cover a decode_many over ALL n_chunks streams in order; only
+    the single-process flat-pack path produces them (None otherwise),
+    and a None result is always safe — decode just runs its fixpoint.
     """
+    def ret(streams, hints=None):
+        return (streams, hints) if want_hints else streams
+
     tokw = None
     if len(toks) == 2:     # fused pass-1 form: (token words, hist)
         tokw, hist = toks
@@ -352,7 +361,7 @@ def _entropy_streams(blocks_dev, toks, lengths_np, n_chunks: int,
                 lengths_np[s], tight[hoff[s.start]:], comp_len[s],
                 copy_np[cbase_arr[s.start]:], copy_len[s],
                 total_bits[s], is_fill[s], fill_byte[s]))
-        return streams
+        return ret(streams)
 
     if hist_np is None:
         hist_np = np.asarray(hist)
@@ -381,6 +390,8 @@ def _entropy_streams(blocks_dev, toks, lengths_np, n_chunks: int,
                 hist_np, is_huff)
             t_rows = T // 128 + 512 + 24  # trash span + CT_ACC headroom
             splits = jax_coder.compact_split_plan(hist_np, is_huff)
+            hplan = None
+            entries = None
             if ng > 0 and (splits or t_rows <= 16384):
                 # compacted flat pack: 3-4x fewer pack slots
                 comb_np = ((codes.astype(np.uint32)
@@ -389,7 +400,12 @@ def _entropy_streams(blocks_dev, toks, lengths_np, n_chunks: int,
                               << np.uint32(24))).view(np.int32)
                 lut3 = np.zeros((ng, 3 * 128), np.int32)
                 lut3[:, :comb_np.shape[1]] = comb_np[g2b]
-                words = jax_coder.pack_tokens_flat2(
+                if want_hints:
+                    from ..hzr import sidecar
+                    hplan = sidecar.plan_hints(
+                        lengths_np, comp_len, desc_bits, is_huff,
+                        desc_bytes, g2b, gfirst, ng)
+                res = jax_coder.pack_tokens_flat2(
                     tokw, jax.device_put(bases),
                     jax.device_put(lut3.reshape(ng, 3, 128)),
                     jax.device_put(desc_bits[g2b].astype(np.int32)),
@@ -397,7 +413,13 @@ def _entropy_streams(blocks_dev, toks, lengths_np, n_chunks: int,
                     jax.device_put(gfirst),
                     t_rows=t_rows, T=T, nrows_f=nrows_f,
                     interpret=(mode == "interp"),
-                    compact_splits=splits)
+                    compact_splits=splits,
+                    gmeta=(jax.device_put(hplan.gmeta)
+                           if hplan is not None else None),
+                    hint_rows=(hplan.hint_rows if hplan is not None
+                               else 0))
+                words, entries = res if hplan is not None else (res,
+                                                                None)
             else:   # ng == 0: every block is FILL/dead — no payload
                 words = jnp.zeros((nrows_f, 128), jnp.int32)
             tight = np.asarray(words).reshape(-1).view("<u4").view(
@@ -406,6 +428,11 @@ def _entropy_streams(blocks_dev, toks, lengths_np, n_chunks: int,
                 dlen = min(jax_coder.DESC_STRIDE, int(comp_len[i]))
                 hi = int(hoff[i])
                 tight[hi:hi + dlen] |= desc_bytes[i, :dlen]
+            hints = None
+            if hplan is not None:
+                from ..hzr import sidecar
+                hints = sidecar.finish_hints(hplan, entries, tight,
+                                             hoff, comp_len)
             fill_byte = jax_coder.fill_bytes_from_hist(hist_np)
             copy_np = np.zeros(0, np.uint8)
             copy_len = np.zeros(len(comp_len), np.int64)
@@ -417,7 +444,7 @@ def _entropy_streams(blocks_dev, toks, lengths_np, n_chunks: int,
                     lengths_np[s], tight[hbase:], comp_len[s],
                     copy_np, copy_len[s], total_bits_h[s], is_fill[s],
                     fill_byte[s]))
-            return streams
+            return ret(streams, hints)
 
     codes_d, cbits_d, dbits_d = jax.device_put((codes, cbits, desc_bits))
     if tokw is not None:
@@ -458,7 +485,7 @@ def _entropy_streams(blocks_dev, toks, lengths_np, n_chunks: int,
             tight[hbase:], comp_len[s],
             copy_np[cbase:], copy_len[s],
             total_bits[s], is_fill[s], fill_byte[s]))
-    return streams
+    return ret(streams)
 
 
 def _entropy_streams_pipelined(toks, lengths_np, batch: int,
@@ -576,7 +603,12 @@ def _container(method: int, header: bytes, streams) -> bytes:
 
 def _entropy_finish(blocks_dev, toks, lengths_np, nr_planes: int,
                     method: int, header: bytes, encoder=None,
-                    hist_np=None) -> bytes:
+                    hist_np=None, want_hints: bool = False):
+    if want_hints:
+        streams, hints = _entropy_streams(
+            blocks_dev, toks, lengths_np, nr_planes, encoder, hist_np,
+            want_hints=True)
+        return _container(method, header, streams), hints
     return _container(method, header, _entropy_streams(
         blocks_dev, toks, lengths_np, nr_planes, encoder, hist_np))
 
@@ -720,6 +752,33 @@ class TpuXdeltaHzrPacker(_TpuPackerBase):
         return _entropy_finish(blocks, toks, lengths, self.nr_planes,
                                self.METHOD, b"", self._encoder,
                                hist_np=hist_np)
+
+    def compress_with_hints(self, src):
+        """compress() plus the encode-time aligned-decode sidecar:
+        returns (container, DecodeHints-or-None). The container bytes
+        are identical to compress(); the hints feed
+        decompress_many([container], hints=...), whose first decode
+        then runs one trusted kernel sweep instead of the alignment
+        fixpoint (hzr/sidecar.py). A None sidecar (non-flat pack path,
+        all-host routing) simply means the decode runs unhinted."""
+        c = self.cfg
+        raw = jnp.asarray(_as_words(src, c.bytes_per_sample))
+        while True:
+            f, lengths = _pass1_xdelta(c.nr_samples, c.nr_channels,
+                                       c.bytes_per_sample, self.nr_planes,
+                                       self.use_pallas,
+                                       _fused_pass1_mode())
+            small, blocks, toks = f(raw)
+            small_np = np.asarray(small)
+            if bool(small_np[-1]):
+                break
+            log.info("xdelta_hzr: growing plane count to %d",
+                     self.nr_planes + 1)
+            self.nr_planes += 1
+        hist_np = small_np[:-1].reshape(-1, jax_coder.NUM_SYMBOLS)
+        return _entropy_finish(blocks, toks, lengths, self.nr_planes,
+                               self.METHOD, b"", self._encoder,
+                               hist_np=hist_np, want_hints=True)
 
     def compress_many(self, srcs) -> list:
         """Batched serving path: compress many same-shape payloads in

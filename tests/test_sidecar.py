@@ -1,0 +1,161 @@
+"""Encoder-side aligned-decode sidecars (hzr/sidecar.py).
+
+The flat exact-offset pack knows every symbol's bit position, so the
+encoder can emit the decoder's converged alignment entries at encode
+time; a first decode then runs one trusted kernel sweep instead of the
+alignment fixpoint. These tests pin: (a) the container bytes stay
+identical with/without the sidecar, (b) the sidecar is actually
+TRUSTED by decode_many (digest + shape match), (c) decode output stays
+byte-exact, (d) the entries agree with the decoder's own converged
+fixpoint on every active lane, and (e) mismatched sidecars degrade to
+the fixpoint, never corrupt."""
+
+import numpy as np
+import pytest
+
+pytest.importorskip("jax")
+
+
+def _native(rng, ch, n, amp):
+    sig = np.cumsum(rng.normal(0, amp, (ch, n)), axis=1).astype(np.int32)
+    return np.ascontiguousarray(sig.T).astype("<i4").tobytes()
+
+
+def _setup(monkeypatch):
+    monkeypatch.setenv("RSPT_FUSED_PASS1", "interp")
+    monkeypatch.setenv("RSPT_DECODER", "interp")
+    from rspt_tpu.hzr import jax_coder
+    monkeypatch.setattr(jax_coder, "_PACK_MODE", "interp")
+
+
+def test_encode_hints_trusted_roundtrip(rng, monkeypatch):
+    _setup(monkeypatch)
+    from rspt_tpu.hzr import pallas_decoder
+    from rspt_tpu.packers import host as hpack
+    from rspt_tpu.packers import tpu as tpack
+
+    ch, n, bps = 3, 47000, 4
+    native = _native(rng, ch, n, 14.0)
+    p = tpack.new_xdelta_hzr(bps, ch, n, 3, device_decode=True)
+    comp, hints = p.compress_with_hints(native)
+    # container bytes identical to the sidecar-free encode
+    assert comp == hpack.new_xdelta_hzr(bps, ch, n, 3).compress(native)
+    assert hints is not None and hints.entries.size > 0
+
+    matched = {}
+    orig = pallas_decoder._match_hints
+
+    def spy(h, digest, shape):
+        r = orig(h, digest, shape)
+        matched["trusted"] = r is not None
+        return r
+
+    monkeypatch.setattr(pallas_decoder, "_match_hints", spy)
+    outs = p.decompress_many([comp], hints=hints)
+    assert outs[0] == native
+    assert matched.get("trusted"), \
+        "encoder sidecar was not trusted (digest/shape drift)"
+
+
+def test_encode_hints_match_converged_fixpoint(rng, monkeypatch):
+    """The encoder-built entries equal the decoder's own converged
+    alignment entries on every ACTIVE lane (entry < segment end) — the
+    lanes that actually drive lockstep decoding."""
+    _setup(monkeypatch)
+    from rspt_tpu.hzr import pallas_decoder
+    from rspt_tpu.packers import tpu as tpack
+
+    ch, n, bps = 2, 61000, 4
+    native = _native(rng, ch, n, 25.0)
+    p = tpack.new_xdelta_hzr(bps, ch, n, 3, device_decode=True)
+    comp, enc_h = p.compress_with_hints(native)
+    assert enc_h is not None
+    outs, dec_h = p.decompress_many([comp], return_hints=True)
+    assert outs[0] == native
+    assert dec_h is not None
+    assert dec_h.digest == enc_h.digest
+    assert dec_h.entries.shape == enc_h.entries.shape
+
+    # rebuild segment ends from the shared lane geometry
+    src = memoryview(comp)
+    pos = 1
+    streams = []
+    for _ in range(p.nr_planes):
+        clen = int.from_bytes(src[pos:pos + 4], "little")
+        pos += 4
+        streams.append(bytes(src[pos:pos + clen]))
+        pos += clen
+    huff = []
+    total = 0
+    for st in streams:
+        s = np.frombuffer(st, np.uint8)
+        sz = int.from_bytes(s[:4].tobytes(), "little")
+        pallas_decoder._walk_stream(s, sz, total,
+                                    np.zeros(total + sz, np.uint8), huff)
+        total += sz
+    geom = []
+    for payload, pbits, dbits, ooff, olen, tree, _crc in huff:
+        lut = pallas_decoder.build_lut_nib(tree)
+        if lut is not None and sum(lut[2]) > 64:
+            lut = None
+        if lut is not None:
+            geom.append((pbits, dbits))
+    rows, blk_rows = pallas_decoder.lane_rows(geom)
+    segend = np.zeros((len(rows), 128), np.int64)
+    for r, (bi, seg_lo) in enumerate(rows):
+        if bi < 0:
+            continue
+        pbits, dbits = geom[bi]
+        segw, nseg, _ = blk_rows[bi]
+        nj = min(128, nseg - seg_lo)
+        s = seg_lo + np.arange(nj)
+        segend[r, :nj] = np.where(s + 1 < nseg,
+                                  dbits + (s + 1) * segw * 32, pbits)
+    active = enc_h.entries < segend
+    assert active.any()
+    np.testing.assert_array_equal(enc_h.entries[active],
+                                  dec_h.entries[active])
+
+
+def test_encode_hints_safety_fallback(rng, monkeypatch):
+    """A sidecar whose digest does not match the streams (stale hints,
+    tampered bytes) is IGNORED — decode falls back to the fixpoint and
+    stays exact."""
+    _setup(monkeypatch)
+    from rspt_tpu.hzr import pallas_decoder
+    from rspt_tpu.packers import tpu as tpack
+
+    ch, n, bps = 2, 30000, 4
+    a = _native(np.random.default_rng(5), ch, n, 18.0)
+    b = _native(np.random.default_rng(6), ch, n, 18.0)
+    p = tpack.new_xdelta_hzr(bps, ch, n, 3, device_decode=True)
+    comp_a, hints_a = p.compress_with_hints(a)
+    p2 = tpack.new_xdelta_hzr(bps, ch, n, 3, device_decode=True)
+    comp_b = p2.compress(b)
+    assert hints_a is not None
+    # same shapes, different content: must not be trusted
+    outs = p2.decompress_many([comp_b], hints=hints_a)
+    assert outs[0] == b
+    # corrupted entries with a matching digest shape-check still decode
+    # (trusted garbage is prevented by the digest, not tested here —
+    # that is pallas_decoder's contract, covered in test_pallas_decoder)
+    bad = pallas_decoder.DecodeHints(hints_a.digest ^ 1, hints_a.entries)
+    outs2 = p.decompress_many([comp_a], hints=bad)
+    assert outs2[0] == a
+
+
+def test_encode_hints_small_payload(rng, monkeypatch):
+    """Sub-block payloads (single block, few segments) still produce a
+    valid sidecar or a safe None."""
+    _setup(monkeypatch)
+    from rspt_tpu.packers import tpu as tpack
+
+    ch, n, bps = 1, 9000, 4
+    native = _native(rng, ch, n, 9.0)
+    p = tpack.new_xdelta_hzr(bps, ch, n, 2, device_decode=True)
+    comp, hints = p.compress_with_hints(native)
+    out, _ = p.decompress(comp)
+    assert out == native
+    if hints is not None:
+        outs = p.decompress_many([comp], hints=hints)
+        assert outs[0] == native

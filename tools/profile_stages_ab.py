@@ -380,6 +380,25 @@ def main():
 
     add("dec_place", dec_place)
 
+    # hinted FIRST decode: the encoder-built sidecar pins the entries,
+    # so the kernel runs one trusted sweep instead of the fixpoint
+    packer_h = tpack.new_xdelta_hzr(bps, ch, n, planes)
+    _comp_h, enc_hints = packer_h.compress_with_hints(
+        np.frombuffer(native, np.uint8))
+    if enc_hints is not None:
+        pd._run_kernel, pd._place_emissions = run_spy, place_spy
+        pd.decode_many(streams, hints=enc_hints)
+        pd._run_kernel, pd._place_emissions = orig_run, orig_place
+        rah, rkh = holder["run"]
+
+        def dec_kernel_hinted(acc):
+            win, a = jax.lax.optimization_barrier((rah[1], acc))
+            emis, counts, steps, eo = orig_run.__wrapped__(
+                rah[0], win, *rah[2:], **rkh)
+            return a + s(counts) + s(steps) + s(emis[:, :64])
+
+        add("dec_kernel_hinted", dec_kernel_hinted)
+
     # compile all runners once
     runners = {}
     for name, body in bodies.items():
