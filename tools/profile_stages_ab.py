@@ -235,11 +235,14 @@ def main():
          desc_bits[g2b].astype(np.int32), hoff[g2b].astype(np.int32),
          gfirst))
 
+    splits1 = jax_coder.compact_split_plan(hist_np, is_huff)
+
     def flat2_all(acc):
         t_, a = jax.lax.optimization_barrier((tokw, acc))
         w = jax_coder._pack_tokens_flat2_impl(
             t_, bases_d, lut3_d, dbg_d, wog_d, gfirst_d,
-            t_rows=t_rows, T=T, nrows_f=nrows_f)
+            t_rows=t_rows, T=T, nrows_f=nrows_f,
+            compact_splits=splits1)
         return a + s(w)
 
     add("flat2_pack_all", flat2_all)
@@ -319,17 +322,43 @@ def main():
                          dbits4[g2b4].astype(np.int32),
                          hoff4[g2b4].astype(np.int32), gf4))
 
+    # production behavior: _entropy_streams splits the compaction into
+    # <=640 Ki-token block ranges (compact_split_plan) so each launch's
+    # VMEM-resident output stays small — measure THAT, plus the unsplit
+    # variant for the A/B record
+    splits4 = jax_coder.compact_split_plan(hist4, ih4)
+
     def flat2_b4(acc):
+        t_, a = jax.lax.optimization_barrier((tokw4, acc))
+        w = jax_coder._pack_tokens_flat2_impl(
+            t_, *a4, t_rows=t_rows4, T=T4, nrows_f=nrows4,
+            compact_splits=splits4)
+        return a + s(w)
+
+    add("flat2_pack_batch4", flat2_b4)
+
+    def flat2_b4_unsplit(acc):
         t_, a = jax.lax.optimization_barrier((tokw4, acc))
         w = jax_coder._pack_tokens_flat2_impl(
             t_, *a4, t_rows=t_rows4, T=T4, nrows_f=nrows4)
         return a + s(w)
 
-    add("flat2_pack_batch4", flat2_b4)
+    add("flat2_pack_batch4_unsplit", flat2_b4_unsplit)
 
     def flat2_b4_compact(acc):
         t_, a = jax.lax.optimization_barrier((tokw4, acc))
-        tokc = compact_tokens_pallas(t_, a4[0], t_rows4)
+        if splits4:
+            parts = []
+            for blo, bhi, tlo, thi in splits4:
+                span = thi - tlo
+                bsub = jnp.where(a4[0][blo:bhi] >= thi, span,
+                                 a4[0][blo:bhi] - tlo)
+                sub = compact_tokens_pallas(t_[blo:bhi], bsub,
+                                            span // 128 + 512 + 80)
+                parts.append(sub[:span // 128])
+            tokc = jnp.concatenate(parts, axis=0)
+        else:
+            tokc = compact_tokens_pallas(t_, a4[0], t_rows4)
         return a + s(tokc)
 
     add("flat2_compact_batch4", flat2_b4_compact)
