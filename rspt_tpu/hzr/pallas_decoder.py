@@ -76,6 +76,7 @@ FALLBACK_CAP = 32768   # compacted oversized-chunk literals per call
                        # (compacted placement makes sparse-plane chunks
                        # all-live, so mixed dense/sparse payloads push
                        # tens of thousands of entries through here)
+FB_TINY = 512          # smallest tier-2 residual scatter bucket
 FB_SMALL = 2048        # fallback-scatter buckets: TPU scatters
 FB_MID = 16384         # serialize per SLOT (~7 ns each measured), so
                        # the scatter size buckets on the runtime count
@@ -95,6 +96,8 @@ DEEP_BIT = 1 << 30
 # bounds its pack launches (t_rows<=16384 / nrows_f<=12288) so large
 # multi-payload batches can't request a >VMEM buffer at Mosaic compile.
 SC_ROWS_CAP = 12288
+SC_ROWS_CAP_FUSED = 8192   # the fused merged placement keeps TWO
+#                            (sc_rows, 128) planes VMEM-resident
 
 
 class DecodeHints:
@@ -421,6 +424,20 @@ def _decode_kernel(ntc_ref, win_ref, l1lo_ref, l1hi_ref, lv1_ref,
             packed = (outc << 9) | jnp.where(active & is_lit, sym, 0)
             ring_ref[step % STEP_CHUNK] = packed
 
+            # litv packs three per-lane fields: bits 0-11 merged-run
+            # HEAD count (every 4th literal of a consecutive run — the
+            # exact entry count of the merged placement compaction),
+            # bits 12-23 literal count, bits 24-25 the running
+            # literal-run position mod 4. Counts <= MAX_STEPS < 2^12.
+            al = active & is_lit
+            runmod = jax.lax.shift_right_logical(litv, 24) & 3
+            is_head = al & (runmod == 0)
+            nrm = jnp.where(al, (runmod + 1) & 3,
+                            jnp.where(active, 0, runmod))
+            litv_n = ((litv & 0x00FFFFFF)
+                      + (al.astype(jnp.int32) << 12)
+                      + is_head.astype(jnp.int32)) | (nrm << 24)
+
             @pl.when(step % STEP_CHUNK == STEP_CHUNK - 1)
             def _():
                 chunk = step // STEP_CHUNK
@@ -441,7 +458,7 @@ def _decode_kernel(ntc_ref, win_ref, l1lo_ref, l1hi_ref, lv1_ref,
                     jnp.where(active, navail - consume, navail),
                     wptr,
                     jnp.where(active, outc + nout, outc),
-                    litv + (active & is_lit).astype(jnp.int32),
+                    litv_n,
                     step + 1, active_n.astype(jnp.int32))
 
         # 2x-unrolled body: the while cond's any() is a cross-lane
@@ -480,7 +497,8 @@ def _decode_kernel(ntc_ref, win_ref, l1lo_ref, l1hi_ref, lv1_ref,
 
         counts_ref[...] = counts
         steps_ref[t, 0] = steps
-        steps_ref[t, 2] = jnp.sum(litv)
+        steps_ref[t, 2] = jnp.sum((litv >> 12) & 0xFFF)
+        steps_ref[t, 3] = jnp.sum(litv & 0xFFF)
         nxt = pltpu.roll(exits, 1, 1)
         prev_row = pltpu.roll(exits, 1, 0)
         col0 = jnp.broadcast_to(prev_row[:, 127:128], shape)
@@ -512,7 +530,7 @@ def _run_kernel(ntc, win, l1lo, l1hi, lv1, lv2, lv3, lv4, entry, segend,
         out_shape=(
             jax.ShapeDtypeStruct((ntiles, MAX_STEPS, 8, 128), jnp.int32),
             jax.ShapeDtypeStruct((ntiles * 8, 128), jnp.int32),
-            jax.ShapeDtypeStruct((ntiles, 3), jnp.int32),
+            jax.ShapeDtypeStruct((ntiles, 4), jnp.int32),
             jax.ShapeDtypeStruct((ntiles * 8, 128), jnp.int32),
         ),
         grid=(ntiles,),
@@ -543,7 +561,7 @@ def _run_kernel(ntc, win, l1lo, l1hi, lv1, lv2, lv3, lv4, entry, segend,
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((8, 128), lambda t: (t, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((ntiles, 3), lambda t: (0, 0),
+            pl.BlockSpec((ntiles, 4), lambda t: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((8, 128), lambda t: (t, 0),
                          memory_space=pltpu.VMEM),
@@ -564,10 +582,11 @@ def _run_kernel(ntc, win, l1lo, l1hi, lv1, lv2, lv3, lv4, entry, segend,
 
 @functools.partial(jax.jit,
                    static_argnames=("s_eff", "nrows", "sc_rows",
-                                    "interpret"))
+                                    "fused", "interpret"))
 def _place_emissions(emis, steps_used, counts, block_first, out_off,
                      out_limit, lane_live, s_eff: int, nrows: int,
-                     sc_rows: int = 0, interpret: bool = False):
+                     sc_rows: int = 0, fused: bool = False,
+                     interpret: bool = False):
     """Emission entries -> output words + fallback scatter.
 
     block_first: (nlanes,) static index of each lane's block-first
@@ -584,9 +603,6 @@ def _place_emissions(emis, steps_used, counts, block_first, out_off,
     K = 128
     ntiles = emis.shape[0]
     nl = ntiles * 8 * 128
-    lanes = emis[:, :s_eff].transpose(0, 2, 3, 1).reshape(nl, s_eff)
-    step_ix = jnp.arange(s_eff, dtype=jnp.int32)[None, :]
-    live_steps = jnp.repeat(steps_used[:, 0], 8 * 128)[:, None]
 
     # per-lane output byte base: block out_off + exclusive cumsum of
     # counts within the block (static gather of the running total at
@@ -595,6 +611,40 @@ def _place_emissions(emis, steps_used, counts, block_first, out_off,
     total = jnp.cumsum(flat_counts)
     excl = total - flat_counts
     out_base = out_off + excl - jnp.take(excl, block_first)
+
+    # flatten lane-major: globally position-sorted over ALL entries
+    S = nl * s_eff
+    if fused and sc_rows:
+        # fused placement compaction: the kernel reads the RAW emission
+        # grid (no XLA major-dim relayout — that transpose used to
+        # dominate decode placement), transposes in-kernel with exact
+        # byte-quarter MXU dots, computes pos<<8|byte per live literal
+        # and compacts lane-major in one pass. Dead lanes/entries are
+        # masked in-kernel, so the running-max monotonicity scan for
+        # dead-lane positions is unnecessary here.
+        from ..ops.pallas_kernels import place_compact_pallas
+        meta = jnp.concatenate([
+            out_base.reshape(ntiles, 8, 1, 128),
+            out_limit.reshape(ntiles, 8, 1, 128),
+            lane_live.astype(jnp.int32).reshape(ntiles, 8, 1, 128),
+        ], axis=2)
+        vc = place_compact_pallas(emis, steps_used[:, 0], meta,
+                                  sc_rows, interpret=interpret)
+        flatm = vc[:sc_rows].reshape(1, -1)      # pos<<2 | len-1
+        flatv = vc[sc_rows:].reshape(1, -1)      # merged bytes, LE
+        live_f = flatv != 0   # literal bytes are never zero (RLE'd)
+        pos_f = jnp.right_shift(flatm, 2)
+        # dead suffix: pin offsets to the last live position so the
+        # window kernels see monotone offsets
+        pos_f = jnp.where(live_f, pos_f, jnp.max(pos_f))
+        nbits = jnp.where(live_f, ((flatm & 3) + 1) * 8, 0)
+        vals = jnp.where(live_f, flatv, 0).astype(jnp.uint32)
+        S = flatv.shape[1]
+        return _place_words(live_f, pos_f, nbits, vals, S, nrows,
+                            interpret, K, allow_fb=False)
+    lanes = emis[:, :s_eff].transpose(0, 2, 3, 1).reshape(nl, s_eff)
+    step_ix = jnp.arange(s_eff, dtype=jnp.int32)[None, :]
+    live_steps = jnp.repeat(steps_used[:, 0], 8 * 128)[:, None]
 
     # the kernel records the outc carry on every step (sym=0 when not a
     # literal), so per-lane positions are monotone as written; stale
@@ -625,8 +675,6 @@ def _place_emissions(emis, steps_used, counts, block_first, out_off,
     pos = jnp.minimum(pos_raw,
                       jnp.maximum(out_limit, carry)[:, None])
 
-    # flatten lane-major: globally position-sorted over ALL entries
-    S = nl * s_eff
     if sc_rows:
         # compact the mostly-dead emission grid (live entries are only
         # the literal bytes) before packing: the placement machinery's
@@ -655,6 +703,20 @@ def _place_emissions(emis, steps_used, counts, block_first, out_off,
         vals = jnp.where(live_f, (sym & 0xFF).reshape(1, S),
                          0).astype(jnp.uint32)
 
+    return _place_words(live_f, pos_f, nbits, vals, S, nrows,
+                        interpret, K)
+
+
+def _place_words(live_f, pos_f, nbits, vals, S, nrows, interpret, K,
+                 allow_fb=True):
+    """Pack the (1, S) stream of position-sorted literal placements
+    (vals of nbits (8..32) at byte offsets pos_f) into (nrows, 128)
+    output words: chunk-span gated window pack, tier-2 sparse re-pack,
+    bucketed scatter ladder for the residual. Traced inline under the
+    caller's jit. allow_fb=False (the merged multi-byte path, whose
+    values don't fit the 8-bit fallback compact word) reports overflow
+    instead of running the pathological-sparsity full fallback — the
+    caller then retries via the XLA decoder."""
     Sp = -(-S // K) * K
     pad = ((0, 0), (0, Sp - S))
     offs = jnp.pad(pos_f * 8, pad, mode="edge")
@@ -748,6 +810,7 @@ def _place_emissions(emis, steps_used, counts, block_first, out_off,
         idx = jnp.nonzero(fail, size=cap_fc, fill_value=nchunks)[0]
         o3r = offs.reshape(Sp // K, K)
         v3r = vals.reshape(Sp // K, K)
+        n3r = nbits.reshape(Sp // K, K)
         l3r = live_p.reshape(Sp // K, K)
         S2 = cap_fc * K
         # one dead pad row at index nchunks (edge offsets keep bases
@@ -756,6 +819,8 @@ def _place_emissions(emis, steps_used, counts, block_first, out_off,
             [o3r, jnp.broadcast_to(o3r[-1:, -1:], (1, K))])[idx]
         v2 = jnp.concatenate(
             [v3r, jnp.zeros((1, K), v3r.dtype)])[idx].reshape(1, S2)
+        n2_ = jnp.concatenate(
+            [n3r, jnp.zeros((1, K), n3r.dtype)])[idx].reshape(1, S2)
         l2_ = jnp.concatenate(
             [l3r, jnp.zeros((1, K), l3r.dtype)])[idx].reshape(1, S2)
         o2 = o2.reshape(1, S2)
@@ -771,37 +836,58 @@ def _place_emissions(emis, steps_used, counts, block_first, out_off,
         dd2 = cb2 - jnp.repeat(cb2[:, ::8], 8, axis=1)
         ok16 = ok16 & (dd2 <= 1023)
         fits2 = jnp.repeat(ok16, K2, axis=1).reshape(1, S2)
-        nb2 = jnp.where(fits2 & l2_, 8, 0)
+        nb2 = jnp.where(fits2, n2_, 0)   # n2_ is 0 on dead slots
         w2 = _pack_fields_merge(v2, nb2, o2, nrows, interpret, K2)
         flat = flat + w2.reshape(-1)     # disjoint writers: add == OR
         # residual (super-sparse: sub-chunk still overspanning, or the
         # original chunk spans past the 1023-word group contract):
-        # compact + scatter, size bucketed on the runtime count
+        # compact + scatter, size bucketed on the runtime count. Two
+        # aligned compact passes (the meta word is +1-biased so both
+        # planes share the exact fb2 liveness; values are never zero)
+        # keep the full 32-bit merged values, and the scatter adds the
+        # straddle word too (the high part is zero for entries that
+        # fit one word, so the second add is a no-op for them).
         fb2 = (~fits2) & l2_
         nfb2 = jnp.sum(fb2, dtype=jnp.int32)
-        vfb = jnp.where(fb2, ((o2 >> 3) << 8) | v2.astype(jnp.int32), 0)
+        len2 = jnp.maximum((n2_ >> 3) - 1, 0)
+        mfb = jnp.where(fb2, (((o2 >> 3) << 2) | len2) + 1, 0)
+        vfb = jnp.where(fb2, v2.astype(jnp.int32), 0)
 
         def resid_scatter(flat, cap):
             rows_fb = -(-(cap // 128 + 136) // 8) * 8
-            pk_fb = compact_tokens_pallas(
+            pk_m = compact_tokens_pallas(
+                mfb, jnp.zeros(1, jnp.int32), rows_fb,
+                interpret=interpret, nonzero_valid=True)
+            pk_v = compact_tokens_pallas(
                 vfb, jnp.zeros(1, jnp.int32), rows_fb,
                 interpret=interpret, nonzero_valid=True)
-            flatv = pk_fb.reshape(-1)[:cap]
-            fbv = (flatv & 0xFF).astype(jnp.uint32)
-            fbp = jnp.right_shift(flatv, 8).astype(jnp.uint32)
+            fm = pk_m.reshape(-1)[:cap] - 1
+            fbv = pk_v.reshape(-1)[:cap].astype(jnp.uint32)
+            fbp = jnp.right_shift(fm, 2).astype(jnp.uint32)
             slot_live = jnp.arange(cap, dtype=jnp.int32) < nfb2
             word_ix = jnp.where(slot_live,
                                 (fbp >> 2).astype(jnp.int32),
                                 nrows * 128)
             shift = ((fbp & 3) * 8).astype(jnp.uint32)
-            contrib = (fbv << shift).astype(jnp.int32)
-            return flat.at[word_ix].add(
-                jnp.where(slot_live, contrib, 0), mode="drop")
+            lo = (fbv << shift).astype(jnp.int32)
+            hi = jnp.where(shift > 0,
+                           jax.lax.shift_right_logical(
+                               fbv, (jnp.uint32(32) - shift)
+                               & jnp.uint32(31)),
+                           jnp.uint32(0)).astype(jnp.int32)
+            flat = flat.at[word_ix].add(
+                jnp.where(slot_live, lo, 0), mode="drop")
+            return flat.at[jnp.where(slot_live, word_ix + 1,
+                                     nrows * 128)].add(
+                jnp.where(slot_live, hi, 0), mode="drop")
 
         flat = jax.lax.cond(
-            nfb2 <= 2 * FB_SMALL,
-            lambda f: resid_scatter(f, 2 * FB_SMALL),
-            lambda f: resid_scatter(f, FB_MID), flat)
+            nfb2 <= FB_TINY,
+            lambda f: resid_scatter(f, FB_TINY),
+            lambda f: jax.lax.cond(
+                nfb2 <= 2 * FB_SMALL,
+                lambda g: resid_scatter(g, 2 * FB_SMALL),
+                lambda g: resid_scatter(g, FB_MID), f), flat)
         return flat, nfb2 > FB_MID
 
     FC_CAP = 128
@@ -811,17 +897,24 @@ def _place_emissions(emis, steps_used, counts, block_first, out_off,
         lambda f: (f, jnp.bool_(False)), flat)
 
     # too many failing chunks for tier 2 (pathological sparsity):
-    # the compact+scatter ladder, bucketed on the runtime count
-    flat = jax.lax.cond(
-        nfc > FC_CAP,
-        lambda f: jax.lax.cond(
-            nfb <= FB_MID,
-            lambda h: with_fallback(h, cap=FB_MID),
-            with_fallback, f),
-        lambda f: f, flat)
+    # the compact+scatter ladder, bucketed on the runtime count. The
+    # merged multi-byte path (allow_fb=False) cannot use the 8-bit
+    # fallback compact word, so it reports overflow instead (caller
+    # retries via the XLA decoder).
+    if allow_fb:
+        flat = jax.lax.cond(
+            nfc > FC_CAP,
+            lambda f: jax.lax.cond(
+                nfb <= FB_MID,
+                lambda h: with_fallback(h, cap=FB_MID),
+                with_fallback, f),
+            lambda f: f, flat)
+        fb_over = (nfc > FC_CAP) & (nfb > FALLBACK_CAP)
+    else:
+        fb_over = nfc > FC_CAP
     # the overflow flag rides in the (slack) last word: one d2h fetch
     # instead of two (every host-visible scalar costs a full link RTT)
-    overflow = t2_over | ((nfc > FC_CAP) & (nfb > FALLBACK_CAP))
+    overflow = t2_over | fb_over
     flat = flat.at[nrows * 128 - 1].set(overflow.astype(jnp.int32))
     return flat.reshape(nrows, 128)
 
@@ -842,6 +935,11 @@ def _pack_fields_merge(vals, nbits, offs, nrows, interpret, K):
     live = nbits > 0
     lo = jnp.where(live, vals, jnp.uint32(0))
     c0 = (lo << sh).astype(jnp.int32)
+    # next-word spill (multi-byte merged fields at byte offsets)
+    c1 = jnp.where(sh > 0,
+                   jax.lax.shift_right_logical(
+                       lo, (jnp.uint32(32) - sh) & jnp.uint32(31)),
+                   jnp.uint32(0)).astype(jnp.int32)
     word = jnp.right_shift(offs, 5)
     bases = jnp.right_shift(offs[:, ::K], 5)
 
@@ -858,7 +956,8 @@ def _pack_fields_merge(vals, nbits, offs, nrows, interpret, K):
                      0, 125)
     live_c = jnp.any(prep(jnp.where(live, 1, 0)) > 0, axis=2,
                      keepdims=True)
-    dense = chunk_windows1_pallas(local, prep(c0), interpret=interpret)
+    dense = chunk_windows1_pallas(local, prep(c0), prep(c1),
+                                  interpret=interpret)
     gbase = jnp.clip(bases_p[:, ::GSIZE], 0, nrows * 128 - 2048)
     d = jnp.clip(bases_p - jnp.repeat(gbase, GSIZE, axis=1), 0, 1023)
     glive = jnp.any(live_c.reshape(1, -1, GSIZE, 1), axis=2)
@@ -890,9 +989,13 @@ def _pack_fields(vals, nbits, offs, nrows, interpret, K=K_PLACE):
     sh = (offs & 31).astype(jnp.uint32)
     live = nbits > 0
     lo = jnp.where(live, vals, jnp.uint32(0))
-    # both callers' fields never straddle a word (8-bit at byte
-    # offsets / 32-bit word-aligned): single contribution plane
     c0 = (lo << sh).astype(jnp.int32)
+    # next-word spill (merged multi-byte fields at byte offsets;
+    # identically zero for 8-bit or word-aligned callers)
+    c1 = jnp.where(sh > 0,
+                   jax.lax.shift_right_logical(
+                       lo, (jnp.uint32(32) - sh) & jnp.uint32(31)),
+                   jnp.uint32(0)).astype(jnp.int32)
 
     word = jnp.right_shift(offs, 5)
     bases = jnp.right_shift(offs[:, ::K], 5)
@@ -912,7 +1015,8 @@ def _pack_fields(vals, nbits, offs, nrows, interpret, K=K_PLACE):
                      0, 254)
     live_c = jnp.any(prep(jnp.where(live, 1, 0)) > 0, axis=2,
                      keepdims=True)
-    w0, w1 = chunk_windows2_pallas(local, prep(c0), interpret=interpret)
+    w0, w1 = chunk_windows2_pallas(local, prep(c0), prep(c1),
+                                   interpret=interpret)
     nsup = nchunks_p // SUP_CHUNKS
     superbase = jnp.clip(bases_p[:, ::SUP_CHUNKS], 0,
                          (nrows - ACC_ROWS) * 128)
@@ -1137,14 +1241,24 @@ def decode_many(datas, interpret: bool = False, hints=None,
     nrows_out = -(-(total // 4 + 2 + 6144 + 192) // 128)
     nrows_out = -(-nrows_out // 8) * 8
     # emission compaction bound: the kernel reports the EXACT literal
-    # count (steps[:, 2]), so the compacted problem is sized to the
-    # true literal stream; bucketed so jit traces stay few. Positions
-    # must fit pos<<8 (total < 2^23). Only worth it when it at least
-    # halves the pack problem — otherwise the extra pass loses.
+    # and merged-run-head counts (steps[:, 2] / [:, 3]), so the
+    # compacted problem is sized to the true entry stream; bucketed so
+    # jit traces stay few. Positions must fit pos<<8 (total < 2^23).
+    # The fused path sizes by MERGED entries (<= literals, typically
+    # ~4x fewer — ECG literal runs are long); the XLA-transpose path
+    # compacts single bytes and needs the full literal capacity. Only
+    # worth it when it at least halves the pack problem.
     lit_total = int(steps_np[:, 2].sum())
+    merged_total = int(steps_np[:, 3].sum())
     grid = nrows_l * 128 * s_eff
     sc_rows = 0
-    if total < (1 << 23):
+    fused = s_eff <= 128 and total < (1 << 23)
+    if fused:
+        sc_rows = -(-(-(-merged_total // 128) + 144) // 512) * 512
+        if sc_rows > SC_ROWS_CAP_FUSED:
+            fused = False
+            sc_rows = 0
+    if not fused and total < (1 << 23):
         sc_rows = -(-(-(-lit_total // 128) + 144) // 512) * 512
         if sc_rows > SC_ROWS_CAP or sc_rows * 128 * 2 > grid:
             sc_rows = 0  # no shrink / compaction output past VMEM cap
@@ -1152,7 +1266,7 @@ def decode_many(datas, interpret: bool = False, hints=None,
         emis, steps, counts, jnp.asarray(block_first),
         jnp.asarray(out_off_a), jnp.asarray(out_limit_a),
         jnp.asarray(lane_live), s_eff, nrows_out, sc_rows=sc_rows,
-        interpret=interpret)
+        fused=fused, interpret=interpret)
     words_np = np.asarray(words).reshape(-1)
     if words_np[-1] != 0:  # fallback overflow: pathological sparsity
         global overflow_fallbacks

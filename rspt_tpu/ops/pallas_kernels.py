@@ -117,19 +117,22 @@ def _mxu_iprefix32(c, tri):
     return acc
 
 
-def _chunk_windows1_kernel(local_ref, c0_ref, dense_ref):
-    """Single-plane chunk_windows: for fields that never spill their
-    word (8-bit at byte offsets, 32-bit word-aligned — the decoder
-    placement cases) planes c1/c2 are identically zero, so one MXU
-    prefix + one gather replaces three of each. All 128 lanes may be
-    live (K=128 keeps the chunk reshape a pure reshape — a 127-wide
-    chunking relayouts the whole stream at a prime stride): the
-    explicit loc[127] test extends the 7-step search to cnt=128, and
-    the INCLUSIVE prefix gathered at cnt-1 represents "all"."""
+def _chunk_windows1_kernel(local_ref, c0_ref, c1_ref, dense_ref):
+    """Single-gather chunk_windows: one MXU prefix + one gather per
+    contribution plane. c0 is each entry's contribution to its own
+    word, c1 the spill into the NEXT word (zero when the field fits —
+    8-bit at byte offsets never spills; merged multi-byte placements
+    do). All 128 lanes may be live (K=128 keeps the chunk reshape a
+    pure reshape — a 127-wide chunking relayouts the whole stream at a
+    prime stride): the explicit loc[127] test extends the 7-step
+    search to cnt=128, and the INCLUSIVE prefix gathered at cnt-1
+    represents "all". The c1 plane reuses the same search counts (the
+    spill of entries at word w-1 lands at w)."""
     loc = local_ref[0]
     lane = jax.lax.broadcasted_iota(jnp.int32, loc.shape, 1)
     tri = _tri128()
     incl = _mxu_iprefix32(c0_ref[0], tri)
+    incl1 = _mxu_iprefix32(c1_ref[0], tri)
     l127 = loc[:, 127:128]
 
     def search(target):
@@ -140,39 +143,48 @@ def _chunk_windows1_kernel(local_ref, c0_ref, dense_ref):
             cnt = jnp.where(vb <= target, t, cnt)
         return jnp.where(l127 <= target, 128, cnt)
 
-    def gsum(cnt):
-        g = jnp.take_along_axis(incl, jnp.clip(cnt - 1, 0, 127), axis=1)
+    def gsum(incl_, cnt):
+        g = jnp.take_along_axis(incl_, jnp.clip(cnt - 1, 0, 127),
+                                axis=1)
         return jnp.where(cnt == 0, 0, g)
 
-    g0 = gsum(search(lane))
-    dense_ref[0] = g0 - jnp.where(lane < 1, 0, pltpu.roll(g0, 1, 1))
+    cnt0 = search(lane)
+    g0 = gsum(incl, cnt0)
+    g1 = gsum(incl1, cnt0)
+    d1 = g1 - jnp.where(lane < 1, 0, pltpu.roll(g1, 1, 1))
+    dense_ref[0] = (g0 - jnp.where(lane < 1, 0, pltpu.roll(g0, 1, 1))
+                    + jnp.where(lane < 1, 0, pltpu.roll(d1, 1, 1)))
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def chunk_windows1_pallas(local, c0, interpret: bool = False):
-    """chunk_windows_pallas for single-word fields (c1 = c2 = 0)."""
+def chunk_windows1_pallas(local, c0, c1=None, interpret: bool = False):
+    """chunk_windows_pallas for <=2-word fields (c1 spills to word+1)."""
     nb, nc, _ = local.shape
+    if c1 is None:
+        c1 = jnp.zeros_like(c0)
     spec = pl.BlockSpec((1, R_CW, 128), lambda b, g: (b, g, 0),
                         memory_space=pltpu.VMEM)
     return pl.pallas_call(
         _chunk_windows1_kernel,
         out_shape=jax.ShapeDtypeStruct((nb, nc, 128), jnp.int32),
         grid=(nb, nc // R_CW),
-        in_specs=[spec] * 2,
+        in_specs=[spec] * 3,
         out_specs=spec,
         interpret=interpret,
-    )(local, c0)
+    )(local, c0, c1)
 
 
-def _chunk_windows2_kernel(local_ref, c0_ref, d0_ref, d1_ref):
+def _chunk_windows2_kernel(local_ref, c0_ref, c1_ref, d0_ref, d1_ref):
     """Two-row variant of _chunk_windows1_kernel: dense window rows
     for words 0..127 and 128..255 past the chunk base (span <= 254
-    words), for single-plane fields whose 128 entries can straddle
-    long gaps — the decoder's literal placement across zero runs."""
+    words), for fields whose 128 entries can straddle long gaps — the
+    decoder's literal placement across zero runs. The c1 plane carries
+    next-word spills (merged multi-byte placements)."""
     loc = local_ref[0]
     lane = jax.lax.broadcasted_iota(jnp.int32, loc.shape, 1)
     tri = _tri128()
     incl = _mxu_iprefix32(c0_ref[0], tri)
+    incl1 = _mxu_iprefix32(c1_ref[0], tri)
     l127 = loc[:, 127:128]
 
     def search(target):
@@ -183,21 +195,39 @@ def _chunk_windows2_kernel(local_ref, c0_ref, d0_ref, d1_ref):
             cnt = jnp.where(vb <= target, t, cnt)
         return jnp.where(l127 <= target, 128, cnt)
 
-    def gsum(cnt):
-        g = jnp.take_along_axis(incl, jnp.clip(cnt - 1, 0, 127), axis=1)
+    def gsum(incl_, cnt):
+        g = jnp.take_along_axis(incl_, jnp.clip(cnt - 1, 0, 127),
+                                axis=1)
         return jnp.where(cnt == 0, 0, g)
 
-    g0l = gsum(search(lane))
-    g0h = gsum(search(lane + 128))
-    d0_ref[0] = g0l - jnp.where(lane < 1, 0, pltpu.roll(g0l, 1, 1))
-    d1_ref[0] = g0h - jnp.where(lane < 1, pltpu.roll(g0l, 1, 1),
-                                pltpu.roll(g0h, 1, 1))
+    cl = search(lane)
+    ch = search(lane + 128)
+    g0l = gsum(incl, cl)
+    g0h = gsum(incl, ch)
+    g1l = gsum(incl1, cl)
+    g1h = gsum(incl1, ch)
+    # per-word sums of each plane (diff of gathered prefixes), then
+    # the spill plane shifts one word right (crossing the row split:
+    # word 128's spill comes from word 127)
+    s1l = g1l - jnp.where(lane < 1, 0, pltpu.roll(g1l, 1, 1))
+    s1h = g1h - jnp.where(lane < 1, pltpu.roll(g1l, 1, 1),
+                          pltpu.roll(g1h, 1, 1))
+    d0_ref[0] = (g0l - jnp.where(lane < 1, 0, pltpu.roll(g0l, 1, 1))
+                 + jnp.where(lane < 1, 0, pltpu.roll(s1l, 1, 1)))
+    d1_ref[0] = (g0h - jnp.where(lane < 1, pltpu.roll(g0l, 1, 1),
+                                 pltpu.roll(g0h, 1, 1))
+                 + jnp.where(lane < 1,
+                             jnp.broadcast_to(s1l[:, 127:128],
+                                              s1l.shape),
+                             pltpu.roll(s1h, 1, 1)))
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def chunk_windows2_pallas(local, c0, interpret: bool = False):
+def chunk_windows2_pallas(local, c0, c1=None, interpret: bool = False):
     """chunk_windows1 with a 2-row (256-word) window per chunk."""
     nb, nc, _ = local.shape
+    if c1 is None:
+        c1 = jnp.zeros_like(c0)
     spec = pl.BlockSpec((1, R_CW, 128), lambda b, g: (b, g, 0),
                         memory_space=pltpu.VMEM)
     return pl.pallas_call(
@@ -205,10 +235,10 @@ def chunk_windows2_pallas(local, c0, interpret: bool = False):
         out_shape=(jax.ShapeDtypeStruct((nb, nc, 128), jnp.int32),
                    jax.ShapeDtypeStruct((nb, nc, 128), jnp.int32)),
         grid=(nb, nc // R_CW),
-        in_specs=[spec] * 2,
+        in_specs=[spec] * 3,
         out_specs=(spec, spec),
         interpret=interpret,
-    )(local, c0)
+    )(local, c0, c1)
 
 
 def _merge_place_kernel(dense_ref, dw_ref, gbase_ref, glive_ref,
@@ -859,6 +889,24 @@ def _compact_tokens_kernel(base_ref, tokw_ref, out_ref, carry_ref,
     w = tokw_ref[0, 0]                       # (R_CT, 128)
     valid = (w != 0).astype(jnp.int32) if nonzero_valid \
         else jnp.right_shift(w, 27) & 1
+    _compact_tile_place(w, valid, out_ref, carry_ref)
+
+
+def _compact_tile_place(w, valid, out_ref, carry_ref, extra=(),
+                        row_offs=(0,)):
+    """Shared whole-tile order-preserving compaction body: place the
+    `valid` entries of one (128, 128) tile `w` densely at the running
+    flat index carry_ref[0], then advance the carry by the tile's
+    valid count.  (The compact kernel's MXU recipe — in-row tri-dot
+    ranks, 7-step source binary search, roll + one-hot byte-quarter
+    placement — factored out so the fused decode-placement kernel can
+    reuse it on a tile it computed in-kernel.)
+
+    extra: additional value planes placed with the SAME ranks (the
+    rank dot, source search, and one-hot row masks are computed once);
+    plane i lands at out_ref row offset row_offs[i] (row_offs[0] for
+    `w`). Lets the merged decode placement emit paired
+    (position-meta, value) words for one compaction cost."""
     lane = jax.lax.broadcasted_iota(jnp.int32, w.shape, 1)
     tri = _tri128()
     vr = jax.lax.dot_general(valid.astype(jnp.bfloat16), tri,
@@ -873,9 +921,8 @@ def _compact_tokens_kernel(base_ref, tokw_ref, out_ref, carry_ref,
         nxt = src + step
         v = jnp.take_along_axis(vr, nxt - 1, axis=1)
         src = jnp.where(v <= lane, nxt, src)
-    packed = jnp.where(lane < cnt,
-                       jnp.take_along_axis(w, jnp.minimum(src, 127),
-                                           axis=1), 0)
+    srcc = jnp.minimum(src, 127)
+    inrow = lane < cnt
 
     # exclusive cross-row carry of the counts (<=128: one quarter)
     R = w.shape[0]
@@ -893,18 +940,13 @@ def _compact_tokens_kernel(base_ref, tokw_ref, out_ref, carry_ref,
     # issue cost dominated (measured ~2x on the compact stage)
     carry = carry_ref[0]
     lane8 = jax.lax.broadcasted_iota(jnp.int32, (R, 128), 1)
-    rowiota = jax.lax.broadcasted_iota(jnp.int32, (CT_TACC, R), 0)
+    rowiota = jax.lax.broadcasted_iota(jnp.int32, (R + 8, R), 0)
     u32 = jnp.uint32
 
     off = carry + rowbase                            # (R, 1)
     row0 = off[0, 0] >> 7
     d = off - (row0 << 7)                            # 0..R*128/128+1
     sh = d & 127
-    rot = packed
-    for k in (1, 2, 4, 8, 16, 32, 64):
-        rot = jnp.where((sh & k) != 0, pltpu.roll(rot, k, 1), rot)
-    lo = jnp.where(lane8 >= sh, rot, 0)
-    hi = jnp.where(lane8 < sh, rot, 0)
     rc = (d >> 7).reshape(1, R)                      # acc row per source
     x_lo = (rowiota == rc).astype(jnp.float32)
     x_hi = (rowiota == rc + 1).astype(jnp.float32)
@@ -915,41 +957,51 @@ def _compact_tokens_kernel(base_ref, tokw_ref, out_ref, carry_ref,
                               jnp.int32).astype(jnp.float32)
                 for q in range(4)]
 
-    qlo = quarters(lo)
-    qhi = quarters(hi)
     dot = functools.partial(jnp.dot,
                             preferred_element_type=jnp.float32)
-    acc = jnp.zeros((CT_TACC, 128), jnp.int32)
-    for q in range(4):
-        a_q = dot(x_lo, qlo[q]) + dot(x_hi, qhi[q])
-        acc = acc | (a_q.astype(jnp.int32) << (8 * q))
-    out_ref[0, pl.ds(row0, CT_TACC), :] += acc
+    tacc = R + 8          # R-row tile spans <= R + 2 acc rows
+    for plane, ro in zip((w,) + tuple(extra), row_offs):
+        packed = jnp.where(inrow,
+                           jnp.take_along_axis(plane, srcc, axis=1), 0)
+        rot = packed
+        for k in (1, 2, 4, 8, 16, 32, 64):
+            rot = jnp.where((sh & k) != 0, pltpu.roll(rot, k, 1), rot)
+        lo = jnp.where(lane8 >= sh, rot, 0)
+        hi = jnp.where(lane8 < sh, rot, 0)
+        qlo = quarters(lo)
+        qhi = quarters(hi)
+        acc = jnp.zeros((tacc, 128), jnp.int32)
+        for q in range(4):
+            a_q = dot(x_lo, qlo[q]) + dot(x_hi, qhi[q])
+            acc = acc | (a_q.astype(jnp.int32) << (8 * q))
+        out_ref[0, pl.ds(ro + row0, tacc), :] += acc
 
     carry_ref[0] = carry + rowbase[R - 1, 0] + cnt[R - 1, 0]
 
 
 @functools.partial(jax.jit,
                    static_argnames=("t_rows", "interpret",
-                                    "nonzero_valid"))
+                                    "nonzero_valid", "r_ct"))
 def compact_tokens_pallas(tokw, bases, t_rows: int,
                           interpret: bool = False,
-                          nonzero_valid: bool = False):
+                          nonzero_valid: bool = False,
+                          r_ct: int = R_CT):
     """(nb, ntok) token words → (t_rows, 128) flat compacted tokens;
     block b's valid tokens land in order at flat index bases[b]
     (host-computed from the histograms, group-aligned). t_rows must
-    give >= CT_TACC rows of headroom past the last block's span."""
+    give >= r_ct + 8 rows of headroom past the last block's span."""
     nb, ntok = tokw.shape
-    ntiles = -(-ntok // (R_CT * 128))
+    ntiles = -(-ntok // (r_ct * 128))
     t4 = jnp.pad(tokw.astype(jnp.int32),
-                 ((0, 0), (0, ntiles * R_CT * 128 - ntok))
-                 ).reshape(nb, ntiles, R_CT, 128)
+                 ((0, 0), (0, ntiles * r_ct * 128 - ntok))
+                 ).reshape(nb, ntiles, r_ct, 128)
     out = pl.pallas_call(
         _make_compact_kernel(nonzero_valid),
         out_shape=jax.ShapeDtypeStruct((1, t_rows, 128), jnp.int32),
         grid=(nb, ntiles),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, R_CT, 128), lambda b, t: (b, t, 0, 0),
+            pl.BlockSpec((1, 1, r_ct, 128), lambda b, t: (b, t, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, t_rows, 128), lambda b, t: (0, 0, 0),
@@ -958,6 +1010,159 @@ def compact_tokens_pallas(tokw, bases, t_rows: int,
         interpret=interpret,
     )(bases, t4)
     return out[0]
+
+
+def _make_place_compact_kernel(sc_rows: int):
+    def kernel(steps_ref, emis_ref, meta_ref, out_ref, carry_ref):
+        return _place_compact_kernel(steps_ref, emis_ref, meta_ref,
+                                     out_ref, carry_ref, sc_rows)
+    return kernel
+
+
+def _place_compact_kernel(steps_ref, emis_ref, meta_ref, out_ref,
+                          carry_ref, sc_rows: int):
+    """Fused decode-placement compaction over the RAW emission grid.
+
+    One grid step handles one (tile, sublane) 128-lane group: load the
+    group's (128 steps, 128 lanes) slice of the decode kernel's
+    emission grid straight from HBM (no XLA relayout — the major-dim
+    transpose of the full grid used to dominate decode placement),
+    transpose steps<->lanes in-kernel with exact byte-quarter MXU dots
+    against the identity (dot_general contracting dim1 x dim1 — the
+    MXU-native rhs-transposed form; u8 quarters are bf16-exact), MERGE
+    runs of consecutive-position literals into up-to-4-byte entries
+    (within one lane a literal's successor byte is the next step's
+    literal — runs are contiguous live spans after the transpose, so
+    three lane-rolls gather the run bytes), and compact the paired
+    (pos<<2|len-1, value) words in lane-major order via the shared
+    compact-tile body — meta plane at rows [0, sc_rows), values at
+    [sc_rows, 2*sc_rows).
+
+    meta holds per-lane [base, limit, live] rows (values < 2^23, so
+    three byte-quarters transpose them exactly); steps (SMEM) bounds
+    each tile's live ring rows. Mirrors hzr_decode.c's "emit literal
+    at the running output cursor" semantics (hzr_decode.c:402-480) as
+    one data-parallel pass; the merge quarters the placement entry
+    count the downstream window pack pays for."""
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _():
+        out_ref[...] = jnp.zeros(out_ref.shape, jnp.int32)
+        carry_ref[0] = 0
+
+    ri = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+    ci = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+    ident = (ri == ci).astype(jnp.bfloat16)
+    u32 = jnp.uint32
+    dotg = functools.partial(jax.lax.dot_general,
+                             dimension_numbers=(((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+
+    def quarter(x, q):
+        up = pltpu.bitcast(x, u32)
+        return pltpu.bitcast((up >> u32(8 * q)) & u32(0xFF),
+                             jnp.int32).astype(jnp.bfloat16)
+
+    def roll_left(x, k):
+        return pltpu.roll(x, 128 - k, 1)
+
+    # Mosaic wants full trailing (8, 128) blocks, so one grid step
+    # covers a whole tile: unroll its 8 sublane groups in lane order
+    # (program order keeps the compaction carry sequential).
+    for s in range(8):
+        w = emis_ref[0, :, s, :]                 # (128 steps, 128 lanes)
+        wt = jnp.zeros((128, 128), jnp.int32)
+        for q in range(4):
+            tq = dotg(ident, quarter(w, q)).astype(jnp.int32)
+            wt = wt | (tq << (8 * q))
+        # wt[lane, step] = w[step, lane]
+
+        # per-lane metadata rows -> columns via the same exact dots
+        m = meta_ref[0, s]                       # (3,128) [base,lim,liv]
+        mt = jnp.zeros((128, 128), jnp.int32)
+        mp = jnp.pad(m, ((0, 125), (0, 0)))
+        for q in range(3):
+            tq = dotg(ident, quarter(mp, q)).astype(jnp.int32)
+            mt = mt | (tq << (8 * q))
+        base = mt[:, 0:1]
+        lim = mt[:, 1:2]
+        liv = mt[:, 2:3]
+
+        sym = wt & 0x1FF
+        outc = jax.lax.shift_right_logical(wt, 9)
+        pos = base + outc
+        live = ((sym > 0) & (ci < steps_ref[t]) & (pos < lim)
+                & (liv > 0))
+
+        # ---- merge: literal runs are contiguous live spans within a
+        # row (a literal emits exactly one byte, and steps stay active
+        # until the lane finishes), so live neighbors at cols i+1..i+3
+        # hold the next output bytes. Keep every 4th entry of a run.
+        liv32 = live.astype(jnp.int32)
+        prev = jnp.where(ci >= 1, pltpu.roll(liv32, 1, 1), 0)
+        head = live & (prev == 0)
+        # row-local inclusive max-scan of head cols -> run start col
+        hl = jnp.where(head, ci, -1)
+        p = 1
+        while p < 128:
+            hl = jnp.maximum(hl, jnp.where(ci >= p,
+                                           pltpu.roll(hl, p, 1), -1))
+            p *= 2
+        keep = live & (((ci - hl) & 3) == 0)
+        in1 = (jnp.where(ci < 127, roll_left(liv32, 1), 0) > 0)
+        in2 = in1 & (jnp.where(ci < 126, roll_left(liv32, 2), 0) > 0)
+        in3 = in2 & (jnp.where(ci < 125, roll_left(liv32, 3), 0) > 0)
+        b1 = roll_left(sym, 1)
+        b2 = roll_left(sym, 2)
+        b3 = roll_left(sym, 3)
+        val32 = (sym | jnp.where(in1, b1 << 8, 0)
+                 | jnp.where(in2, b2 << 16, 0)
+                 | jnp.where(in3, b3 << 24, 0))
+        ln = (in1.astype(jnp.int32) + in2.astype(jnp.int32)
+              + in3.astype(jnp.int32))          # len - 1
+        v_meta = jnp.where(keep, (pos << 2) | ln, 0)
+        v_val = jnp.where(keep, val32, 0)
+        _compact_tile_place(v_meta, keep.astype(jnp.int32), out_ref,
+                            carry_ref, extra=(v_val,),
+                            row_offs=(0, sc_rows))
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("sc_rows", "interpret"))
+def place_compact_pallas(emis, steps_used, meta, sc_rows: int,
+                         interpret: bool = False):
+    """Raw emission grid (ntiles, MAX_STEPS>=128, 8, 128) -> compacted
+    (2*sc_rows, 128) placement words: rows [0, sc_rows) hold
+    pos<<2|len-1 metadata, rows [sc_rows, 2*sc_rows) the up-to-4 merged
+    literal bytes (little-endian; never zero, since zero bytes are
+    RLE'd, so the value plane doubles as the liveness mask). Lane-major
+    order. Covers decodes whose bucketed emission width is <= 128 steps
+    (the flagship case); wider grids take the XLA-transpose path.
+
+    meta: (ntiles, 8, 3, 128) i32 [out_base, out_limit, lane_live] per
+    lane; steps_used: (ntiles,) i32 live ring rows per tile. All meta
+    values must be < 2^23 (the caller guards total output < 8 MB).
+    sc_rows sized from the exact literal count (merged entries <=
+    literals, so the capacity bound holds a fortiori)."""
+    ntiles = emis.shape[0]
+    return pl.pallas_call(
+        _make_place_compact_kernel(sc_rows),
+        out_shape=jax.ShapeDtypeStruct((1, 2 * sc_rows, 128), jnp.int32),
+        grid=(ntiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 128, 8, 128), lambda t: (t, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, 3, 128), lambda t: (t, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 2 * sc_rows, 128),
+                               lambda t: (0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.SMEM((1,), jnp.int32)],
+        interpret=interpret,
+    )(steps_used, emis, meta)[0]
 
 
 SIDE_ROWS = 16  # sidecar placement window rows: a group's flags span

@@ -69,8 +69,12 @@ def main():
         blocks, lengths)
 
     bodies = {}
+    only = [p for p in os.environ.get("RSPT_PROF_ONLY", "").split(",")
+            if p]
 
     def add(name, body):
+        if only and not any(p in name for p in only):
+            return
         bodies[name] = body
 
     add("preprocess", lambda acc: acc + s(pre_chain(
@@ -408,6 +412,62 @@ def main():
         return a + s(words)
 
     add("dec_place", dec_place)
+
+    # pre-fused placement replica (XLA grid transpose + glue +
+    # compact_tokens): the A/B baseline for the fused placement kernel
+    def dec_place_old(acc):
+        (e, su_, cnt_, oo_, ol_), a = jax.lax.optimization_barrier(
+            ((pa[0], pa[1], pa[2], pa[4], pa[5]), acc))
+        block_first_, lane_live_ = pa[3], pa[6]
+        s_eff_, nrows_ = pa[7], pa[8]
+        # the production sc_rows is sized for MERGED entries; the old
+        # path compacts single bytes, so size from the output total
+        # (>= literal count) like the pre-merge decoder did
+        sc_rows_ = min(12288,
+                       -(-(-(-int(np.asarray(pa[2]).sum()) // 128)
+                           + 144) // 512) * 512)
+        K = 128
+        ntiles = e.shape[0]
+        nl = ntiles * 8 * 128
+        lanes = e[:, :s_eff_].transpose(0, 2, 3, 1).reshape(nl, s_eff_)
+        step_ix = jnp.arange(s_eff_, dtype=jnp.int32)[None, :]
+        live_steps = jnp.repeat(su_[:, 0], 8 * 128)[:, None]
+        flat_counts = jnp.where(lane_live_, cnt_.reshape(nl), 0)
+        total = jnp.cumsum(flat_counts)
+        excl = total - flat_counts
+        out_base = oo_ + excl - jnp.take(excl, block_first_)
+        ee = jnp.where((step_ix < live_steps) & lane_live_[:, None],
+                       lanes, (flat_counts << 9)[:, None])
+        lane_end = jnp.minimum(out_base + flat_counts, ol_)
+        ends = jnp.where(lane_live_, lane_end, 0)
+        pp = 1
+        while pp < nl:
+            ends = jnp.maximum(ends, jnp.pad(ends, (pp, 0))[:nl])
+            pp *= 2
+        carry = jnp.pad(ends, (1, 0))[:nl]
+        base_eff = jnp.where(lane_live_, out_base, carry)
+        sym = ee & 0x1FF
+        outc = jnp.right_shift(ee, 9)
+        pos_raw = base_eff[:, None] + outc
+        live = (sym > 0) & (pos_raw < ol_[:, None])
+        posx = jnp.minimum(pos_raw, jnp.maximum(ol_, carry)[:, None])
+        S = nl * s_eff_
+        v = jnp.where(live, (posx << 8) | (sym & 0xFF), 0)
+        vc = pk.compact_tokens_pallas(
+            v.reshape(1, S), jnp.zeros(1, jnp.int32), sc_rows_,
+            nonzero_valid=True)
+        flatv = vc.reshape(1, -1)
+        live_f = flatv != 0
+        pos_f = jnp.right_shift(flatv, 8)
+        pos_f = jnp.where(live_f, pos_f, jnp.max(pos_f))
+        nbits = jnp.where(live_f, 8, 0)
+        vals = jnp.where(live_f, flatv & 0xFF, 0).astype(jnp.uint32)
+        words = pd._place_words(live_f, pos_f, nbits, vals,
+                                flatv.shape[1], nrows_, False, K)
+        return a + s(words)
+
+    if pkw.get("sc_rows", 0) and pa[7] <= 128:
+        add("dec_place_old", dec_place_old)
 
     # hinted FIRST decode: the encoder-built sidecar pins the entries,
     # so the kernel runs one trusted sweep instead of the fixpoint
