@@ -123,6 +123,13 @@ def _load():
     lib.rn_decode_planes_blocks_mt.restype = ctypes.c_int
     lib.rn_decode_planes_blocks_mt.argtypes = [c_u8p, sz, ctypes.c_int, sz,
                                                c_u8p, szp, ctypes.c_int]
+    ll = ctypes.c_longlong
+    lib.rspt_lz4_max_compressed.restype = ll
+    lib.rspt_lz4_max_compressed.argtypes = [ll]
+    lib.rspt_lz4_compress.restype = ll
+    lib.rspt_lz4_compress.argtypes = [c_u8p, ll, c_u8p, ll]
+    lib.rspt_lz4_decompress.restype = ll
+    lib.rspt_lz4_decompress.argtypes = [c_u8p, ll, c_u8p, ll]
     _LIB = lib
     return lib
 
@@ -521,3 +528,27 @@ def decode_planes_mt(src, nplanes: int, plane_len: int,
     if rc:
         raise ValueError("plane decode failed")
     return planes, consumed.value
+
+
+def lz4_compress(data) -> bytes:
+    """Clean-room LZ4 block compress (rspt_native.cpp, greedy 5-byte
+    hash). Interop-tested against the reference's vendored lz4.c."""
+    lib = _load()
+    buf = _u8(data)
+    cap = int(lib.rspt_lz4_max_compressed(buf.size))
+    out = np.empty(cap, dtype=np.uint8)
+    n = lib.rspt_lz4_compress(_p8(buf), buf.size, _p8(out), cap)
+    if n <= 0:
+        raise ValueError("lz4 compress failed")
+    return out[:n].tobytes()
+
+
+def lz4_decompress(data, out_len: int) -> bytes:
+    """Bounds-checked LZ4 block decompress; raises on malformed input."""
+    lib = _load()
+    buf = _u8(data)
+    out = np.empty(max(out_len, 1), dtype=np.uint8)
+    n = lib.rspt_lz4_decompress(_p8(buf), buf.size, _p8(out), out_len)
+    if n != out_len:
+        raise ValueError(f"lz4 decompress failed (rc={n})")
+    return out[:out_len].tobytes()

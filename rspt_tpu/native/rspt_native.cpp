@@ -1865,3 +1865,248 @@ int rn_stream_filter_pack(const uint8_t* src, size_t ns, size_t nframes,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// LZ4 block codec — clean-room implementation of the public LZ4 block
+// format. The reference vendors lz4.c/lz4hc.c as a dormant alternate
+// plane backend (signal_packer_base.cpp:26-28,73-76,107-109 — the calls
+// are commented out). Here the backend is live: the container dispatches
+// it per stream via the method byte's 0x40 flag (packers/container.py).
+//
+// Format (spec, not code, from the LZ4 block format description):
+//   sequence := token(1B: hi nibble literal_len, lo nibble match_len-4)
+//               [literal_len ext: 255* then <255] literals
+//               offset(2B LE, 1..65535) [match_len ext: 255* then <255]
+//   last sequence is literals-only; encoder must keep the final 5 bytes
+//   as literals and start no match within the final 12 bytes.
+// Interop with the reference's vendored lz4.c is tested both directions
+// (tests/test_lz4.py).
+// ---------------------------------------------------------------------------
+
+namespace lz4blk {
+
+constexpr int kHashLog = 16;
+constexpr size_t kMinMatch = 4;
+constexpr size_t kLastLiterals = 5;
+constexpr size_t kMfLimit = 12;
+constexpr size_t kMaxOffset = 65535;
+
+static inline uint32_t rd32(const uint8_t* p) {
+    uint32_t v;
+    std::memcpy(&v, p, 4);
+    return v;
+}
+
+static inline uint32_t hash4(uint32_t v) {
+    return (v * 2654435761u) >> (32 - kHashLog);
+}
+
+// 5-byte hash: fewer collisions than 4-byte on low-entropy data, so the
+// stored candidate is likelier to extend into a long match.
+static inline uint32_t hash5(const uint8_t* p) {
+    uint64_t v;
+    std::memcpy(&v, p, 8);
+    return (uint32_t)(((v << 24) * 889523592379ull) >> (64 - kHashLog));
+}
+
+// Length of the common prefix of [a, alimit) and the run at b (b < a).
+static inline size_t run_fwd(const uint8_t* a, const uint8_t* b,
+                             const uint8_t* alimit) {
+    const uint8_t* a0 = a;
+    while (a + 8 <= alimit) {
+        uint64_t xa, xb;
+        std::memcpy(&xa, a, 8);
+        std::memcpy(&xb, b, 8);
+        uint64_t x = xa ^ xb;
+        if (x) return (size_t)(a - a0) + ((size_t)__builtin_ctzll(x) >> 3);
+        a += 8;
+        b += 8;
+    }
+    while (a < alimit && *a == *b) {
+        ++a;
+        ++b;
+    }
+    return (size_t)(a - a0);
+}
+
+}  // namespace lz4blk
+
+extern "C" {
+
+long long rspt_lz4_max_compressed(long long n) {
+    return n + n / 255 + 16;
+}
+
+// Greedy hash-table compressor (LZ4_compress_default class). Returns the
+// compressed size, or 0 if dst is too small.
+long long rspt_lz4_compress(const uint8_t* src, long long n_, uint8_t* dst,
+                            long long cap_) {
+    using namespace lz4blk;
+    if (n_ < 0 || cap_ <= 0) return 0;
+    const size_t n = (size_t)n_;
+    uint8_t* op = dst;
+    uint8_t* const oend = dst + (size_t)cap_;
+    const uint8_t* ip = src;
+    const uint8_t* const iend = src + n;
+    const uint8_t* anchor = src;
+
+    auto emit_last = [&]() -> long long {
+        size_t lit = (size_t)(iend - anchor);
+        if ((size_t)(oend - op) < 1 + lit / 255 + 1 + lit) return 0;
+        size_t l = lit;
+        if (l >= 15) {
+            *op++ = 0xF0;
+            l -= 15;
+            while (l >= 255) {
+                *op++ = 255;
+                l -= 255;
+            }
+            *op++ = (uint8_t)l;
+        } else {
+            *op++ = (uint8_t)(l << 4);
+        }
+        std::memcpy(op, anchor, lit);
+        op += lit;
+        return (long long)(op - dst);
+    };
+
+    if (n <= kMfLimit) return emit_last();
+
+    std::vector<uint32_t> htab((size_t)1 << kHashLog, 0);
+    const uint8_t* const mflimit = iend - kMfLimit;
+    const uint8_t* const matchlimit = iend - kLastLiterals;
+
+    htab[hash5(ip)] = 0;
+    ++ip;
+
+    for (;;) {
+        // -- find a match (skip-accelerated probe) --
+        const uint8_t* cand;
+        uint32_t probes = 1u << 6;
+        for (;;) {
+            if (ip > mflimit) return emit_last();
+            uint32_t h = hash5(ip);
+            cand = src + htab[h];
+            htab[h] = (uint32_t)(ip - src);
+            if (cand < ip && (size_t)(ip - cand) <= kMaxOffset &&
+                rd32(cand) == rd32(ip))
+                break;
+            ip += (probes++ >> 6);
+        }
+
+        // -- extend backwards over pending literals --
+        while (ip > anchor && cand > src && ip[-1] == cand[-1]) {
+            --ip;
+            --cand;
+        }
+
+        size_t lit = (size_t)(ip - anchor);
+        size_t mlen =
+            kMinMatch + run_fwd(ip + kMinMatch, cand + kMinMatch, matchlimit);
+        size_t off = (size_t)(ip - cand);
+
+        size_t need = 1 + lit / 255 + 1 + lit + 2 + (mlen - kMinMatch) / 255 +
+                      1 + kLastLiterals + 2;
+        if ((size_t)(oend - op) < need) return 0;
+
+        uint8_t* token = op++;
+        size_t l = lit;
+        if (l >= 15) {
+            *token = 0xF0;
+            l -= 15;
+            while (l >= 255) {
+                *op++ = 255;
+                l -= 255;
+            }
+            *op++ = (uint8_t)l;
+        } else {
+            *token = (uint8_t)(l << 4);
+        }
+        std::memcpy(op, anchor, lit);
+        op += lit;
+
+        uint16_t off16 = (uint16_t)off;
+        std::memcpy(op, &off16, 2);
+        op += 2;
+
+        size_t m = mlen - kMinMatch;
+        if (m >= 15) {
+            *token |= 15;
+            m -= 15;
+            while (m >= 255) {
+                *op++ = 255;
+                m -= 255;
+            }
+            *op++ = (uint8_t)m;
+        } else {
+            *token |= (uint8_t)m;
+        }
+
+        ip += mlen;
+        anchor = ip;
+        if (ip > mflimit) return emit_last();
+        // refresh the table near the match tail so runs keep chaining
+        htab[hash5(ip - 2)] = (uint32_t)(ip - 2 - src);
+    }
+}
+
+// Bounds-checked decompressor (LZ4_decompress_safe class). Returns the
+// decoded size, or -1 on malformed input / overflow.
+long long rspt_lz4_decompress(const uint8_t* src, long long n_, uint8_t* dst,
+                              long long cap_) {
+    using namespace lz4blk;
+    if (n_ <= 0 || cap_ < 0) return -1;
+    const uint8_t* ip = src;
+    const uint8_t* const iend = src + (size_t)n_;
+    uint8_t* op = dst;
+    uint8_t* const oend = dst + (size_t)cap_;
+
+    for (;;) {
+        if (ip >= iend) return -1;
+        uint32_t token = *ip++;
+        size_t lit = token >> 4;
+        if (lit == 15) {
+            uint32_t b;
+            do {
+                if (ip >= iend) return -1;
+                b = *ip++;
+                lit += b;
+            } while (b == 255);
+        }
+        if ((size_t)(iend - ip) < lit || (size_t)(oend - op) < lit) return -1;
+        std::memcpy(op, ip, lit);
+        op += lit;
+        ip += lit;
+        if (ip == iend) break;  // last sequence: literals only
+
+        if ((size_t)(iend - ip) < 2) return -1;
+        uint16_t off16;
+        std::memcpy(&off16, ip, 2);
+        ip += 2;
+        size_t off = off16;
+        if (off == 0 || (size_t)(op - dst) < off) return -1;
+
+        size_t mlen = (token & 15) + kMinMatch;
+        if ((token & 15) == 15) {
+            uint32_t b;
+            do {
+                if (ip >= iend) return -1;
+                b = *ip++;
+                mlen += b;
+            } while (b == 255);
+        }
+        if ((size_t)(oend - op) < mlen) return -1;
+        const uint8_t* mp = op - off;
+        if (off >= 8) {
+            size_t i = 0;
+            for (; i + 8 <= mlen; i += 8) std::memcpy(op + i, mp + i, 8);
+            for (; i < mlen; ++i) op[i] = mp[i];
+        } else {
+            for (size_t i = 0; i < mlen; ++i) op[i] = mp[i];
+        }
+        op += mlen;
+    }
+    return (long long)(op - dst);
+}
+
+}  // extern "C"

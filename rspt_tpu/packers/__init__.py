@@ -37,8 +37,25 @@ def _resolve(engine: str) -> str:
     return "host"
 
 
-def _mod(engine: str):
+def _mod(engine: str, kw=None):
     engine = _resolve(engine)
+    # The LZ4 plane backend (container.PLANE_LZ4 method-byte flag) is a
+    # host-side serving option — sequential byte matching is not a TPU
+    # kernel, mirroring the reference where LZ4 is plain C
+    # (signal_packer_base.cpp:73-76, dormant there, live here). The
+    # native engine's MT pipeline is hzr-specialized, so LZ4 containers
+    # run through the host packers (the plane codec itself is the
+    # native C++ LZ4 when librspt_native is available).
+    pb = kw.pop("plane_backend", "hzr") if kw is not None else "hzr"
+    if pb == "lz4":
+        if engine == "tpu":
+            raise ValueError(
+                "plane_backend='lz4' is host-side; use engine='host', "
+                "'native', or 'auto'")
+        engine = "host"
+        kw["plane_backend"] = "lz4"
+    elif pb != "hzr":
+        raise ValueError(f"unknown plane backend {pb!r}")
     if engine == "native":
         from . import native as m
     elif engine == "tpu":
@@ -51,22 +68,22 @@ def _mod(engine: str):
 
 
 def new_hzr(bytes_per_sample, nr_channels, nr_samples, engine="auto", **kw):
-    return _mod(engine).new_hzr(bytes_per_sample, nr_channels, nr_samples,
-                                **kw)
+    return _mod(engine, kw).new_hzr(bytes_per_sample, nr_channels, nr_samples,
+                                    **kw)
 
 
 def new_xdelta_hzr(bytes_per_sample, nr_channels, nr_samples,
                    nr_bytes_to_encode, engine="auto", **kw):
-    return _mod(engine).new_xdelta_hzr(
+    return _mod(engine, kw).new_xdelta_hzr(
         bytes_per_sample, nr_channels, nr_samples, nr_bytes_to_encode, **kw)
 
 
 def new_dct(bytes_per_sample, nr_channels, nr_samples, engine="auto", **kw):
-    return _mod(engine).new_dct(bytes_per_sample, nr_channels, nr_samples,
-                                **kw)
+    return _mod(engine, kw).new_dct(bytes_per_sample, nr_channels,
+                                    nr_samples, **kw)
 
 
 def new_hadamard(bytes_per_sample, nr_channels, nr_samples, engine="auto",
                  **kw):
-    return _mod(engine).new_hadamard(bytes_per_sample, nr_channels,
-                                     nr_samples, **kw)
+    return _mod(engine, kw).new_hadamard(bytes_per_sample, nr_channels,
+                                         nr_samples, **kw)

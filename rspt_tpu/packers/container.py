@@ -23,15 +23,40 @@ from ..ops import numpy_ops as nops
 
 _LEN_BYTES = 4  # CHUNK_MAX_SIZE_TYPE = uint32 (base.cpp:36)
 
-# Alternate entropy-backend slots: the reference keeps dormant LZ4/LZ4HC
-# and zzip (BWT) calls commented out on this same per-plane boundary
-# (signal_packer_base.cpp:26-28,73-76,107-109). The container's method
-# byte + per-plane length prefix leave room to plug such backends in via
-# the ``encode_plane``/``decode_plane`` hooks below without a format
-# change; they are intentionally not ported (SURVEY §2.4).
-# The reference also declares a ``new_lala`` factory that is never
-# defined anywhere (signal_packer.h:71, call commented out in
-# rspt_test.cpp:155-157) — reproduced here only as this note.
+# Alternate entropy backends: the reference keeps dormant LZ4/LZ4HC and
+# zzip (BWT) calls commented out on this same per-plane boundary
+# (signal_packer_base.cpp:26-28,73-76,107-109) — a compile-time swap.
+# Here the LZ4 backend is LIVE and self-describing: bit 0x40 of the
+# method byte marks LZ4-coded planes, and decompress_i32 dispatches on
+# it (the low 6 bits keep the reference's packer-type values 0/1/2, so
+# flag-free streams stay byte-identical to the reference format).
+# zzip/BWT remains unported (SURVEY §2.4). The reference also declares
+# a ``new_lala`` factory that is never defined anywhere
+# (signal_packer.h:71, call commented out in rspt_test.cpp:155-157) —
+# reproduced here only as this note.
+
+PLANE_LZ4 = 0x40
+METHOD_MASK = 0x3F
+
+
+def plane_codec(use_lz4: bool, plane_len: int):
+    """(encode_plane, decode_plane) pair for a backend choice.
+
+    hzr streams are self-framing (embedded total + CRC); LZ4 block
+    streams are not, so the decoder closure binds the container-known
+    plane length. Native LZ4 is preferred; the Python spec codec
+    (formats/lz4_block.py) is the fallback.
+    """
+    if not use_lz4:
+        return hzr.encode, (lambda b: hzr.decode(b))
+    try:
+        from ..native import bindings as nb
+        nb._load()
+        return nb.lz4_compress, (lambda b: nb.lz4_decompress(b, plane_len))
+    except Exception:  # pragma: no cover - native build unavailable
+        from ..formats import lz4_block
+        return (lz4_block.compress,
+                lambda b: lz4_block.decompress(b, plane_len))
 
 
 def compress_i32(enc: np.ndarray, method: int, nr_planes: int,
@@ -43,7 +68,7 @@ def compress_i32(enc: np.ndarray, method: int, nr_planes: int,
     native, or the JAX two-pass encoder); defaults to the Python spec
     implementation.
     """
-    encode_plane = encode_plane or hzr.encode
+    encode_plane = encode_plane or plane_codec(bool(method & PLANE_LZ4), 0)[0]
     flat = enc.reshape(-1)
     planes = nops.plane_split(flat, nr_planes)
     parts = [bytes([method]), header]
@@ -62,9 +87,10 @@ def decompress_i32(src, nr_planes: int, plane_len: int,
     Mirrors signal_packer_base.cpp:98-139 including per-plane-count sign
     extension on merge.
     """
-    decode_plane = decode_plane or (lambda b: hzr.decode(b))
     src = memoryview(bytes(src) if isinstance(src, np.ndarray) else src).cast("B")
     method = src[0]
+    decode_plane = decode_plane or plane_codec(
+        bool(method & PLANE_LZ4), plane_len)[1]
     pos = 1
     header = bytes(src[pos:pos + header_size])
     pos += header_size

@@ -52,10 +52,25 @@ class PackerConfig:
 
 class _PackerBase:
     def __init__(self, bytes_per_sample: int, nr_channels: int,
-                 nr_samples: int, encode_plane=None, decode_plane=None):
+                 nr_samples: int, encode_plane=None, decode_plane=None,
+                 plane_backend: str = "hzr"):
         self.cfg = PackerConfig(bytes_per_sample, nr_channels, nr_samples)
         self._encode_plane = encode_plane
         self._decode_plane = decode_plane
+        if plane_backend not in ("hzr", "lz4"):
+            raise ValueError(f"unknown plane backend {plane_backend!r}")
+        # LZ4 planes are marked in the method byte (container.PLANE_LZ4)
+        # so decode dispatches without out-of-band knowledge — the live
+        # version of the reference's commented-out LZ4 alternate.
+        self._plane_flag = container.PLANE_LZ4 if plane_backend == "lz4" else 0
+
+    @property
+    def _method(self) -> int:
+        return self.METHOD | self._plane_flag
+
+    def _check_method(self, method: int) -> None:
+        if (method & container.METHOD_MASK) != self.METHOD:
+            raise ValueError("unsupported compression method")
 
     def _to_i32(self, src) -> np.ndarray:
         c = self.cfg
@@ -74,15 +89,14 @@ class HzrPacker(_PackerBase):
 
     def compress(self, src) -> bytes:
         enc = self._to_i32(src)
-        return container.compress_i32(enc, self.METHOD, self.NR_PLANES,
+        return container.compress_i32(enc, self._method, self.NR_PLANES,
                                       encode_plane=self._encode_plane)
 
     def decompress(self, comp) -> Tuple[bytes, int]:
         c = self.cfg
         method, _, merged, consumed = container.decompress_i32(
             comp, self.NR_PLANES, c.plane_len, 0, self._decode_plane)
-        if method != self.METHOD:
-            raise ValueError("unsupported compression method")
+        self._check_method(method)
         enc = merged.reshape(c.nr_channels, c.nr_samples)
         return self._to_native(enc), consumed
 
@@ -128,14 +142,13 @@ class XdeltaHzrPacker(_PackerBase):
             self.nr_planes += 1
         return container.compress_i32(
             enc.reshape(self.cfg.nr_channels, self.cfg.nr_samples),
-            self.METHOD, self.nr_planes, encode_plane=self._encode_plane)
+            self._method, self.nr_planes, encode_plane=self._encode_plane)
 
     def decompress(self, comp) -> Tuple[bytes, int]:
         c = self.cfg
         method, _, merged, consumed = container.decompress_i32(
             comp, self.nr_planes, c.plane_len, 0, self._decode_plane)
-        if method != self.METHOD:
-            raise ValueError("unsupported compression method")
+        self._check_method(method)
         return self._postprocess(merged), consumed
 
 
@@ -192,7 +205,7 @@ class DctPacker(_PackerBase):
         flat = nops.xor_encode(nops.offset32(
             nops.delta_encode(dct.reshape(-1)), -128))
         return container.compress_i32(
-            flat.reshape(c.nr_channels, c.nr_samples), self.METHOD,
+            flat.reshape(c.nr_channels, c.nr_samples), self._method,
             self.NR_PLANES, _means_header(means),
             encode_plane=self._encode_plane)
 
@@ -201,8 +214,7 @@ class DctPacker(_PackerBase):
         method, header, merged, consumed = container.decompress_i32(
             comp, self.NR_PLANES, c.plane_len, c.nr_channels * 3,
             self._decode_plane)
-        if method != self.METHOD:
-            raise ValueError("unsupported compression method")
+        self._check_method(method)
         flat = nops.delta_decode(nops.offset32(nops.xor_decode(merged), 128), 0)
         dct = flat.reshape(c.nr_channels, c.nr_samples)
         rec = np.stack([
@@ -233,7 +245,7 @@ class HadamardPacker(_PackerBase):
             nops.fwht_normalize(nops.fwht(enc[j]), c.nr_samples, self.QUALITY)
             for j in range(c.nr_channels)])
         return container.compress_i32(
-            had, self.METHOD, self.NR_PLANES, _means_header(means),
+            had, self._method, self.NR_PLANES, _means_header(means),
             encode_plane=self._encode_plane)
 
     def decompress(self, comp) -> Tuple[bytes, int]:
@@ -241,8 +253,7 @@ class HadamardPacker(_PackerBase):
         method, header, merged, consumed = container.decompress_i32(
             comp, self.NR_PLANES, c.plane_len, c.nr_channels * 3,
             self._decode_plane)
-        if method != self.METHOD:
-            raise ValueError("unsupported compression method")
+        self._check_method(method)
         had = merged.reshape(c.nr_channels, c.nr_samples)
         rec = np.stack([
             nops.fwht_normalize2(nops.fwht(had[j]), self.QUALITY)

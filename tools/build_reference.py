@@ -22,6 +22,8 @@ SOURCES_C = [
     "lib_rspt/lib_hzr/hzr_crc32c.c",
     "lib_rspt/lib_hzr/hzr_crc32c_sse4.c",
     "lib_rspt/lib_fwht/fwht.c",
+    "lib_rspt/lib_lz4/lz4.c",
+    "lib_rspt/lib_lz4/lz4hc.c",
 ]
 SOURCES_CPP = [
     "lib_rspt/lib_signalpacker/signal_packer_base.cpp",
@@ -116,6 +118,22 @@ double ref_rwm_insert(void* m, double v)
 { return ((rolling_window_median<double>*)m)->insert(v); }
 
 }
+
+// the reference's dormant alternate plane backend
+// (signal_packer_base.cpp:73-76) — exposed as the interop oracle for
+// the repo's clean-room LZ4 block codec
+#include "lib_lz4/lz4.h"
+#include "lib_lz4/lz4hc.h"
+
+extern "C" {
+int ref_lz4_compress(const char* src, int n, char* dst, int cap)
+{ return LZ4_compress_default(src, dst, n, cap); }
+int ref_lz4_compress_hc(const char* src, int n, char* dst, int cap,
+                        int level)
+{ return LZ4_compress_HC(src, dst, n, cap, level); }
+int ref_lz4_decompress(const char* src, int n, char* dst, int cap)
+{ return LZ4_decompress_safe(src, dst, n, cap); }
+}
 """
 
 
@@ -197,6 +215,24 @@ class RefLib:
         L.ref_rwm_insert.argtypes = [ctypes.c_void_p, ctypes.c_double]
 
     KINDS = {"hzr": 0, "xdelta_hzr": 1, "dct": 2, "hadamard": 3}
+
+    def lz4_compress(self, src: bytes, hc: int = 0) -> bytes:
+        cap = len(src) + len(src) // 255 + 64
+        dst = ctypes.create_string_buffer(cap)
+        if hc:
+            n = self.lib.ref_lz4_compress_hc(src, len(src), dst, cap, hc)
+        else:
+            n = self.lib.ref_lz4_compress(src, len(src), dst, cap)
+        if n <= 0:
+            raise RuntimeError("ref lz4 compress failed")
+        return dst.raw[:n]
+
+    def lz4_decompress(self, comp: bytes, out_size: int) -> bytes:
+        dst = ctypes.create_string_buffer(max(out_size, 1))
+        n = self.lib.ref_lz4_decompress(comp, len(comp), dst, out_size)
+        if n < 0:
+            raise RuntimeError("ref lz4 decompress failed")
+        return dst.raw[:n]
 
     def compress(self, kind: str, src: bytes, bps: int, ch: int, n: int,
                  nbytes: int = 3):

@@ -367,6 +367,53 @@ def main():
 
     add("flat2_compact_batch4", flat2_b4_compact)
 
+    # batch4 windows / place sub-stages (where does the batch overhead
+    # live?)
+    flat4_dev = jax.jit(lambda t: compact_tokens_pallas(
+        t, a4[0], t_rows4).reshape(1, -1)[:, :T4])(tokw4)
+
+    def flat2_b4_windows(acc):
+        f_, a = jax.lax.optimization_barrier((flat4_dev, acc))
+        outs = token_group_windows_grouped_pallas(f_, a4[1])
+        return a + sum(s(o) for o in outs)
+
+    add("flat2_windows_batch4", flat2_b4_windows)
+
+    stageW4 = jax.jit(lambda f: token_group_windows_grouped_pallas(
+        f, a4[1]))(flat4_dev)
+
+    def flat2_b4_place(acc):
+        from rspt_tpu.ops.pallas_kernels import SUP_CHUNKS, D_CLAMP
+        (w0, w1, cbase, clive, gtot), a = jax.lax.optimization_barrier(
+            (stageW4, acc))
+        ng2 = gtot.shape[1]
+        gb = gtot
+        p = 1
+        while p < ng2:
+            gb = gb + jnp.pad(gb, ((0, 0), (p, 0)))[:, :ng2]
+            p *= 2
+        e = gb - gtot
+        e_in = e - jnp.take(e[0], a4[4])[None, :]
+        group_base = a4[3][None, :] * 8 + a4[2][None, :] + e_in
+        nc2 = cbase.shape[1]
+        nsup = nc2 // SUP_CHUNKS
+        sup_per_g = nsup // ng2
+        superbase = cbase[:, ::SUP_CHUNKS]
+        d = jnp.clip(cbase - jnp.repeat(superbase, SUP_CHUNKS, axis=1),
+                     0, D_CLAMP)
+        gb_s = jnp.repeat(group_base, sup_per_g, axis=1)
+        wbase = jnp.clip(jnp.right_shift(gb_s, 5) + superbase,
+                         0, (nrows4 - ACC_ROWS) * 128)
+        sbits = gb_s & 31
+        slive = jnp.any(clive.reshape(1, nsup, SUP_CHUNKS) > 0, axis=2)
+        w = super_place_flat_pallas(
+            w0, w1, d[:, :, None], d.reshape(1, nsup, SUP_CHUNKS),
+            wbase[:, :, None], sbits[:, :, None],
+            slive[:, :, None].astype(jnp.int32), nrows4)
+        return a + s(w)
+
+    add("flat2_place_batch4", flat2_b4_place)
+
     # --- decode: kernel vs placement (same-process, same clock) ------
     import rspt_tpu.hzr.pallas_decoder as pd
     from rspt_tpu.packers import tpu as tpack
