@@ -38,6 +38,7 @@ def _resolve(engine: str) -> str:
 
 
 def _mod(engine: str, kw=None):
+    requested = engine
     engine = _resolve(engine)
     # The LZ4 plane backend (container.PLANE_LZ4 method-byte flag) is a
     # host-side serving option — sequential byte matching is not a TPU
@@ -48,7 +49,7 @@ def _mod(engine: str, kw=None):
     # native C++ LZ4 when librspt_native is available).
     pb = kw.pop("plane_backend", "hzr") if kw is not None else "hzr"
     if pb == "lz4":
-        if engine == "tpu":
+        if requested == "tpu":
             raise ValueError(
                 "plane_backend='lz4' is host-side; use engine='host', "
                 "'native', or 'auto'")

@@ -151,7 +151,7 @@ class TestContainerDispatch:
     def test_packer_lz4_backend(self, engine, ecg3):
         p = packers.new_xdelta_hzr(3, 3, 1024, 3, engine=engine,
                                    plane_backend="lz4")
-        raw = bytes(ecg3[:3 * 3 * 1024])
+        raw = bytes(ecg3[1][:3 * 3 * 1024])
         comp = p.compress(raw)
         assert comp[0] & container.PLANE_LZ4
         out, consumed = p.decompress(comp)
