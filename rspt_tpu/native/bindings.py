@@ -68,6 +68,14 @@ def _load():
     lib.rn_dct_inverse.restype = None
     lib.rn_dct_inverse.argtypes = [c_i32p, c_i32p, c_f32p, c_f32p,
                                    ctypes.c_int, ctypes.c_double]
+    lib.rn_dct_forward_mt.restype = None
+    lib.rn_dct_forward_mt.argtypes = [c_i32p, c_i32p, c_f32p, c_f32p,
+                                      ctypes.c_int, ctypes.c_int,
+                                      ctypes.c_double, ctypes.c_int]
+    lib.rn_dct_inverse_mt.restype = None
+    lib.rn_dct_inverse_mt.argtypes = [c_i32p, c_i32p, c_f32p, c_f32p,
+                                      ctypes.c_int, ctypes.c_int,
+                                      ctypes.c_double, ctypes.c_int]
     lib.rn_fwht.restype = None
     lib.rn_fwht.argtypes = [c_i32p, c_i32p, ctypes.c_int]
     lib.rn_fwht_normalize.restype = None
@@ -274,6 +282,34 @@ def dct_inverse(dct: np.ndarray, cos_table: np.ndarray, cs: np.ndarray,
     out = np.empty(a.size, dtype=np.int32)
     _load().rn_dct_inverse(_p32(a), _p32(out), _pf32(ct), _pf32(c),
                            a.size, quality)
+    return out
+
+
+def dct_forward_mt(src: np.ndarray, cos_table: np.ndarray, cs: np.ndarray,
+                   quality: float, nthreads: int = 0) -> np.ndarray:
+    """All channels at once, threaded over (channel, output-tile); bit
+    identical to per-channel dct_forward (rspt_native.cpp dct_fwd_tile)."""
+    a = np.ascontiguousarray(src, dtype=np.int32)
+    ch, n = (1, a.size) if a.ndim == 1 else a.shape
+    ct = np.ascontiguousarray(cos_table, dtype=np.float32)
+    c = np.ascontiguousarray(cs, dtype=np.float32)
+    out = np.empty_like(a).reshape(ch, n)
+    _load().rn_dct_forward_mt(_p32(a), _p32(out), _pf32(ct), _pf32(c),
+                              ch, n, quality, nthreads)
+    return out
+
+
+def dct_inverse_mt(dct: np.ndarray, cos_table_t: np.ndarray, cs: np.ndarray,
+                   quality: float, nthreads: int = 0) -> np.ndarray:
+    """cos_table_t must be the TRANSPOSED forward table (same values,
+    contiguous rows for the tile loop)."""
+    a = np.ascontiguousarray(dct, dtype=np.int32)
+    ch, n = (1, a.size) if a.ndim == 1 else a.shape
+    ct = np.ascontiguousarray(cos_table_t, dtype=np.float32)
+    c = np.ascontiguousarray(cs, dtype=np.float32)
+    out = np.empty_like(a).reshape(ch, n)
+    _load().rn_dct_inverse_mt(_p32(a), _p32(out), _pf32(ct), _pf32(c),
+                              ch, n, quality, nthreads)
     return out
 
 

@@ -1063,6 +1063,98 @@ void rn_dct_inverse(const int32_t* dct, int32_t* out, const float* cosines,
     }
 }
 
+// Blocked + multithreaded DCT, bit-exact with the serial kernels above.
+// The per-output accumulation (signal_packer_dct.cpp:76-87) is a serial
+// f64 sum over x — but outputs i and channels are mutually independent,
+// so tiling over i (contiguous table rows, SIMD across the tile) and
+// threading over (channel, i-tile) tasks preserves every rounding step.
+// Forward reads cosines[x*n+i] (row-contiguous in i); inverse takes the
+// TRANSPOSED table so its access is also row-contiguous.
+
+static const int kDctTile = 16;
+
+static void dct_fwd_tile(const int32_t* src, int32_t* dst,
+                         const float* cosines, const float* cs, int n,
+                         double quality, double ratio1, int i0, int i1) {
+    double acc[kDctTile];
+    for (int t = 0; t < i1 - i0; ++t) acc[t] = 0;
+    for (int x = 0; x < n; ++x) {
+        float s = (float)src[x];
+        const float* row = cosines + (size_t)x * n + i0;
+        for (int t = 0; t < i1 - i0; ++t)
+            acc[t] += (double)(s * row[t]);
+    }
+    for (int t = 0; t < i1 - i0; ++t) {
+        double sum = acc[t];
+        sum *= cs[i0 + t] * ratio1 / quality;
+        dst[i0 + t] = (int32_t)sum;
+    }
+}
+
+static void dct_inv_tile(const float* q, int32_t* out,
+                         const float* cosines_t, int n, double quality,
+                         double ratio1, int i0, int i1) {
+    double acc[kDctTile];
+    for (int t = 0; t < i1 - i0; ++t) acc[t] = 0;
+    for (int x = 0; x < n; ++x) {
+        float s = q[x];
+        const float* row = cosines_t + (size_t)x * n + i0;
+        for (int t = 0; t < i1 - i0; ++t)
+            acc[t] += (double)(s * row[t]);
+    }
+    for (int t = 0; t < i1 - i0; ++t) {
+        double sum = acc[t];
+        sum *= ratio1 * quality;
+        out[i0 + t] = (int32_t)sum;
+    }
+}
+
+// ch channels, channel-major src/dst (ch*n each). Threads over
+// (channel, tile) so 12 channels x 256 tiles feed every core.
+void rn_dct_forward_mt(const int32_t* src, int32_t* dst,
+                       const float* cosines, const float* cs, int ch, int n,
+                       double quality, int nthreads) {
+    double ratio1 = __builtin_sqrt(2.0 / n);
+    int tiles = (n + kDctTile - 1) / kDctTile;
+    (void)nthreads;  // pool size is fixed; parameter kept for API symmetry
+    std::function<void(int)> task = [&](int slot) {
+        int c = slot / tiles, ti = slot % tiles;
+        int i0 = ti * kDctTile, i1 = i0 + kDctTile;
+        if (i1 > n) i1 = n;
+        dct_fwd_tile(src + (size_t)c * n, dst + (size_t)c * n, cosines, cs,
+                     n, quality, ratio1, i0, i1);
+    };
+    ThreadPool::inst().run(ch * tiles, task);
+}
+
+// cosines_t = transpose of the forward table (values bit-identical;
+// layout flipped so the tile loop reads contiguous rows).
+void rn_dct_inverse_mt(const int32_t* dct, int32_t* out,
+                       const float* cosines_t, const float* cs, int ch,
+                       int n, double quality, int nthreads) {
+    double ratio1 = __builtin_sqrt(2.0 / n);
+    int tiles = (n + kDctTile - 1) / kDctTile;
+    (void)nthreads;
+    // q[x] = Cs[x] * (float)dct[x] — the float prefactor the serial
+    // kernel computes per term (signal_packer_dct.cpp:95), hoisted per
+    // channel. Same float rounding: one float multiply.
+    std::vector<float> q((size_t)ch * n);
+    std::function<void(int)> prep = [&](int c) {
+        const int32_t* d = dct + (size_t)c * n;
+        float* qq = q.data() + (size_t)c * n;
+        for (int x = 0; x < n; ++x) qq[x] = cs[x] * (float)d[x];
+    };
+    ThreadPool::inst().run(ch, prep);
+    std::function<void(int)> task = [&](int slot) {
+        int c = slot / tiles, ti = slot % tiles;
+        int i0 = ti * kDctTile, i1 = i0 + kDctTile;
+        if (i1 > n) i1 = n;
+        dct_inv_tile(q.data() + (size_t)c * n, out + (size_t)c * n,
+                     cosines_t, n, quality, ratio1, i0, i1);
+    };
+    ThreadPool::inst().run(ch * tiles, task);
+}
+
 // FWHT, int32 wraparound butterflies (reference: lib_fwht/fwht.c:4-28).
 void rn_fwht(const int32_t* src, int32_t* dst, int n) {
     std::vector<int32_t> buf(n);

@@ -155,13 +155,9 @@ class NativeDctPacker(_NativeBase):
         super().__init__(bytes_per_sample, nr_channels, nr_samples, **kw)
         self._cos = nops.dct_cos_table(nr_samples)
         self._cs = nops.dct_cs(nr_samples)
-
-    def _map_channels(self, fn, rows):
-        """Per-channel transform in a thread pool (ctypes releases the
-        GIL, so the O(n²) serial DCT kernels run concurrently)."""
-        from concurrent.futures import ThreadPoolExecutor
-        with ThreadPoolExecutor() as ex:
-            return np.stack(list(ex.map(fn, rows)))
+        # inverse tiles read the transposed table (identical values,
+        # contiguous rows — see rspt_native.cpp rn_dct_inverse_mt)
+        self._cos_t = np.ascontiguousarray(self._cos.T)
 
     def compress(self, src) -> bytes:
         c = self.cfg
@@ -171,9 +167,8 @@ class NativeDctPacker(_NativeBase):
                           for i in range(c.nr_channels)], np.int32)
         with np.errstate(over="ignore"):
             enc = (enc - means[:, None]).astype(np.int32)
-        dct = self._map_channels(
-            lambda row: nb.dct_forward(row, self._cos, self._cs,
-                                       self.QUALITY), enc)
+        dct = nb.dct_forward_mt(enc, self._cos, self._cs, self.QUALITY,
+                                self.nthreads)
         flat = np.ascontiguousarray(dct.reshape(-1))
         L = _lib()
         L.rn_delta_encode(nb._p32(flat), flat.size)
@@ -194,9 +189,8 @@ class NativeDctPacker(_NativeBase):
         L.rn_offset32(nb._p32(flat), flat.size, 128)
         L.rn_delta_decode(nb._p32(flat), flat.size, 0)
         dct = flat.reshape(c.nr_channels, c.nr_samples)
-        rec = self._map_channels(
-            lambda row: nb.dct_inverse(row, self._cos, self._cs,
-                                       self.QUALITY), dct)
+        rec = nb.dct_inverse_mt(dct, self._cos_t, self._cs, self.QUALITY,
+                                self.nthreads)
         means = _means_from_header(header, c.nr_channels)
         with np.errstate(over="ignore"):
             rec = (rec + means[:, None]).astype(np.int32)

@@ -112,3 +112,25 @@ def test_native_plane_coder_in_packer(ref, ecg3):
     assert comp == rcomp
     dec, _ = p.decompress(comp)
     assert dec == src
+
+
+def test_native_mt_dct_bit_exact(rng):
+    """Blocked+threaded DCT kernels (rspt_native.cpp rn_dct_*_mt) must be
+    bit-identical to the serial-order kernels for any n, including a
+    partial final tile (n % 16 != 0)."""
+    from rspt_tpu.native import bindings as nb
+    from rspt_tpu.ops import numpy_ops as nops
+    for ch, n in ((3, 1000), (5, 4096), (1, 17)):
+        src = rng.integers(-(1 << 22), 1 << 22, (ch, n), dtype=np.int32)
+        cos_t = nops.dct_cos_table(n)
+        cs = nops.dct_cs(n)
+        q = 128.0
+        ref_f = np.stack([nb.dct_forward(src[j], cos_t, cs, q)
+                          for j in range(ch)])
+        np.testing.assert_array_equal(
+            ref_f, nb.dct_forward_mt(src, cos_t, cs, q))
+        ref_i = np.stack([nb.dct_inverse(ref_f[j], cos_t, cs, q)
+                          for j in range(ch)])
+        np.testing.assert_array_equal(
+            ref_i, nb.dct_inverse_mt(ref_f, np.ascontiguousarray(cos_t.T),
+                                     cs, q))

@@ -153,6 +153,26 @@ def main():
         t_best = min(t_best, time.perf_counter() - t0)
     out["dct_fwd_native_host_ms"] = round(t_best * 1e3, 4)
 
+    # blocked+MT native DCT (bit-exact, the production parity path)
+    try:
+        from rspt_tpu.native import bindings as nat
+        nat.dct_forward_mt(src, cos_t, cs, quality)  # warm the pool
+        for nm, fn in (
+            ("dct_fwd_native_mt_ms",
+             lambda: nat.dct_forward_mt(src, cos_t, cs, quality)),
+            ("dct_inv_native_mt_ms",
+             lambda: nat.dct_inverse_mt(
+                 fwd_ref, np.ascontiguousarray(cos_t.T), cs, quality)),
+        ):
+            t_best = 9e9
+            for _ in range(5):
+                t0 = time.perf_counter()
+                fn()
+                t_best = min(t_best, time.perf_counter() - t0)
+            out[nm] = round(t_best * 1e3, 4)
+    except Exception:
+        pass
+
     print(json.dumps(out), flush=True)
 
 
