@@ -613,11 +613,11 @@ inline void write_block_header(uint8_t* hdr, uint16_t size_minus_1,
 // Two passes over the raw bytes (histogram, then re-derive runs and
 // emit directly) — no materialized token array: the 4 B/token
 // write+read traffic was the encoder's hottest memory stream.
-size_t encode_block(const uint8_t* in, size_t in_size, uint8_t* out,
-                    size_t cap) {
-    uint32_t hist[kNumSyms];
-    histogram_runs(in, in_size, hist);
-
+// encode_block with a caller-supplied histogram (the streaming path
+// folds the histogram into its preprocess pass — same run semantics,
+// one fewer scan over the plane bytes).
+size_t encode_block_hist(const uint8_t* in, size_t in_size,
+                         const uint32_t* hist, uint8_t* out, size_t cap) {
     if (only_single_code(hist)) {  // FILL
         if (cap < kBlockHeaderSize + 1) return 0;
         write_block_header(out, 0, crc32c(in, 1), kModeFill);
@@ -641,17 +641,36 @@ size_t encode_block(const uint8_t* in, size_t in_size, uint8_t* out,
     if (!bw.failed) {
         size_t k = 0;
         while (k < in_size && !bw.failed) {
-            // paired-literal fast path: two codes merged into one put64
-            // (identical bit layout — fields are LSB-first adjacent).
-            // Max Huffman depth at <=64Ki counts is ~23 bits, so a pair
-            // is <= ~46 bits, within put64's 56-bit budget.
-            while (k + 2 <= in_size) {
+            // quad/paired-literal fast path: adjacent codes merged into
+            // one put64 (identical bit layout — fields are LSB-first
+            // adjacent). Max Huffman depth at <=64Ki counts is ~23
+            // bits; four typical-depth codes fit put64's 56-bit budget,
+            // a pair always does.
+            while (k + 4 <= in_size) {
+                uint8_t b0 = in[k], b1 = in[k + 1], b2 = in[k + 2],
+                        b3 = in[k + 3];
+                if (!(b0 && b1 && b2 && b3)) break;
+                int n01 = code_bits[b0] + code_bits[b1];
+                int n23 = code_bits[b2] + code_bits[b3];
+                uint64_t v01 = (uint64_t)codes[b0] |
+                               ((uint64_t)codes[b1] << code_bits[b0]);
+                uint64_t v23 = (uint64_t)codes[b2] |
+                               ((uint64_t)codes[b3] << code_bits[b2]);
+                if (n01 + n23 <= 56) {
+                    bw.put64(v01 | (v23 << n01), n01 + n23);
+                } else {
+                    bw.put64(v01, n01);
+                    bw.put64(v23, n23);
+                }
+                if (bw.failed) break;
+                k += 4;
+            }
+            while (k + 2 <= in_size && !bw.failed) {
                 uint8_t b0 = in[k], b1 = in[k + 1];
                 if (!(b0 && b1)) break;
                 bw.put64((uint64_t)codes[b0] |
                              ((uint64_t)codes[b1] << code_bits[b0]),
                          code_bits[b0] + code_bits[b1]);
-                if (bw.failed) break;
                 k += 2;
             }
             if (k >= in_size || bw.failed) break;
@@ -684,6 +703,13 @@ size_t encode_block(const uint8_t* in, size_t in_size, uint8_t* out,
     write_block_header(out, (uint16_t)(payload - 1),
                        crc32c(out + kBlockHeaderSize, payload), kModeHuffRle);
     return kBlockHeaderSize + payload;
+}
+
+size_t encode_block(const uint8_t* in, size_t in_size, uint8_t* out,
+                    size_t cap) {
+    uint32_t hist[kNumSyms];
+    histogram_runs(in, in_size, hist);
+    return encode_block_hist(in, in_size, hist, out, cap);
 }
 
 // ---------------------------------------------------------------------------
@@ -1795,6 +1821,20 @@ int rn_stream_filter_pack(const uint8_t* src, size_t ns, size_t nframes,
     double* const xall_p = xall.data();
     {
         auto cvt = [&](size_t t0, size_t t1) {
+            if (bps == 4) {  // the samples ARE little-endian int32s
+                for (size_t t = t0; t < t1; ++t) {
+                    const uint8_t* q = src + t * ch * 4;
+                    for (size_t j = 0; j < ch; ++j) {
+                        int32_t sv;
+                        memcpy(&sv, q + j * 4, 4);
+                        if (p > 0)
+                            xall_p[j * N + t] = (double)sv;
+                        else
+                            sig_p[j * N + t] = sv;
+                    }
+                }
+                return;
+            }
             for (size_t t = t0; t < t1; ++t) {
                 const uint8_t* q = src + t * ch * bps;
                 for (size_t j = 0; j < ch; ++j) {
@@ -1836,6 +1876,14 @@ int rn_stream_filter_pack(const uint8_t* src, size_t ns, size_t nframes,
     int np = nr_planes_in < 1 ? 1 : nr_planes_in;
     planes.resize((size_t)nframes * 4 * F);  // 4-plane cap
     uint8_t* const planes_p = planes.data();
+    size_t nb_per_f = (F + kMaxBlockSize - 1) / kMaxBlockSize;
+    if (nb_per_f == 0) nb_per_f = 1;
+    // per-(frame, plane, block) histograms, built in the preprocess
+    // task right after the frame's plane bytes are written (L2-warm —
+    // encode_block then skips its own histogram scan)
+    static thread_local std::vector<uint32_t> hists;
+    hists.resize((size_t)nframes * 4 * nb_per_f * kNumSyms);
+    uint32_t* const hists_p = hists.data();
     std::vector<int> fitv(nframes, 1);
     size_t f0 = 0;
     while (f0 < nframes) {
@@ -1845,28 +1893,57 @@ int rn_stream_filter_pack(const uint8_t* src, size_t ns, size_t nframes,
             while ((f = nextf.fetch_add(1)) < nframes) {
                 const int sh_fit = 32 - 8 * np;
                 uint8_t* pl = planes_p + f * 4 * F;
-                uint32_t vm1 = 0, vm2 = 0;
+                // flat channel-major frame view, then three
+                // vectorizable passes (the delta/xor chain looks back
+                // only 1-2 elements — neighbor loads, no carried
+                // scalar): d = v - v[-1] - 128; x = d ^ d[-1]; planes.
+                static thread_local std::vector<int32_t> xbuf;
+                xbuf.resize(2 * F);
+                int32_t* vb = xbuf.data();
+                int32_t* xb = xbuf.data() + F;
+                for (size_t c = 0; c < ch; ++c)
+                    memcpy(vb + c * ns, sig_p + c * N + f * ns,
+                           ns * sizeof(int32_t));
+                xb[0] = (int32_t)((uint32_t)vb[0] - 128u);
+                if (F > 1)  // d[1] ^ d[0], d[0] = v0 - 0 - 128
+                    xb[1] = (int32_t)(((uint32_t)vb[1] - (uint32_t)vb[0]
+                                       - 128u)
+                                      ^ ((uint32_t)vb[0] - 128u));
+                for (size_t i2 = 2; i2 < F; ++i2) {
+                    uint32_t d = (uint32_t)vb[i2] - (uint32_t)vb[i2 - 1]
+                                 - 128u;
+                    uint32_t dm1 = (uint32_t)vb[i2 - 1]
+                                   - (uint32_t)vb[i2 - 2] - 128u;
+                    xb[i2] = (int32_t)(d ^ dm1);
+                }
                 int lfit = 1;
-                size_t i = 0;
-                for (size_t c = 0; c < ch; ++c) {
-                    const int32_t* row = sig_p + c * N + f * ns;
-                    for (size_t s = 0; s < ns; ++s, ++i) {
-                        uint32_t v = (uint32_t)row[s];
-                        uint32_t d = v - vm1 - 128u;
-                        uint32_t dm1 = i >= 1 ? vm1 - vm2 - 128u : 0u;
-                        int32_t x = (int32_t)(d ^ dm1);
-                        if (np < 4 &&
-                            ((int32_t)((uint32_t)x << sh_fit) >> sh_fit)
-                                != x)
-                            lfit = 0;
-                        for (int k = 0; k < np; ++k)
-                            pl[(size_t)k * F + i] =
-                                (uint8_t)((uint32_t)x >> (8 * k));
-                        vm2 = vm1;
-                        vm1 = v;
-                    }
+                if (np < 4) {
+                    uint32_t bad = 0;
+                    for (size_t i2 = 0; i2 < F; ++i2)
+                        bad |= (uint32_t)(
+                            ((int32_t)((uint32_t)xb[i2] << sh_fit)
+                             >> sh_fit) != xb[i2]);
+                    lfit = bad ? 0 : 1;
+                }
+                for (int k = 0; k < np; ++k) {
+                    uint8_t* pk = pl + (size_t)k * F;
+                    for (size_t i2 = 0; i2 < F; ++i2)
+                        pk[i2] = (uint8_t)((uint32_t)xb[i2] >> (8 * k));
                 }
                 fitv[f] = lfit;
+                // histogram the L2-warm plane bytes now (run semantics
+                // = histogram_runs; encode then skips its own scan)
+                for (int k = 0; k < np; ++k)
+                    for (size_t b = 0; b < nb_per_f; ++b) {
+                        size_t off = b * kMaxBlockSize;
+                        if (off >= F) break;
+                        size_t blen = F - off < kMaxBlockSize
+                                          ? F - off : kMaxBlockSize;
+                        histogram_runs(
+                            pl + (size_t)k * F + off, blen,
+                            hists_p + ((f * 4 + (size_t)k) * nb_per_f
+                                       + b) * (size_t)kNumSyms);
+                    }
             }
         };
         {
@@ -1912,8 +1989,11 @@ int rn_stream_filter_pack(const uint8_t* src, size_t ns, size_t nframes,
             size_t blen = F - off < kMaxBlockSize ? F - off : kMaxBlockSize;
             const uint8_t* pl = planes_p + item_f[i] * 4 * F +
                                 item_k[i] * F + off;
-            size_t r = encode_block(pl, blen, scratch_p + i * bcap,
-                                    bcap);
+            const uint32_t* h = hists_p +
+                ((item_f[i] * 4 + item_k[i]) * nb_per_f + item_b[i]) *
+                    (size_t)kNumSyms;
+            size_t r = encode_block_hist(pl, blen, h,
+                                         scratch_p + i * bcap, bcap);
             if (!r) rcs[i] = 1;
             blens[i] = r;
         }
