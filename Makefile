@@ -10,7 +10,7 @@ ref:
 	python tools/build_reference.py
 
 test: native
-	python -m pytest tests/ -q
+	python tools/run_tests.py
 
 test-fast: native
 	python -m pytest tests/ -q -x -k "not jax_hzr and not tpu_packers"

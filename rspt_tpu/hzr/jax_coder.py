@@ -600,7 +600,7 @@ def _pack_tokens_flat2_impl(tokw, bases, lut3, dbits_g, woff_g, gfirst,
         ACC_ROWS, D_CLAMP, SUP_CHUNKS, compact_tokens_pallas,
         sidecar_entries_pallas, super_place_flat_pallas,
         token_group_windows_grouped_off_pallas,
-        token_group_windows_grouped_pallas)
+        token_group_windows_rows_pallas)
 
     if compact_splits:
         # large batches: split the compaction into block-range chunks so
@@ -615,27 +615,28 @@ def _pack_tokens_flat2_impl(tokw, bases, lut3, dbits_g, woff_g, gfirst,
                              bases[blo:bhi] - tlo)
             sub = compact_tokens_pallas(
                 tokw[blo:bhi], bsub, span // 128 + 512 + 80,
-                interpret=interpret)
+                interpret=interpret, r_ct=256)
             parts.append(sub[:span // 128])
-        flat = jnp.concatenate(parts, axis=0).reshape(1, -1)[:, :T]
+        tokc = jnp.concatenate(parts, axis=0)
     else:
         tokc = compact_tokens_pallas(tokw, bases, t_rows,
-                                     interpret=interpret)
-        flat = tokc.reshape(1, -1)[:, :T]
+                                     interpret=interpret, r_ct=256)
+    ngr = T // GROUP_TOK_FLAT
     if hint_rows:
+        flat = tokc.reshape(1, -1)[:, :T]
         w0, w1, cbase, clive, gtot, toff = \
             token_group_windows_grouped_off_pallas(
                 flat, lut3, interpret=interpret)
     else:
-        w0, w1, cbase, clive, gtot = token_group_windows_grouped_pallas(
-            flat, lut3, interpret=interpret)
+        # windows reads the compacted rows IN PLACE (no whole-stream
+        # reshape-slice, no LUT broadcast materialization — together
+        # ~30 us of XLA copies in the device trace)
+        w0, w1, cbase, clive, gtot = token_group_windows_rows_pallas(
+            tokc, lut3, ng=ngr, interpret=interpret)
     ng = gtot.shape[1]
-    gb = gtot
-    p = 1
-    while p < ng:
-        gb = gb + jnp.pad(gb, ((0, 0), (p, 0)))[:, :ng]
-        p *= 2
-    e = gb - gtot                      # global exclusive bit scan
+    # cumsum + broadcast glue (the pad-doubling scan / jnp.repeat
+    # formulation measured ~15 us slower on chip)
+    e = jnp.cumsum(gtot, axis=1) - gtot     # global exclusive bit scan
     e_in = e - jnp.take(e[0], gfirst)[None, :]   # restart per block
     entries = None
     if hint_rows:
@@ -645,16 +646,18 @@ def _pack_tokens_flat2_impl(tokw, bases, lut3, dbits_g, woff_g, gfirst,
     nc = cbase.shape[1]
     nsup = nc // SUP_CHUNKS
     sup_per_g = nsup // ng
-    superbase = cbase[:, ::SUP_CHUNKS]
-    d = jnp.clip(cbase - jnp.repeat(superbase, SUP_CHUNKS, axis=1),
-                 0, D_CLAMP)
-    gb_s = jnp.repeat(group_base, sup_per_g, axis=1)
+    c3 = cbase.reshape(1, nsup, SUP_CHUNKS)
+    superbase = c3[:, :, 0]
+    d3 = jnp.clip(c3 - superbase[:, :, None], 0, D_CLAMP)
+    gb_s = jnp.broadcast_to(
+        group_base.reshape(1, ng, 1), (1, ng, sup_per_g)
+    ).reshape(1, nsup)
     wbase = jnp.clip(jnp.right_shift(gb_s, 5) + superbase,
                      0, (nrows_f - ACC_ROWS) * 128)
     sbits = gb_s & 31
     slive = jnp.any(clive.reshape(1, nsup, SUP_CHUNKS) > 0, axis=2)
     words = super_place_flat_pallas(
-        w0, w1, d[:, :, None], d.reshape(1, nsup, SUP_CHUNKS),
+        w0, w1, d3.reshape(1, nc, 1), d3,
         wbase[:, :, None], sbits[:, :, None],
         slive[:, :, None].astype(jnp.int32), nrows_f,
         interpret=interpret)

@@ -117,6 +117,40 @@ def build_lut(tree) -> Tuple[np.ndarray, np.ndarray]:
     return l1, l2
 
 
+def build_luts_batch(huff):
+    """Per-block L1/L2 LUTs for a HUFF block list, as the concatenated
+    arrays _sweep_impl consumes: (l1 (nb, L1_SIZE) i32, l2 concat,
+    l2_base (nb,) i32).
+
+    Uses the native MT builder (C++ recover_tree straight from the
+    payload bits — the Python per-leaf slice fill was the sharded
+    decoder's largest serial host cost) and falls back to the Python
+    build_lut per block. Blocks without deep slots contribute one
+    zero row, matching build_lut's shape contract."""
+    nb = len(huff)
+    try:
+        from ..native import bindings as nbind
+        l1, l2r, n_deep, dbits = nbind.declut16_batch(
+            [h[0] for h in huff])
+        for i, h in enumerate(huff):
+            if int(dbits[i]) != h[2]:  # pragma: no cover - parser drift
+                raise ValueError("declut16 dbits mismatch")
+        rows = [l2r[i, :max(int(n_deep[i]), 1)] for i in range(nb)]
+    except Exception:
+        l1 = np.zeros((nb, L1_SIZE), np.int32)
+        rows = []
+        for i, h in enumerate(huff):
+            a, b = build_lut(h[5])
+            l1[i] = a
+            rows.append(b)
+    l2_base = np.zeros(nb, np.int32)
+    acc = 0
+    for i, r in enumerate(rows):
+        l2_base[i] = acc
+        acc += r.shape[0]
+    return l1, np.concatenate(rows, axis=0), l2_base
+
+
 # ---------------------------------------------------------------------------
 # Device sweeps
 # ---------------------------------------------------------------------------
@@ -309,20 +343,11 @@ def _device_decode(huff, out, out_size) -> np.ndarray:
     # --- host LUTs + padded payload words ---------------------------------
     nb = len(huff)
     max_words = max(-(-p.size // 4) for p, *_ in huff) + 2
-    words = np.zeros((nb, max_words), np.int32)
-    l1 = np.zeros((nb, L1_SIZE), np.int32)
-    l2_rows = []
-    l2_base = np.zeros(nb, np.int32)
-    for i, (payload, pbits, dbits, ooff, olen, tree,
-            _crc) in enumerate(huff):
-        pw = np.zeros(max_words * 4, np.uint8)
-        pw[:payload.size] = payload
-        words[i] = pw.view("<u4").view(np.int32)
-        a, b = build_lut(tree)
-        l1[i] = a
-        l2_base[i] = sum(r.shape[0] for r in l2_rows)
-        l2_rows.append(b)
-    l2 = np.concatenate(l2_rows, axis=0)
+    words = np.zeros((nb, max_words * 4), np.uint8)
+    for i, (payload, *_rest) in enumerate(huff):
+        words[i, :payload.size] = payload
+    words = np.ascontiguousarray(words).view("<u4").view(np.int32)
+    l1, l2, l2_base = build_luts_batch(huff)
 
     # --- lanes -------------------------------------------------------------
     lane_block, lane_entry0, lane_seg_end = [], [], []

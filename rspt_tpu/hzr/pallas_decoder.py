@@ -66,6 +66,8 @@ SEG_PER_BLOCK = 1024   # max segments per block -> a full 8-row tile;
                        # is the step body's largest vector cost)
 W_SEG = 40             # window words per lane (segw<=38 + straddle)
 STEP_CHUNK = 128       # emission ring rows per DMA flush
+K_VIS = 16             # symbol starts recorded per align sweep for the
+#                        fixpoint's trajectory-merge convergence test
 MAX_STEPS = 1088       # static cap: 1-bit/symbol floor on 1024-bit segs
 STEP_BUCKETS = (128, 256, 544, 1088)
 NIB_LEVELS = 4         # 4-bit levels past the 8-bit root: 8+4*4=24 bits
@@ -154,9 +156,50 @@ def lane_rows(geom):
     return rows, blk_rows
 
 
+import collections
+
+# Ambient sidecar registry: encoder-built DecodeHints auto-register by
+# content digest so ANY later decode of the same streams — serving
+# paths that never plumb a hints argument included — runs the single
+# trusted sweep instead of the alignment fixpoint. Bounded LRU; entries
+# are only ever used after the same digest+shape match as explicit
+# hints. decode_many(hints=False) opts out (benchmarks measuring the
+# honest unhinted path).
+_hint_registry: "collections.OrderedDict[int, np.ndarray]" = \
+    collections.OrderedDict()
+_HINT_REG_CAP = 64
+# one-time cross-validation (advisor r3: digest binds hints to stream
+# CONTENT, not entry CORRECTNESS — semantic drift between the encoder's
+# fixpoint replication and the decoder would corrupt silently). The
+# first hinted decode in a process re-decodes every device-routed block
+# on the host and compares bytes; a mismatch permanently disables hint
+# trust for the process and reruns the fixpoint.
+_hints_validated = False
+_hints_disabled = False
+
+
+def register_hints(hints) -> None:
+    """Add encoder-built DecodeHints to the ambient registry."""
+    if not isinstance(hints, DecodeHints):
+        return
+    ent = np.ascontiguousarray(hints.entries, np.int32)
+    _hint_registry[hints.digest] = ent
+    _hint_registry.move_to_end(hints.digest)
+    while len(_hint_registry) > _HINT_REG_CAP:
+        _hint_registry.popitem(last=False)
+
+
+def _registry_hints(digest, shape):
+    ent = _hint_registry.get(digest)
+    if ent is None or ent.shape != shape:
+        return None
+    _hint_registry.move_to_end(digest)
+    return ent
+
+
 def _match_hints(hints, digest, shape):
     """Return validated entry array or None (fixpoint runs)."""
-    if hints is None:
+    if hints is None or hints is False:
         return None
     if isinstance(hints, DecodeHints):
         if hints.digest != digest:
@@ -276,13 +319,16 @@ def _decode_kernel(ntc_ref, win_ref, l1lo_ref, l1hi_ref, lv1_ref,
     def gather128(tbl, idx):
         return jnp.take_along_axis(tbl, idx, axis=1)
 
-    def sweep(entry):
-        """Lockstep decode from `entry` to segment end, EMITTING into
-        the ring (every fixpoint sweep emits; the converged sweep's
-        emissions are the valid ones — one fused pass instead of
-        fixpoint-then-emit saves a full sweep per call). Cache
+    def sweep(entry, emit=True):
+        """Lockstep decode from `entry` to segment end. emit=True runs
+        the full decode, EMITTING into the ring (the converged sweep's
+        emissions are the valid ones). emit=False is the ALIGNMENT
+        sweep: it only advances bit positions (no ring writes, no
+        output counting, no RLE extra-value extraction — `consume`
+        needs the extra-bit COUNT, never the value) and records the
+        lane's first K_VIS symbol-start positions into the ring rows
+        [0, K_VIS) for the fixpoint's trajectory-merge test. Cache
         invariant: bit 0 of c0 is the bit at `pos`; navail valid."""
-        emit = True
         active0 = (entry < seg_end) & (entry < pbits)
         wptr0 = jnp.right_shift(entry, 5) - win_base
         w0 = fetch_word(wptr0)
@@ -293,16 +339,25 @@ def _decode_kernel(ntc_ref, win_ref, l1lo_ref, l1hi_ref, lv1_ref,
         # i1 vector from a while region. litv counts literal emissions
         # per lane (reduced once per sweep — sizes the placement
         # compaction on the host without a per-step cross-lane reduce).
-        st0 = (entry, c0, ZERO, ZERO, navail0, wptr0 + 1,
-               jnp.zeros(shape, jnp.int32), jnp.zeros(shape, jnp.int32),
-               jnp.int32(0), active0.astype(jnp.int32))
+        if emit:
+            st0 = (entry, c0, ZERO, ZERO, navail0, wptr0 + 1,
+                   jnp.zeros(shape, jnp.int32),
+                   jnp.zeros(shape, jnp.int32),
+                   jnp.int32(0), active0.astype(jnp.int32))
+        else:
+            st0 = (entry, c0, ZERO, ZERO, navail0, wptr0 + 1,
+                   jnp.int32(0), active0.astype(jnp.int32))
 
         def cond(st):
             return jnp.any(st[-1] != 0)
 
         def body(st):
-            (pos, c0, c1, c2, navail, wptr, outc, litv, step,
-             active_i) = st
+            if emit:
+                (pos, c0, c1, c2, navail, wptr, outc, litv, step,
+                 active_i) = st
+            else:
+                pos, c0, c1, c2, navail, wptr, step, active_i = st
+                outc = litv = None
             active = active_i != 0
 
             # refill to >= 40 available bits (a step consumes <= 38,
@@ -395,16 +450,17 @@ def _decode_kernel(ntc_ref, win_ref, l1lo_ref, l1hi_ref, lv1_ref,
                 return r
 
             ebv = pick(_RLE_EBITS)
-            basev = pick(_RLE_BASE)
-            tail = (c0 >> cb) | jnp.where(cb > 0,
-                                          c1 << (u32(32) - cb),
-                                          u32(0))
-            mask = (u32(1) << ebv.astype(u32)) - u32(1)
-            extra = pltpu.bitcast(tail & mask, jnp.int32)
-            extra = jnp.where(ebv > 0, extra, 0)
-            is_rle = sym >= 256
-            nout = jnp.where(is_rle, basev + extra, 1)
-            is_lit = (~is_rle) & (sym > 0)
+            if emit:
+                basev = pick(_RLE_BASE)
+                tail = (c0 >> cb) | jnp.where(cb > 0,
+                                              c1 << (u32(32) - cb),
+                                              u32(0))
+                mask = (u32(1) << ebv.astype(u32)) - u32(1)
+                extra = pltpu.bitcast(tail & mask, jnp.int32)
+                extra = jnp.where(ebv > 0, extra, 0)
+                is_rle = sym >= 256
+                nout = jnp.where(is_rle, basev + extra, 1)
+                is_lit = (~is_rle) & (sym > 0)
 
             consume = pltpu.bitcast(cb, jnp.int32) + ebv
             cu = consume.astype(u32)
@@ -418,47 +474,67 @@ def _decode_kernel(ntc_ref, win_ref, l1lo_ref, l1hi_ref, lv1_ref,
             n1 = jnp.where(cs > 0, (d1 >> cs) | (d2 << inv), d1)
             n2 = jnp.where(cs > 0, d2 >> cs, d2)
 
-            # Non-literal/inactive steps still record outc (sym=0):
-            # per-lane positions are then monotone over ALL entries,
-            # which lets placement skip the global running-max scan.
-            packed = (outc << 9) | jnp.where(active & is_lit, sym, 0)
-            ring_ref[step % STEP_CHUNK] = packed
+            if emit:
+                # Non-literal/inactive steps still record outc (sym=0):
+                # per-lane positions are then monotone over ALL
+                # entries, which lets placement skip the global
+                # running-max scan.
+                packed = (outc << 9) | jnp.where(active & is_lit, sym,
+                                                 0)
+                ring_ref[step % STEP_CHUNK] = packed
 
-            # litv packs three per-lane fields: bits 0-11 merged-run
-            # HEAD count (every 4th literal of a consecutive run — the
-            # exact entry count of the merged placement compaction),
-            # bits 12-23 literal count, bits 24-25 the running
-            # literal-run position mod 4. Counts <= MAX_STEPS < 2^12.
-            al = active & is_lit
-            runmod = jax.lax.shift_right_logical(litv, 24) & 3
-            is_head = al & (runmod == 0)
-            nrm = jnp.where(al, (runmod + 1) & 3,
-                            jnp.where(active, 0, runmod))
-            litv_n = ((litv & 0x00FFFFFF)
-                      + (al.astype(jnp.int32) << 12)
-                      + is_head.astype(jnp.int32)) | (nrm << 24)
+                # litv packs three per-lane fields: bits 0-11
+                # merged-run HEAD count (every 4th literal of a
+                # consecutive run — the exact entry count of the merged
+                # placement compaction), bits 12-23 literal count, bits
+                # 24-25 the running literal-run position mod 4. Counts
+                # <= MAX_STEPS < 2^12.
+                al = active & is_lit
+                runmod = jax.lax.shift_right_logical(litv, 24) & 3
+                is_head = al & (runmod == 0)
+                nrm = jnp.where(al, (runmod + 1) & 3,
+                                jnp.where(active, 0, runmod))
+                litv_n = ((litv & 0x00FFFFFF)
+                          + (al.astype(jnp.int32) << 12)
+                          + is_head.astype(jnp.int32)) | (nrm << 24)
 
-            @pl.when(step % STEP_CHUNK == STEP_CHUNK - 1)
-            def _():
-                chunk = step // STEP_CHUNK
-                dma = pltpu.make_async_copy(
-                    ring_ref,
-                    emis_ref.at[t, pl.ds(chunk * STEP_CHUNK,
-                                         STEP_CHUNK)],
-                    sem_ref)
-                dma.start()
-                dma.wait()
+                @pl.when(step % STEP_CHUNK == STEP_CHUNK - 1)
+                def _():
+                    chunk = step // STEP_CHUNK
+                    dma = pltpu.make_async_copy(
+                        ring_ref,
+                        emis_ref.at[t, pl.ds(chunk * STEP_CHUNK,
+                                             STEP_CHUNK)],
+                        sem_ref)
+                    dma.start()
+                    dma.wait()
+            else:
+                # record this lane's first K_VIS symbol-start positions
+                # (pos BEFORE this step's consume; row 0 is the entry
+                # itself) — the fixpoint's trajectory-merge test reads
+                # them back after the sweep
+                @pl.when(step < K_VIS)
+                def _():
+                    ring_ref[step] = pos
 
             pos_n = jnp.where(active, pos + consume, pos)
             active_n = active & (pos_n < seg_end) & (pos_n < pbits)
+            if emit:
+                return (pos_n,
+                        jnp.where(active, n0, c0),
+                        jnp.where(active, n1, c1),
+                        jnp.where(active, n2, c2),
+                        jnp.where(active, navail - consume, navail),
+                        wptr,
+                        jnp.where(active, outc + nout, outc),
+                        litv_n,
+                        step + 1, active_n.astype(jnp.int32))
             return (pos_n,
                     jnp.where(active, n0, c0),
                     jnp.where(active, n1, c1),
                     jnp.where(active, n2, c2),
                     jnp.where(active, navail - consume, navail),
                     wptr,
-                    jnp.where(active, outc + nout, outc),
-                    litv_n,
                     step + 1, active_n.astype(jnp.int32))
 
         # 2x-unrolled body: the while cond's any() is a cross-lane
@@ -467,14 +543,24 @@ def _decode_kernel(ntc_ref, win_ref, l1lo_ref, l1hi_ref, lv1_ref,
         # sweep (every step is fully `active`-masked, so running one
         # extra is harmless).
         out = jax.lax.while_loop(cond, lambda st: body(body(st)), st0)
-        return out[0], out[6], out[7], out[8]
+        if emit:
+            return out[0], out[6], out[7], out[8]
+        return out[0]
 
     # alignment fixpoint: entry(s+1) = exit(s); after k sweeps the
     # first k segments of every block are exact, so the cap guarantees
-    # correctness even without early convergence. Every sweep emits:
-    # once entries stop changing, the sweep that just ran started from
-    # the exact fixpoint entries, so its ring/output stats are the
-    # valid ones — no separate emission pass.
+    # correctness even without early convergence. Align sweeps are the
+    # CHEAP variant (no emission work) and record each lane's first
+    # K_VIS symbol starts; the trajectory-merge test then usually
+    # certifies convergence after ONE align sweep: lane 0's entry is
+    # exact, so by chain induction, if every lane's corrected entry
+    # (= its neighbor's exit) lies ON the trajectory the lane just
+    # swept (or equals the entry it swept from), every exit of that
+    # sweep — and hence every corrected entry — is exact. Decoding is
+    # deterministic from a bit position, so trajectories that touch
+    # coincide from there on. The old no-change criterion needed a
+    # whole extra sweep just to OBSERVE stability; the merge test
+    # certifies it from the sweep already run.
     ring_ref[...] = jnp.zeros((STEP_CHUNK, 8, 128), jnp.int32)
 
     def fcond(st):
@@ -482,36 +568,44 @@ def _decode_kernel(ntc_ref, win_ref, l1lo_ref, l1hi_ref, lv1_ref,
 
     def fbody(st):
         entry, _, it = st
-        exits, counts, litv, steps = sweep(entry)
-
-        # per-sweep tail flush: emis rows must reflect THIS sweep
-        @pl.when(steps % STEP_CHUNK != 0)
-        def _():
-            dma = pltpu.make_async_copy(
-                ring_ref,
-                emis_ref.at[t, pl.ds((steps // STEP_CHUNK) * STEP_CHUNK,
-                                     STEP_CHUNK)],
-                sem_ref)
-            dma.start()
-            dma.wait()
-
-        counts_ref[...] = counts
-        steps_ref[t, 0] = steps
-        steps_ref[t, 2] = jnp.sum((litv >> 12) & 0xFFF)
-        steps_ref[t, 3] = jnp.sum(litv & 0xFFF)
+        # clear the vis rows: a sweep shorter than K_VIS steps must not
+        # leave a previous sweep's trajectory in the merge test (zero
+        # never matches a live lane's entry — live entries are > 0)
+        ring_ref[pl.ds(0, K_VIS)] = jnp.zeros((K_VIS, 8, 128),
+                                              jnp.int32)
+        exits = sweep(entry, emit=False)
         nxt = pltpu.roll(exits, 1, 1)
         prev_row = pltpu.roll(exits, 1, 0)
         col0 = jnp.broadcast_to(prev_row[:, 127:128], shape)
         shifted = jnp.where(lane == 0, col0, nxt)
         new_entry = jnp.where(first, entry0, shifted)
-        # trusted entries (decode hints) stop after the single sweep
-        changed = jnp.any(new_entry != entry) & (trust == 0)
-        return new_entry, changed, it + 1
+        merged = new_entry == entry
+        for k in range(K_VIS):
+            merged = merged | (new_entry == ring_ref[k])
+        return new_entry, jnp.any(~merged), it + 1
 
     entry, _, fp_iters = jax.lax.while_loop(
-        fcond, fbody, (entry0, jnp.bool_(True), jnp.int32(0)))
+        fcond, fbody, (entry0, trust == 0, jnp.int32(0)))
 
+    # the single emitting sweep, from certified-exact (or trusted)
+    # entries; its ring/output stats are the valid ones
+    exits, counts, litv, steps = sweep(entry, emit=True)
+
+    @pl.when(steps % STEP_CHUNK != 0)   # tail flush
+    def _():
+        dma = pltpu.make_async_copy(
+            ring_ref,
+            emis_ref.at[t, pl.ds((steps // STEP_CHUNK) * STEP_CHUNK,
+                                 STEP_CHUNK)],
+            sem_ref)
+        dma.start()
+        dma.wait()
+
+    counts_ref[...] = counts
+    steps_ref[t, 0] = steps
     steps_ref[t, 1] = fp_iters
+    steps_ref[t, 2] = jnp.sum((litv >> 12) & 0xFFF)
+    steps_ref[t, 3] = jnp.sum(litv & 0xFFF)
     entry_out_ref[...] = entry   # converged entries -> decode hints
 
 
@@ -1051,7 +1145,12 @@ def decode_many(datas, interpret: bool = False, hints=None,
                 return_hints: bool = False):
     """Decode several hzr streams with the entropy stage in one Pallas
     kernel launch + one placement jit. COPY/FILL blocks and blocks
-    outside the LUT envelope resolve on the host."""
+    outside the LUT envelope resolve on the host.
+
+    hints: DecodeHints (explicit), None (consult the ambient sidecar
+    registry by content digest), or False (never hint — the honest
+    unhinted path, for benchmarks)."""
+    global _hints_validated, _hints_disabled
     srcs = [np.frombuffer(memoryview(d).cast("B"), np.uint8)
             if not isinstance(d, np.ndarray) else d.reshape(-1)
             for d in datas]
@@ -1216,7 +1315,11 @@ def decode_many(datas, interpret: bool = False, hints=None,
     # corrupted bytes with no error (device decode never checks CRCs).
     digest = _hints_digest(digest_parts)
     wbase = np.right_shift(entry, 5)    # nominal window anchors
-    h_entries = _match_hints(hints, digest, entry.shape)
+    h_entries = None
+    if not _hints_disabled:
+        h_entries = _match_hints(hints, digest, entry.shape)
+        if h_entries is None and hints is not False:
+            h_entries = _registry_hints(digest, entry.shape)
     if h_entries is not None:
         entry = h_entries
         ntc[:, 4] = 1
@@ -1281,7 +1384,41 @@ def decode_many(datas, interpret: bool = False, hints=None,
     emitted = words_np.view("<u4").view(np.uint8)[:total]
     for payload, pbits, dbits, ooff, olen, l1, levels, chunks in dev:
         out[ooff:ooff + olen] = emitted[ooff:ooff + olen]
+
+    # one-time hint validation (advisor r3): the FIRST hinted decode in
+    # a process re-decodes every device-routed block on the host and
+    # byte-compares. Catches any semantic drift between the encoder's
+    # replication of the alignment fixpoint and the decoder; on
+    # mismatch, hint trust is disabled for the process and this decode
+    # reruns through the fixpoint — degraded, never corrupted.
+    if h_entries is not None and not _hints_validated:
+        ok = True
+        for payload, pbits, dbits, ooff, olen, *_r in dev:
+            mini = (int(olen).to_bytes(4, "little")
+                    + (payload.size - 1).to_bytes(2, "little")
+                    + b"\x00\x00\x00\x00" + bytes([1])
+                    + payload.tobytes())
+            try:
+                from ..native import bindings as nb
+                blk = nb.hzr_decode(np.frombuffer(mini, np.uint8))
+            except Exception:
+                blk = pyref.decode(np.frombuffer(mini, np.uint8))
+            if bytes(out[ooff:ooff + olen]) != bytes(blk[:olen]):
+                ok = False
+                break
+        _hints_validated = True
+        if not ok:
+            _hints_disabled = True
+            import logging
+            logging.getLogger("rspt_tpu.hzr").warning(
+                "pallas decode: hinted output failed host cross-check; "
+                "hint trust disabled, rerunning alignment fixpoint")
+            return decode_many(datas, interpret=interpret, hints=False,
+                               return_hints=return_hints)
+
     outs = [out[a:a + n].tobytes() for a, n in spans]
     if return_hints:
-        return outs, DecodeHints(digest, np.asarray(entry_out))
+        h = DecodeHints(digest, np.asarray(entry_out))
+        register_hints(h)
+        return outs, h
     return outs

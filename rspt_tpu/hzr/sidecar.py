@@ -144,4 +144,10 @@ def finish_hints(plan: HintPlan, entries_raw, tight: np.ndarray,
         payload = tight[int(hoff[i]):int(hoff[i]) + cl]
         parts.append((int(_crc32c(payload)), cl, int(plan.dbits[i]),
                       int(plan.ooff[i]), int(plan.olen[i])))
-    return DecodeHints(_hints_digest(parts), entries)
+    hints = DecodeHints(_hints_digest(parts), entries)
+    # ambient registration: any later decode of these streams — even
+    # through an API that never plumbs a hints argument — runs hinted
+    # (pallas_decoder validates the first hinted decode per process)
+    from . import pallas_decoder
+    pallas_decoder.register_hints(hints)
+    return hints

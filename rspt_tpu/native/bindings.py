@@ -87,6 +87,11 @@ def _load():
         ctypes.POINTER(ctypes.c_uint32), ctypes.c_int,
         ctypes.POINTER(ctypes.c_uint32), c_i32p, c_u8p, sz, c_i32p,
         c_u8p, ctypes.c_int]
+    lib.rn_declut16_batch.restype = ctypes.c_int
+    lib.rn_declut16_batch.argtypes = [
+        c_u8p, ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_int, c_i32p, c_i32p,
+        ctypes.c_int, c_i32p, c_i32p, ctypes.c_int]
     lib.rn_iir_filter_array.restype = None
     lib.rn_iir_filter_array.argtypes = [
         ctypes.POINTER(ctypes.c_double), sz,
@@ -355,6 +360,34 @@ def build_tables(hists: np.ndarray, desc_stride: int, nthreads: int = 0):
     if rc:
         raise ValueError("table build failed")
     return codes, cbits, desc_bytes, desc_bits, is_fill.astype(bool)
+
+
+def declut16_batch(payloads, l2_cap: int = 64, nthreads: int = 0):
+    """Batched 16-bit-peek decode LUTs (hzr/jax_decoder.build_lut
+    format) recovered straight from HUFF payloads in C++ threads.
+
+    payloads: list of uint8 arrays. Returns (l1 (nb, 65536) i32,
+    l2 (nb, l2_cap, 256) i32, n_deep (nb,) i32, dbits (nb,) i32).
+    Raises ValueError when any block fails (caller falls back to the
+    Python builder)."""
+    lib = _load()
+    nb = len(payloads)
+    lens = np.array([p.size for p in payloads], np.int64)
+    offs = np.concatenate(([0], np.cumsum(lens)[:-1])).astype(np.int64)
+    buf = np.concatenate([np.ascontiguousarray(p, np.uint8).reshape(-1)
+                          for p in payloads]) if nb else \
+        np.zeros(0, np.uint8)
+    l1 = np.zeros((nb, 65536), np.int32)
+    l2 = np.zeros((nb, l2_cap, 256), np.int32)
+    n_deep = np.zeros(nb, np.int32)
+    dbits = np.zeros(nb, np.int32)
+    rc = lib.rn_declut16_batch(
+        _p8(buf), offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), nb,
+        _p32(l1), _p32(l2), l2_cap, _p32(n_deep), _p32(dbits), nthreads)
+    if rc:
+        raise ValueError("declut16: block outside the 24-bit envelope")
+    return l1, l2, n_deep, dbits
 
 
 def iir_filter_array(x: np.ndarray, n, d, xz, yz, opt: int):

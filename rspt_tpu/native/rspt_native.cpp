@@ -958,6 +958,96 @@ int rn_hzr_verify(const uint8_t* in, size_t in_size, size_t* decoded_size) {
     return 0;
 }
 
+// 16-bit-peek decode LUTs in rspt_tpu/hzr/jax_decoder.py build_lut
+// format, recovered straight from a HUFF block payload: l1 (65536) i32
+// leaf -> sym | bits<<16, deep (>16-bit prefix) -> slot | 1<<30;
+// l2 (l2_cap, 256) i32 slot rows -> sym | total_bits<<16. Returns the
+// number of deep slots used (>= 0) or -1 on parse error / l2_cap /
+// >24-bit code. *dbits_out = tree-description bit length (the body's
+// start offset, hzr_decode.c:263-333 consumption).
+static int declut16_one(const uint8_t* payload, size_t plen, int32_t* l1,
+                        int32_t* l2, int l2_cap, int32_t* dbits_out) {
+    BitReader br(payload, plen);
+    DecTree t;
+    int root = recover_tree(br, t);
+    if (root < 0) return -1;
+    *dbits_out = (int32_t)(8 * (size_t)(br.p - payload) - (size_t)br.nbits);
+    struct It { int16_t node; uint32_t code; uint16_t bits; };
+    It stack[kMaxNodes + 1];
+    int sp = 0;
+    int n_deep = 0;
+    stack[sp++] = {(int16_t)root, 0u, 0};
+    while (sp > 0) {
+        It it = stack[--sp];
+        if (t.sym[it.node] >= 0) {
+            int b = it.bits > 0 ? it.bits : 1;  // degenerate single leaf
+            uint32_t step = 1u << it.bits;
+            int32_t v = (int32_t)t.sym[it.node] | (b << 16);
+            for (uint32_t c = it.code; c < 65536u; c += step) l1[c] = v;
+            continue;
+        }
+        if (it.bits == 16) {
+            if (n_deep >= l2_cap) return -1;
+            int32_t* row = l2 + (size_t)n_deep * 256;
+            l1[it.code] = n_deep | (1 << 30);
+            ++n_deep;
+            It st2[kMaxNodes + 1];
+            int sp2 = 0;
+            st2[sp2++] = {it.node, 0u, 0};
+            while (sp2 > 0) {
+                It i2 = st2[--sp2];
+                if (t.sym[i2.node] >= 0) {
+                    uint32_t step2 = 1u << i2.bits;
+                    int32_t v2 = (int32_t)t.sym[i2.node] |
+                                 ((16 + (int)i2.bits) << 16);
+                    for (uint32_t c = i2.code; c < 256u; c += step2)
+                        row[c] = v2;
+                    continue;
+                }
+                if (i2.bits >= 8) return -1;  // > 24-bit code
+                st2[sp2++] = {t.child_b[i2.node],
+                              i2.code | (1u << i2.bits),
+                              (uint16_t)(i2.bits + 1)};
+                st2[sp2++] = {t.child_a[i2.node], i2.code,
+                              (uint16_t)(i2.bits + 1)};
+            }
+            continue;
+        }
+        stack[sp++] = {t.child_b[it.node], it.code | (1u << it.bits),
+                       (uint16_t)(it.bits + 1)};
+        stack[sp++] = {t.child_a[it.node], it.code,
+                       (uint16_t)(it.bits + 1)};
+    }
+    return n_deep;
+}
+
+// Batch declut16 over nb payload spans of one buffer, threaded.
+// l1s: nb*65536 i32 (caller-zeroed not required; fully overwritten
+// per leaf coverage... zero first anyway for safety on parse error),
+// l2s: nb*l2_cap*256 i32 (zero-initialized by caller), n_deep/dbits:
+// nb i32 outs. Returns 0, or 1 if any block failed (n_deep[i] = -1).
+int rn_declut16_batch(const uint8_t* buf, const int64_t* offs,
+                      const int64_t* lens, int nb, int32_t* l1s,
+                      int32_t* l2s, int l2_cap, int32_t* n_deep,
+                      int32_t* dbits, int nthreads) {
+    if (nthreads <= 0) nthreads = (int)std::thread::hardware_concurrency();
+    std::atomic<int> next(0);
+    std::atomic<int> bad(0);
+    auto work = [&](size_t, size_t) {
+        int i;
+        while ((i = next.fetch_add(1)) < nb) {
+            n_deep[i] = declut16_one(
+                buf + offs[i], (size_t)lens[i], l1s + (size_t)i * 65536,
+                l2s + (size_t)i * l2_cap * 256, l2_cap, dbits + i);
+            if (n_deep[i] < 0) bad.store(1);
+        }
+    };
+    pool_ranges((size_t)(nthreads < nb ? nthreads : nb),
+                (size_t)(nthreads < nb ? nthreads : nb),
+                [&](size_t a, size_t b2) { work(a, b2); });
+    return bad.load();
+}
+
 // --- scans (int32 wraparound; reference: utils.cpp:193-236) ---------------
 
 void rn_delta_encode(int32_t* a, size_t n) {

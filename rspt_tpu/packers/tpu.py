@@ -43,6 +43,31 @@ try:
 except Exception:  # pragma: no cover
     _HAVE_NATIVE = False
 
+_warned_backend = False
+
+
+def _warn_non_tpu_backend():
+    """The JAX engine's pack kernels are Pallas/Mosaic TPU programs;
+    on CPU/GPU backends they fall back to an XLA formulation measured
+    ~100x slower (PROFILE_r03: pack_xla 47 ms vs pack_pallas 0.6 ms).
+    engine='auto' never routes here off-TPU — warn ONCE when a caller
+    forces engine='tpu' anyway (use 'native' or 'host' on those
+    machines)."""
+    global _warned_backend
+    if _warned_backend:
+        return
+    _warned_backend = True
+    try:
+        backend = jax.default_backend()
+    except Exception:  # pragma: no cover
+        return
+    if backend != "tpu":
+        log.warning(
+            "rspt_tpu: JAX engine on backend %r — the pack path is "
+            "TPU-native (Pallas); expect ~100x slower XLA fallbacks "
+            "here. Use engine='native' or 'host' on non-TPU machines.",
+            backend)
+
 
 # ---------------------------------------------------------------------------
 # Fused pass-1 kernels (one dispatch each), cached per static config
@@ -632,6 +657,7 @@ def _as_words(src, bps: int):
 class _TpuPackerBase:
     def __init__(self, bytes_per_sample: int, nr_channels: int,
                  nr_samples: int, encoder=None, device_decode: bool = False):
+        _warn_non_tpu_backend()
         self.cfg = PackerConfig(bytes_per_sample, nr_channels, nr_samples)
         # encoder: object with .encode_blocks(blocks, lengths) — e.g.
         # parallel.mesh.ShardedHzrEncoder for a multi-chip mesh.

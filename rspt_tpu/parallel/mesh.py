@@ -146,24 +146,18 @@ class ShardedHzrDecoder:
             outs = [out[a:a + n].tobytes() for a, n in spans]
             return (outs, None) if return_hints else outs
 
-        # host LUTs + lane arrays (identical to jd._device_decode)
+        # host LUTs + lane arrays (identical to jd._device_decode);
+        # LUT build via the native MT builder (jd.build_luts_batch)
         nb = len(huff)
         max_words = max(-(-p.size // 4) for p, *_ in huff) + 2
-        words = np.zeros((nb, max_words), np.int32)
-        l1 = np.zeros((nb, jd.L1_SIZE), np.int32)
-        l2_rows, l2_base = [], np.zeros(nb, np.int32)
+        words = np.zeros((nb, max_words * 4), np.uint8)
         digest_parts = []
         for i, (payload, pbits, dbits, ooff, olen, tree, crc) in \
                 enumerate(huff):
             digest_parts.append((crc, payload.size, dbits, ooff, olen))
-            pw = np.zeros(max_words * 4, np.uint8)
-            pw[:payload.size] = payload
-            words[i] = pw.view("<u4").view(np.int32)
-            a, b = jd.build_lut(tree)
-            l1[i] = a
-            l2_base[i] = sum(r.shape[0] for r in l2_rows)
-            l2_rows.append(b)
-        l2 = np.concatenate(l2_rows, axis=0)
+            words[i, :payload.size] = payload
+        words = np.ascontiguousarray(words).view("<u4").view(np.int32)
+        l1, l2, l2_base = jd.build_luts_batch(huff)
 
         # Bin-pack whole blocks onto shards (heaviest-first into the
         # least-loaded shard, deterministic): a block's segment lanes
@@ -192,14 +186,16 @@ class ShardedHzrDecoder:
                 payload, pbits, dbits, ooff, olen, tree, _crc = huff[i]
                 nseg = seg_of_block[i]
                 slot_of_block[i] = cur
-                for s in range(nseg):
-                    lane_block[cur] = i
-                    lane_entry[cur] = dbits + s * jd.SEG_BITS
-                    lane_seg_end[cur] = min(dbits + (s + 1) * jd.SEG_BITS,
-                                            pbits)
-                    lane_pbits[cur] = pbits
-                    dfirst[cur] = s == 0
-                    cur += 1
+                sl = slice(cur, cur + nseg)
+                ar = np.arange(nseg, dtype=np.int32)
+                lane_block[sl] = i
+                lane_entry[sl] = dbits + ar * jd.SEG_BITS
+                lane_seg_end[sl] = np.minimum(
+                    dbits + (ar + 1) * jd.SEG_BITS, pbits)
+                lane_pbits[sl] = pbits
+                dfirst[sl] = False
+                dfirst[cur] = True
+                cur += nseg
 
         fns = self._fns()
         # hints are bound to stream CONTENT (per-block stored CRC32C

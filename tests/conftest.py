@@ -17,14 +17,35 @@ if not os.environ.get("RSPT_TEST_TPU"):
     except Exception:
         pass
 
+# Persistent compile cache: the XLA CPU compiler has segfaulted on the
+# suite's largest program late in a long full-suite process (same
+# program compiles fine in isolation — state-dependent compiler crash,
+# not a program bug). Caching makes reruns LOAD earlier compiles, so
+# repeated runs converge past any crash point, and the full suite drops
+# from ~10 min of compiles to ~2.
+try:
+    import jax as _jax
+    _cache = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "build", "jax_cache")
+    os.makedirs(_cache, exist_ok=True)
+    _jax.config.update("jax_compilation_cache_dir", _cache)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+except Exception:
+    pass
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
-@pytest.fixture(scope="session")
+@pytest.fixture()
 def rng():
+    # function-scoped: a FRESH deterministic generator per test. A
+    # shared stateful generator made every test's data depend on which
+    # tests ran before it — full-suite vs isolation then compiled
+    # different jit programs (one such order-dependent shape
+    # deterministically crashed the XLA CPU compiler).
     return np.random.default_rng(1234)
 
 
@@ -56,15 +77,21 @@ def to_native(arr: np.ndarray, bps: int) -> bytes:
     return b.tobytes()
 
 
+# Data fixtures use their OWN seeded generators: the shared `rng`
+# fixture is stateful, so drawing from it would make fixture DATA
+# depend on which tests ran first — full-suite vs isolation then
+# compile different jit programs (one such order-dependent shape
+# deterministically crashed the XLA CPU compiler at 87% of the suite).
 @pytest.fixture(scope="session")
-def ecg3(rng):
-    sig = make_ecg_like(rng, 3, 20000, 300.0, 24)
+def ecg3():
+    sig = make_ecg_like(np.random.default_rng(313), 3, 20000, 300.0, 24)
     return sig, to_native(sig, 3)
 
 
 @pytest.fixture(scope="session")
-def ecg12(rng):
-    sig = make_ecg_like(rng, 12, 34199, 50000.0, 32)
+def ecg12():
+    sig = make_ecg_like(np.random.default_rng(1212), 12, 34199,
+                        50000.0, 32)
     return sig, to_native(sig, 4)
 
 

@@ -10,7 +10,8 @@ from rspt_tpu.packers import tpu as tpack  # noqa: E402
 
 
 @pytest.fixture(scope="module")
-def payloads(rng):
+def payloads():
+    rng = np.random.default_rng(1234)
     ch, n = 3, 8192
     outs = []
     for k in range(4):

@@ -7,7 +7,8 @@ import rspt_tpu.packers as packers
 
 
 @pytest.fixture(scope="module")
-def payload(rng):
+def payload():
+    rng = np.random.default_rng(1234)
     ch, n = 4, 4096
     sig = np.cumsum(rng.normal(0, 500, (ch, n)), axis=1).astype(np.int32)
     return ch, n, np.ascontiguousarray(sig.T).astype("<i4").tobytes()

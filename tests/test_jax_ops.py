@@ -13,7 +13,8 @@ from rspt_tpu.ops import jax_ops as jops  # noqa: E402
 
 
 @pytest.fixture(scope="module")
-def ints(rng):
+def ints():
+    rng = np.random.default_rng(1234)
     # Full-range int32 values incl. wraparound-provoking extremes.
     base = rng.integers(-(2**31), 2**31, size=8192, dtype=np.int64)
     base[:8] = [0, -1, 1, 2**31 - 1, -(2**31), 123456789, -987654321, 255]
@@ -101,7 +102,8 @@ def test_fwht_wraparound_extremes():
 
 class TestDct:
     @pytest.fixture(scope="class")
-    def sig(self, rng):
+    def sig(self):
+        rng = np.random.default_rng(1234)
         n = 1024
         t = np.arange(n)
         x = (20000 * np.sin(t / 23.0) + 3000 * np.sin(t / 3.1)

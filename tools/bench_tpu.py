@@ -311,11 +311,12 @@ def main():
             if lut is not None and sum(lut[2]) <= dev_chunks:
                 devb += olen
     out["dec_device_bytes_frac"] = round(devb / max(totb, 1), 4)
-    outs = pd.decode_many(streams)
+    outs = pd.decode_many(streams, hints=False)
     from rspt_tpu.hzr import pyref
     assert all(o == pyref.decode(st) for o, st in zip(outs, streams)), \
         "device decoder output differs from the spec decoder"
-    out["dec_e2e_s"] = wall_best(lambda: pd.decode_many(streams))
+    out["dec_e2e_s"] = wall_best(
+        lambda: pd.decode_many(streams, hints=False))
 
     holder = {}
     orig_run, orig_place = pd._run_kernel, pd._place_emissions
@@ -329,7 +330,7 @@ def main():
         return orig_place(*a, **k)
 
     pd._run_kernel, pd._place_emissions = run_spy, place_spy
-    pd.decode_many(streams)
+    pd.decode_many(streams, hints=False)
     pd._run_kernel, pd._place_emissions = orig_run, orig_place
     ra, rk = holder["run"]
 

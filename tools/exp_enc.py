@@ -162,6 +162,49 @@ def main():
 
     add("place(+glue)", place_body)
 
+    def glue_body(acc):
+        st, a = jax.lax.optimization_barrier((stageW, acc))
+        return a + sum(s(x) for x in glue(st))
+
+    add("glue_only", glue_body)
+
+    def glue2(stageW):
+        # cumsum + broadcast instead of pad-doubling scans/repeats
+        w0, w1, cbase, clive, gtot = stageW
+        ng2 = gtot.shape[1]
+        e = jnp.cumsum(gtot, axis=1) - gtot
+        e_in = e - jnp.take(e[0], gfirst_d)[None, :]
+        group_base = wog_d[None, :] * 8 + dbg_d[None, :] + e_in
+        nc2 = cbase.shape[1]
+        nsup = nc2 // SUP_CHUNKS
+        sup_per_g = nsup // ng2
+        c3 = cbase.reshape(1, nsup, SUP_CHUNKS)
+        superbase = c3[:, :, 0]
+        d3 = jnp.clip(c3 - superbase[:, :, None], 0, D_CLAMP)
+        gb_s = jnp.broadcast_to(
+            group_base.reshape(1, ng2, 1), (1, ng2, sup_per_g)
+        ).reshape(1, nsup)
+        wbase = jnp.clip(jnp.right_shift(gb_s, 5) + superbase,
+                         0, (nrows_f - ACC_ROWS) * 128)
+        sbits = gb_s & 31
+        slive = jnp.any(clive.reshape(1, nsup, SUP_CHUNKS) > 0, axis=2)
+        return (w0, w1, d3.reshape(1, nc2, 1), d3,
+                wbase[:, :, None], sbits[:, :, None],
+                slive[:, :, None].astype(jnp.int32))
+
+    def place2_body(acc):
+        st, a = jax.lax.optimization_barrier((stageW, acc))
+        w = super_place_flat_pallas(*glue2(st), nrows_f)
+        return a + s(w)
+
+    add("place(+glue2)", place2_body)
+
+    def glue2_body(acc):
+        st, a = jax.lax.optimization_barrier((stageW, acc))
+        return a + sum(s(x) for x in glue2(st))
+
+    add("glue2_only", glue2_body)
+
     def noop_body(acc):
         t_, a = jax.lax.optimization_barrier((tokw, acc))
         return a + s(t_[:, :128])

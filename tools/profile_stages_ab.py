@@ -440,7 +440,7 @@ def main():
         return orig_place(*a, **k)
 
     pd._run_kernel, pd._place_emissions = run_spy, place_spy
-    pd.decode_many(streams)
+    pd.decode_many(streams, hints=False)
     pd._run_kernel, pd._place_emissions = orig_run, orig_place
     ra, rk = holder["run"]
     pa, pkw = holder["place"]
