@@ -505,6 +505,15 @@ inline uint8_t extra_bits_of(uint16_t sym) {
 // Huffman tree, replicating the reference's greedy build + tie-breaking
 // (hzr_encode.c:222-283): scan nodes[0..next) each round, `<=` means the
 // latest minimal node wins; internal nodes append after leaves.
+//
+// The scan's selection is equivalent to popping the two minima of the
+// strict total order (count asc, node index DESC): the `<=` replacement
+// makes the LAST minimal index win for n1, and the same tie rule holds
+// for n2 (invariant count[n1] <= count[n2] after every step). A binary
+// min-heap keyed on (count << 16) | (0xFFFF - index) therefore
+// reproduces the reference's merge sequence bit-exactly in O(n log n)
+// instead of the O(n^2) rescan — the rescan cost ~1.2 ns per input
+// byte on 48-64 KiB blocks, half the whole encode stage.
 // ---------------------------------------------------------------------------
 
 struct TreeCtx {
@@ -536,16 +545,41 @@ void build_tree(const uint32_t* hist, TreeCtx& t) {
         t.single = true;
         return;
     }
-    int left = num_symbols;
-    while (left > 1) {
-        int n1 = -1, n2 = -1;
-        for (int k = 0; k < t.next; ++k) {
-            uint32_t c = t.count[k];
-            if (c > 0) {
-                if (n1 < 0 || c <= t.count[n1]) { n2 = n1; n1 = k; }
-                else if (n2 < 0 || c <= t.count[n2]) { n2 = k; }
-            }
+    // min-heap over (count << 16) | (0xFFFF - index); counts are block
+    // token totals (<= 64Ki) so they fit 17 bits and never collide with
+    // the index field after summing (<= 2^17 << 16 < 2^64).
+    uint64_t heap[kMaxNodes];
+    int hn = 0;
+    auto hpush = [&](uint64_t key) {
+        int i = hn++;
+        heap[i] = key;
+        while (i > 0) {
+            int p = (i - 1) >> 1;
+            if (heap[p] <= heap[i]) break;
+            std::swap(heap[p], heap[i]);
+            i = p;
         }
+    };
+    auto hpop = [&]() -> uint64_t {
+        uint64_t top = heap[0];
+        heap[0] = heap[--hn];
+        int i = 0;
+        for (;;) {
+            int l = 2 * i + 1, r2 = l + 1, m = i;
+            if (l < hn && heap[l] < heap[m]) m = l;
+            if (r2 < hn && heap[r2] < heap[m]) m = r2;
+            if (m == i) break;
+            std::swap(heap[i], heap[m]);
+            i = m;
+        }
+        return top;
+    };
+    for (int k = 0; k < num_symbols; ++k)
+        hpush(((uint64_t)t.count[k] << 16) | (uint64_t)(0xFFFF - k));
+    while (hn > 1) {
+        uint64_t k1 = hpop(), k2 = hpop();
+        int n1 = 0xFFFF - (int)(k1 & 0xFFFF);
+        int n2 = 0xFFFF - (int)(k2 & 0xFFFF);
         int r = t.next++;
         t.sym[r] = -1;
         t.child_a[r] = (int16_t)n1;
@@ -554,7 +588,7 @@ void build_tree(const uint32_t* hist, TreeCtx& t) {
         t.count[n1] = 0;
         t.count[n2] = 0;
         t.root = r;
-        --left;
+        hpush(((uint64_t)t.count[r] << 16) | (uint64_t)(0xFFFF - r));
     }
 }
 
@@ -645,7 +679,8 @@ size_t encode_block_hist(const uint8_t* in, size_t in_size,
             // one put64 (identical bit layout — fields are LSB-first
             // adjacent). Max Huffman depth at <=64Ki counts is ~23
             // bits; four typical-depth codes fit put64's 56-bit budget,
-            // a pair always does.
+            // a pair always does. (An 8-wide variant measured SLOWER on
+            // the zero-dense plane bytes — the probe fails too often.)
             while (k + 4 <= in_size) {
                 uint8_t b0 = in[k], b1 = in[k + 1], b2 = in[k + 2],
                         b3 = in[k + 3];
