@@ -201,18 +201,33 @@ def main():
             2, 1000.0, 0.4, 200.0)
         scfg.filter_coeffs = (a_c, b_c)
         codec = StreamingCodec(scfg)
-        codec.push(native)  # warm: filter warmup + one-time plane growth
+        # cold: first push on a fresh codec (filter warmup + one-time
+        # plane growth). Methodology note (r4 advisor): rounds <=3
+        # reported THIS number; rounds >=4 headline the steady state.
+        t0 = time.perf_counter()
+        codec.push(native)
+        t_cold = time.perf_counter() - t0
         # steady state: a continuous stream pays plane growth once per
         # stream lifetime (signal_packer_xdelta_hzr grows member state),
         # so the throughput metric is repeated pushes on ONE codec
         t_stream = float("inf")
+        stats_one = None
         for _ in range(5):
+            s0 = codec.flush_stats()
             t0 = time.perf_counter()
             codec.push(native)
-            t_stream = min(t_stream, time.perf_counter() - t0)
+            dt = time.perf_counter() - t0
+            if dt < t_stream:   # stats DELTA of the best single push
+                t_stream = dt
+                s1 = codec.flush_stats()
+                stats_one = {k: s1[k] - s0[k] for k in
+                             ("frames", "bytes_in", "bytes_out")}
+                stats_one["cr"] = (stats_one["bytes_in"]
+                                   / max(stats_one["bytes_out"], 1))
         log(f"streaming path (filter+pack): {t_stream*1e3:.1f} ms for "
-            f"{nbytes/1e6:.2f} MB -> {nbytes/t_stream/1e6:.0f} MB/s, "
-            f"stats {codec.flush_stats()}")
+            f"{nbytes/1e6:.2f} MB -> {nbytes/t_stream/1e6:.0f} MB/s "
+            f"steady (cold first push {nbytes/t_cold/1e6:.0f} MB/s), "
+            f"one-push stats {stats_one}")
     except Exception as e:
         log(f"streaming metric unavailable: {e}")
 
@@ -260,12 +275,25 @@ def main():
         metric = f"xdelta_hzr_encode_GBps_12ch_ecg[{best_engine}]"
         enc_gbps = nbytes / results[best_engine][0] / 1e9
     vs = enc_gbps / base_gbps if base_gbps else enc_gbps / 1.0
-    print(json.dumps({
+    # schema v2 (round 5): decode keys are explicit about hinting —
+    # device_dec_gbps is ALWAYS the honest unhinted fixpoint path and
+    # device_dec_hinted_gbps the sidecar-assisted one. (Rounds <=2
+    # reported the hinted number under the unhinted name; round >=4
+    # reported unhinted only. vs_baseline history is NOT comparable
+    # across that change.)
+    line = {
         "metric": metric,
         "value": round(enc_gbps, 4),
         "unit": "GB/s",
         "vs_baseline": round(vs, 3),
-    }), flush=True)
+        "schema": 2,
+    }
+    if tpu is not None:
+        for k in ("device_dec_gbps", "device_dec_hinted_gbps",
+                  "x4_device_enc_gbps", "batch4_device_enc_gbps"):
+            if k in tpu:
+                line[k] = round(tpu[k], 4)
+    print(json.dumps(line), flush=True)
 
 
 if __name__ == "__main__":

@@ -4,7 +4,6 @@
 // per-byte costs — the streaming stage runs the same code across the
 // thread pool, so core-ns/B here maps directly to its wall time.
 //   g++ -O3 -march=native -std=c++17 tools/bench_hzr_emit.cpp -o /tmp/bhe
-#define RSPT_NATIVE_NO_MAIN 1
 #include "../rspt_tpu/native/rspt_native.cpp"
 
 #include <chrono>
