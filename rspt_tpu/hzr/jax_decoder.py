@@ -117,7 +117,7 @@ def build_lut(tree) -> Tuple[np.ndarray, np.ndarray]:
     return l1, l2
 
 
-def build_luts_batch(huff):
+def build_luts_batch(huff, return_dbits: bool = False):
     """Per-block L1/L2 LUTs for a HUFF block list, as the concatenated
     arrays _sweep_impl consumes: (l1 (nb, L1_SIZE) i32, l2 concat,
     l2_base (nb,) i32).
@@ -126,21 +126,36 @@ def build_luts_batch(huff):
     payload bits — the Python per-leaf slice fill was the sharded
     decoder's largest serial host cost) and falls back to the Python
     build_lut per block. Blocks without deep slots contribute one
-    zero row, matching build_lut's shape contract."""
+    zero row, matching build_lut's shape contract.
+
+    With return_dbits=True also returns the per-block tree-description
+    bit counts (the bit position where payload data starts) — huff
+    entries from _walk_stream_light carry dbits=-1 and get the real
+    value from here, so the Python per-block tree recovery never runs
+    on the sharded decode path."""
     nb = len(huff)
+    dbits_out = np.asarray([h[2] for h in huff], np.int64)
     try:
         from ..native import bindings as nbind
         l1, l2r, n_deep, dbits = nbind.declut16_batch(
             [h[0] for h in huff])
         for i, h in enumerate(huff):
-            if int(dbits[i]) != h[2]:  # pragma: no cover - parser drift
+            if h[2] >= 0 and int(dbits[i]) != h[2]:  # pragma: no cover
                 raise ValueError("declut16 dbits mismatch")
+        dbits_out = np.asarray(dbits, np.int64)
         rows = [l2r[i, :max(int(n_deep[i]), 1)] for i in range(nb)]
     except Exception:
+        from . import pyref
         l1 = np.zeros((nb, L1_SIZE), np.int32)
         rows = []
         for i, h in enumerate(huff):
-            a, b = build_lut(h[5])
+            tree = h[5]
+            if tree is None:   # light walk deferred the recovery
+                br = pyref._BitReader(memoryview(h[0].tobytes()), 0,
+                                      h[0].size)
+                tree = pyref._recover_tree(br)
+                dbits_out[i] = br.pos
+            a, b = build_lut(tree)
             l1[i] = a
             rows.append(b)
     l2_base = np.zeros(nb, np.int32)
@@ -148,6 +163,8 @@ def build_luts_batch(huff):
     for i, r in enumerate(rows):
         l2_base[i] = acc
         acc += r.shape[0]
+    if return_dbits:
+        return l1, np.concatenate(rows, axis=0), l2_base, dbits_out
     return l1, np.concatenate(rows, axis=0), l2_base
 
 
@@ -332,6 +349,46 @@ def _walk_stream(src, out_size, gbase, out, huff):
             crc = int.from_bytes(src[pos + 2:pos + 6].tobytes(), "little")
             huff.append((payload, payload.size * 8, br.pos, out_off, blen,
                          tree, crc))
+            pos = dstart + esz
+        else:
+            raise ValueError("hzr: invalid encoding mode")
+        out_off += blen
+        left -= blen
+
+
+def _walk_stream_light(src, out_size, gbase, out, huff):
+    """_walk_stream without the Python per-block tree recovery: huff
+    entries carry dbits=-1 / tree=None, both filled in later by
+    build_luts_batch(return_dbits=True) (the native builder re-derives
+    dbits from the payload bits anyway). ~20x cheaper per block — the
+    recovery was the sharded decoder's largest serial host stage."""
+    pos = HEADER_SIZE
+    left = out_size
+    out_off = gbase
+    while left > 0:
+        blen = min(left, MAX_BLOCK_SIZE)
+        if pos + BLOCK_HEADER_SIZE > src.size:
+            raise ValueError("hzr: truncated block header")
+        esz = int.from_bytes(src[pos:pos + 2].tobytes(), "little") + 1
+        mode = src[pos + 6]
+        dstart = pos + BLOCK_HEADER_SIZE
+        if mode == ENCODING_COPY:
+            if esz != blen or dstart + blen > src.size:
+                raise ValueError("hzr: bad COPY block")
+            out[out_off:out_off + blen] = src[dstart:dstart + blen]
+            pos = dstart + blen
+        elif mode == ENCODING_FILL:
+            if dstart + 1 > src.size:
+                raise ValueError("hzr: truncated FILL block")
+            out[out_off:out_off + blen] = src[dstart]
+            pos = dstart + 1
+        elif mode == ENCODING_HUFF_RLE:
+            if dstart + esz > src.size:
+                raise ValueError("hzr: truncated block")
+            payload = src[dstart:dstart + esz]
+            crc = int.from_bytes(src[pos + 2:pos + 6].tobytes(), "little")
+            huff.append((payload, payload.size * 8, -1, out_off, blen,
+                         None, crc))
             pos = dstart + esz
         else:
             raise ValueError("hzr: invalid encoding mode")

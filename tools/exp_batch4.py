@@ -114,7 +114,10 @@ def main():
             else:
                 tokc = compact_tokens_pallas(t_, bases, cfg["t_rows"],
                                              r_ct=256)
-            return a + s(tokc[:128])
+            # strided consumption touches EVERY split part — consuming
+            # only [:128] let XLA dead-code the other chunks (the r4
+            # compact_x4 number was bogus for this reason)
+            return a + s(tokc[::128])
         return body
 
     add("compact_x1", mk_compact(b1))
