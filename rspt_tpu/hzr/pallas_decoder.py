@@ -66,8 +66,13 @@ SEG_PER_BLOCK = 1024   # max segments per block -> a full 8-row tile;
                        # is the step body's largest vector cost)
 W_SEG = 40             # window words per lane (segw<=38 + straddle)
 STEP_CHUNK = 128       # emission ring rows per DMA flush
-K_VIS = 16             # symbol starts recorded per align sweep for the
-#                        fixpoint's trajectory-merge convergence test
+K_VIS = 32             # symbol starts recorded per align sweep for the
+#                        fixpoint's trajectory-merge convergence test.
+#                        Must cover the max alignment slip (~37 bits +
+#                        resync): 16 starts of 2-bit codes span only
+#                        ~32 bits and left every ECG tile needing a
+#                        second align sweep (measured fp_iters=2-3);
+#                        32 starts certify most tiles after ONE.
 MAX_STEPS = 1088       # static cap: 1-bit/symbol floor on 1024-bit segs
 STEP_BUCKETS = (128, 256, 544, 1088)
 NIB_LEVELS = 4         # 4-bit levels past the 8-bit root: 8+4*4=24 bits
@@ -404,40 +409,46 @@ def _decode_kernel(ntc_ref, win_ref, l1lo_ref, l1hi_ref, lv1_ref,
             # chunk cap (the array shape): unrolled static-index
             # gather+select chains measure 10-30x cheaper than a
             # runtime-bounded fori on the VPU. The whole chain sits
-            # behind an any(deep) gate (one cross-lane reduce, ~170 ns)
-            # so steps/tiles where every lane hit a <=8-bit code skip
-            # every gather — deep codes are the RARE symbols even in
-            # deep trees, and most tiles' trees have no deep node at
-            # all; a second gate skips levels 2-4 (>12-bit codes).
-            @pl.when(jnp.any(deep0))
+            # behind TWO gates: a per-tile SCALAR has-deep-chunks check
+            # (tiles whose blocks have no deep slot — most planes —
+            # skip even the any() reduce, which at ~170 ns/step was
+            # half their step budget), then the any(deep) cross-lane
+            # reduce so deep-capable tiles still skip steps where every
+            # lane hit a <=8-bit code; a third gate skips levels 2-4
+            # (>12-bit codes).
+            @pl.when(ntc_ref[t, 0] > 0)
             def _():
-                nib = pltpu.bitcast((c0 >> u32(8)) & u32(15), jnp.int32)
-                idxk = (ent0 & 0xFFFF) * 16 + nib
-                ek = jnp.zeros(shape, jnp.int32)
-                for p in range(lv1_ref.shape[0]):
-                    g = gather128(lv1_ref[p], idxk & 127)
-                    ek = jnp.where((idxk >> 7) == p, g, ek)
-                ent = jnp.where(deep0, ek, ent0)
-                deep = deep0 & ((ek & DEEP_BIT) != 0)
-                ent_ref[...] = ent
 
-                @pl.when(jnp.any(deep))
+                @pl.when(jnp.any(deep0))
                 def _():
-                    e2 = ent
-                    d2 = deep
-                    for k, lv_ref in enumerate((lv2_ref, lv3_ref,
-                                                lv4_ref)):
-                        nb_ = pltpu.bitcast(
-                            (c0 >> u32(12 + 4 * k)) & u32(15),
-                            jnp.int32)
-                        idk = (e2 & 0xFFFF) * 16 + nb_
-                        ek2 = jnp.zeros(shape, jnp.int32)
-                        for p in range(lv_ref.shape[0]):
-                            g = gather128(lv_ref[p], idk & 127)
-                            ek2 = jnp.where((idk >> 7) == p, g, ek2)
-                        e2 = jnp.where(d2, ek2, e2)
-                        d2 = d2 & ((ek2 & DEEP_BIT) != 0)
-                    ent_ref[...] = e2
+                    nib = pltpu.bitcast((c0 >> u32(8)) & u32(15),
+                                        jnp.int32)
+                    idxk = (ent0 & 0xFFFF) * 16 + nib
+                    ek = jnp.zeros(shape, jnp.int32)
+                    for p in range(lv1_ref.shape[0]):
+                        g = gather128(lv1_ref[p], idxk & 127)
+                        ek = jnp.where((idxk >> 7) == p, g, ek)
+                    ent = jnp.where(deep0, ek, ent0)
+                    deep = deep0 & ((ek & DEEP_BIT) != 0)
+                    ent_ref[...] = ent
+
+                    @pl.when(jnp.any(deep))
+                    def _():
+                        e2 = ent
+                        d2 = deep
+                        for k, lv_ref in enumerate((lv2_ref, lv3_ref,
+                                                    lv4_ref)):
+                            nb_ = pltpu.bitcast(
+                                (c0 >> u32(12 + 4 * k)) & u32(15),
+                                jnp.int32)
+                            idk = (e2 & 0xFFFF) * 16 + nb_
+                            ek2 = jnp.zeros(shape, jnp.int32)
+                            for p in range(lv_ref.shape[0]):
+                                g = gather128(lv_ref[p], idk & 127)
+                                ek2 = jnp.where((idk >> 7) == p, g, ek2)
+                            e2 = jnp.where(d2, ek2, e2)
+                            d2 = d2 & ((ek2 & DEEP_BIT) != 0)
+                        ent_ref[...] = e2
 
             ent = ent_ref[...]
             sym = ent & 0x1FF

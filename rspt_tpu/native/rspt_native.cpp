@@ -1866,6 +1866,200 @@ void rn_iir_filter_array(const double* x, size_t n, const double* nc,
     }
 }
 
+// 4-way channel-interleaved IIR: four independent serial recurrences
+// advance through one loop with private register state each — their
+// FP dependency chains interleave in the pipeline, so one core runs
+// ~4 channels at the latency cost of one (the per-sample accumulation
+// chain of a single channel is FP-latency-bound at ~9 serial adds).
+// Per-channel operation order is IDENTICAL to iir_arr_P → bit-exact.
+#define RN_IIR_UNROLL4(P)                                                 \
+static void iir_arr4_##P(const double* const* xs4, size_t n,              \
+                         const double* nc, const double* dc,              \
+                         double* const* xz4, double* const* yz4,          \
+                         int opt, double* const* ys4) {                   \
+    double xs[4][P], ys[4][P];                                            \
+    for (int c = 0; c < 4; ++c)                                           \
+        for (int i = 0; i < P; ++i) {                                     \
+            xs[c][i] = xz4[c][i];                                         \
+            ys[c][i] = yz4[c][i];                                         \
+        }                                                                 \
+    if (opt) {                                                            \
+        for (size_t t = 0; t < n; ++t) {                                  \
+            double acc[4];                                                \
+            for (int c = 0; c < 4; ++c) {                                 \
+                for (int i = P - 1; i > 0; --i) {                         \
+                    xs[c][i] = xs[c][i - 1];                              \
+                    ys[c][i] = ys[c][i - 1];                              \
+                }                                                         \
+                xs[c][0] = xs4[c][t];                                     \
+                acc[c] = dc[0] * xs[c][0];                                \
+            }                                                             \
+            for (int i = 1; i < P; ++i)                                   \
+                for (int c = 0; c < 4; ++c)                               \
+                    acc[c] = acc[c] + dc[i] * xs[c][i];                   \
+            for (int i = 1; i < P; ++i)                                   \
+                for (int c = 0; c < 4; ++c)                               \
+                    acc[c] = acc[c] - nc[i] * ys[c][i];                   \
+            for (int c = 0; c < 4; ++c) {                                 \
+                ys[c][0] = acc[c];                                        \
+                ys4[c][t] = acc[c];                                       \
+            }                                                             \
+        }                                                                 \
+    } else {                                                              \
+        for (size_t t = 0; t < n; ++t) {                                  \
+            double acc[4];                                                \
+            for (int c = 0; c < 4; ++c) {                                 \
+                for (int i = P - 1; i > 0; --i) {                         \
+                    xs[c][i] = xs[c][i - 1];                              \
+                    ys[c][i] = ys[c][i - 1];                              \
+                }                                                         \
+                xs[c][0] = xs4[c][t];                                     \
+                acc[c] = dc[0] * xs[c][0];                                \
+            }                                                             \
+            for (int i = 1; i < P; ++i)                                   \
+                for (int c = 0; c < 4; ++c) {                             \
+                    acc[c] += dc[i] * xs[c][i];                           \
+                    acc[c] -= nc[i] * ys[c][i];                           \
+                }                                                         \
+            for (int c = 0; c < 4; ++c) {                                 \
+                ys[c][0] = acc[c];                                        \
+                ys4[c][t] = acc[c];                                       \
+            }                                                             \
+        }                                                                 \
+    }                                                                     \
+    for (int c = 0; c < 4; ++c)                                           \
+        for (int i = 0; i < P; ++i) {                                     \
+            xz4[c][i] = xs[c][i];                                         \
+            yz4[c][i] = ys[c][i];                                         \
+        }                                                                 \
+}
+
+RN_IIR_UNROLL4(2)
+RN_IIR_UNROLL4(3)
+RN_IIR_UNROLL4(4)
+RN_IIR_UNROLL4(5)
+
+// Same 4-way interleaved kernel reading STRIDED int32 samples (the
+// bps==4 interleaved source) with in-register (double) conversion —
+// no materialized double span, no separate convert stage. The
+// conversion int32 -> double is exact, so outputs are bit-identical
+// to converting first.
+#define RN_IIR_UNROLL4S(P)                                                \
+static void iir_arr4s_##P(const int32_t* const* xs4, size_t stride,       \
+                          size_t n, const double* nc, const double* dc,   \
+                          double* const* xz4, double* const* yz4,         \
+                          int opt, double* const* ys4) {                  \
+    double xs[4][P], ys[4][P];                                            \
+    for (int c = 0; c < 4; ++c)                                           \
+        for (int i = 0; i < P; ++i) {                                     \
+            xs[c][i] = xz4[c][i];                                         \
+            ys[c][i] = yz4[c][i];                                         \
+        }                                                                 \
+    if (opt) {                                                            \
+        for (size_t t = 0; t < n; ++t) {                                  \
+            double acc[4];                                                \
+            for (int c = 0; c < 4; ++c) {                                 \
+                for (int i = P - 1; i > 0; --i) {                         \
+                    xs[c][i] = xs[c][i - 1];                              \
+                    ys[c][i] = ys[c][i - 1];                              \
+                }                                                         \
+                xs[c][0] = (double)xs4[c][t * stride];                    \
+                acc[c] = dc[0] * xs[c][0];                                \
+            }                                                             \
+            for (int i = 1; i < P; ++i)                                   \
+                for (int c = 0; c < 4; ++c)                               \
+                    acc[c] = acc[c] + dc[i] * xs[c][i];                   \
+            for (int i = 1; i < P; ++i)                                   \
+                for (int c = 0; c < 4; ++c)                               \
+                    acc[c] = acc[c] - nc[i] * ys[c][i];                   \
+            for (int c = 0; c < 4; ++c) {                                 \
+                ys[c][0] = acc[c];                                        \
+                ys4[c][t] = acc[c];                                       \
+            }                                                             \
+        }                                                                 \
+    } else {                                                              \
+        for (size_t t = 0; t < n; ++t) {                                  \
+            double acc[4];                                                \
+            for (int c = 0; c < 4; ++c) {                                 \
+                for (int i = P - 1; i > 0; --i) {                         \
+                    xs[c][i] = xs[c][i - 1];                              \
+                    ys[c][i] = ys[c][i - 1];                              \
+                }                                                         \
+                xs[c][0] = (double)xs4[c][t * stride];                    \
+                acc[c] = dc[0] * xs[c][0];                                \
+            }                                                             \
+            for (int i = 1; i < P; ++i)                                   \
+                for (int c = 0; c < 4; ++c) {                             \
+                    acc[c] += dc[i] * xs[c][i];                           \
+                    acc[c] -= nc[i] * ys[c][i];                           \
+                }                                                         \
+            for (int c = 0; c < 4; ++c) {                                 \
+                ys[c][0] = acc[c];                                        \
+                ys4[c][t] = acc[c];                                       \
+            }                                                             \
+        }                                                                 \
+    }                                                                     \
+    for (int c = 0; c < 4; ++c)                                           \
+        for (int i = 0; i < P; ++i) {                                     \
+            xz4[c][i] = xs[c][i];                                         \
+            yz4[c][i] = ys[c][i];                                         \
+        }                                                                 \
+}
+
+RN_IIR_UNROLL4S(2)
+RN_IIR_UNROLL4S(3)
+RN_IIR_UNROLL4S(4)
+RN_IIR_UNROLL4S(5)
+
+// Strided-int32 group entry: 4-way interleaved when possible, else a
+// per-channel serial pass over a scratch double span.
+static void iir_channels4s(const int32_t* const* xs4, size_t stride,
+                           size_t nch, size_t n, const double* nc,
+                           const double* dc, int p, double* const* xz4,
+                           double* const* yz4, int opt,
+                           double* const* ys4) {
+    if (nch == 4 && p >= 2 && p <= 5) {
+        switch (p) {
+            case 2: iir_arr4s_2(xs4, stride, n, nc, dc, xz4, yz4, opt,
+                                ys4); return;
+            case 3: iir_arr4s_3(xs4, stride, n, nc, dc, xz4, yz4, opt,
+                                ys4); return;
+            case 4: iir_arr4s_4(xs4, stride, n, nc, dc, xz4, yz4, opt,
+                                ys4); return;
+            case 5: iir_arr4s_5(xs4, stride, n, nc, dc, xz4, yz4, opt,
+                                ys4); return;
+        }
+    }
+    static thread_local std::vector<double> xtmp;
+    xtmp.resize(n);
+    for (size_t c = 0; c < nch; ++c) {
+        for (size_t t = 0; t < n; ++t)
+            xtmp[t] = (double)xs4[c][t * stride];
+        rn_iir_filter_array(xtmp.data(), n, nc, dc, p, xz4[c], yz4[c],
+                            opt, ys4[c]);
+    }
+}
+
+// Filter a group of `nch` (<= 4) channels through the interleaved
+// kernel; falls back to per-channel serial calls for orders without a
+// fixed-order body. Outputs bit-exact vs per-channel calls.
+static void iir_channels4(const double** xs4, size_t nch, size_t n,
+                          const double* nc, const double* dc, int p,
+                          double** xz4, double** yz4, int opt,
+                          double** ys4) {
+    if (nch == 4 && p >= 2 && p <= 5) {
+        switch (p) {
+            case 2: iir_arr4_2(xs4, n, nc, dc, xz4, yz4, opt, ys4); return;
+            case 3: iir_arr4_3(xs4, n, nc, dc, xz4, yz4, opt, ys4); return;
+            case 4: iir_arr4_4(xs4, n, nc, dc, xz4, yz4, opt, ys4); return;
+            case 5: iir_arr4_5(xs4, n, nc, dc, xz4, yz4, opt, ys4); return;
+        }
+    }
+    for (size_t c = 0; c < nch; ++c)
+        rn_iir_filter_array(xs4[c], n, nc, dc, p, xz4[c], yz4[c], opt,
+                            ys4[c]);
+}
+
 // All channels in one call, threaded across channels. Each channel is
 // an independent serial recurrence, so per-channel arithmetic (and
 // therefore the output bits) is identical to rn_iir_filter_array run
@@ -1936,6 +2130,335 @@ int rn_stream_filter_pack(const uint8_t* src, size_t ns, size_t nframes,
     // threads would see their own (empty) instances; capture raw
     // pointers instead
     int32_t* const sig_p = sig.data();
+
+    // ---- pipelined span path (filter present): one producer thread
+    // streams the cross-channel vectorized IIR frame-by-frame while
+    // the other threads preprocess + encode frames as they appear —
+    // the three serial stage barriers of the fallback path overlap
+    // into max(filter, drain) instead of their sum. Frames are byte-
+    // identical: per-frame work is the same code on the same bytes.
+    // RSPT_STREAM_NOPIPE=1 forces the staged fallback (A/B tool).
+    if (p > 0 && !std::getenv("RSPT_STREAM_NOPIPE")) {
+        const int shift2 = (int)(32 - 8 * bps);
+        xall.resize((size_t)ch * N);   // channel-major doubles
+        double* const xa = xall.data();
+        {
+            auto cvt = [&](size_t t0, size_t t1) {
+                if (bps == 4) {
+                    for (size_t t = t0; t < t1; ++t) {
+                        const uint8_t* q = src + t * ch * 4;
+                        for (size_t j = 0; j < ch; ++j) {
+                            int32_t sv;
+                            memcpy(&sv, q + j * 4, 4);
+                            xa[j * N + t] = (double)sv;
+                        }
+                    }
+                } else {
+                    for (size_t t = t0; t < t1; ++t) {
+                        const uint8_t* q = src + t * ch * bps;
+                        for (size_t j = 0; j < ch; ++j) {
+                            uint32_t v = 0;
+                            for (size_t k = 0; k < bps; ++k)
+                                v |= (uint32_t)q[j * bps + k] << (8 * k);
+                            xa[j * N + t] =
+                                (double)((int32_t)(v << shift2) >> shift2);
+                        }
+                    }
+                }
+            };
+            pool_ranges(N, (size_t)nthreads, cvt);
+        }
+        mark("convert");
+
+        int np = nr_planes_in < 1 ? 1 : nr_planes_in;
+        planes.resize((size_t)nframes * 4 * F);
+        uint8_t* const planes_p2 = planes.data();
+        // filtered doubles, frame-channel-major; the (int) truncation
+        // is fused into the consumers' preprocess pass so the serial
+        // producer only runs the recurrence itself
+        static thread_local std::vector<double> yall;
+        yall.resize((size_t)ch * N);
+        double* const yd_p = yall.data();
+        size_t nb_per = (F + kMaxBlockSize - 1) / kMaxBlockSize;
+        if (nb_per == 0) nb_per = 1;
+        static thread_local std::vector<uint32_t> hists_pipe;
+        hists_pipe.resize((size_t)nframes * 4 * nb_per * kNumSyms);
+        uint32_t* const hists_p2 = hists_pipe.data();
+        size_t bcap = kMaxBlockSize + kBlockHeaderSize + 16;
+        const size_t ipf = 4 * nb_per;  // item stride (4-plane cap)
+        scratch.resize((size_t)nframes * ipf * bcap);
+        uint8_t* const scratch_p2 = scratch.data();
+        std::vector<size_t> blens((size_t)nframes * ipf, 0);
+        std::vector<int> rcs((size_t)nframes * ipf, 0);
+
+        std::unique_ptr<std::atomic<int>[]> pre_state(
+            new std::atomic<int>[nframes]);
+        for (size_t f = 0; f < nframes; ++f) pre_state[f].store(0);
+        std::atomic<size_t> filtered(0), next_pre(0), settled(0),
+            next_enc(0), enc_done(0), pre_done(0);
+        std::atomic<long long> pre_ns(0), enc_ns(0);  // core-time sums
+
+        auto preprocess_frame = [&, planes_p2, yd_p,
+                                 hists_p2](size_t f, int npl) -> int {
+            const int sh_fit = 32 - 8 * npl;
+            uint8_t* pl = planes_p2 + f * 4 * F;
+            static thread_local std::vector<int32_t> xbuf2;
+            xbuf2.resize(F);
+            int32_t* xb = xbuf2.data();
+            const double* vd = yd_p + f * F;
+            // vectorizable passes (a fused rolling-register loop
+            // measured no faster — the serial regs defeat SIMD):
+            // truncate, then the xdelta chain via shifted neighbor
+            // loads, with the fit check folded into the same pass
+            static thread_local std::vector<int32_t> vbuf2;
+            vbuf2.resize(F);
+            int32_t* vb = vbuf2.data();
+            for (size_t i2 = 0; i2 < F; ++i2)
+                vb[i2] = (int32_t)vd[i2];
+            uint32_t bad = 0;
+            xb[0] = (int32_t)((uint32_t)vb[0] - 128u);
+            if (F > 1)
+                xb[1] = (int32_t)(((uint32_t)vb[1] - (uint32_t)vb[0]
+                                   - 128u)
+                                  ^ ((uint32_t)vb[0] - 128u));
+            for (size_t i2 = 2; i2 < F; ++i2) {
+                uint32_t d = (uint32_t)vb[i2] - (uint32_t)vb[i2 - 1]
+                             - 128u;
+                uint32_t dm1 = (uint32_t)vb[i2 - 1]
+                               - (uint32_t)vb[i2 - 2] - 128u;
+                int32_t x = (int32_t)(d ^ dm1);
+                xb[i2] = x;
+                bad |= (uint32_t)(
+                    ((int32_t)((uint32_t)x << sh_fit) >> sh_fit) != x);
+            }
+            for (size_t i2 = 0; i2 < (F < 2 ? F : 2); ++i2)
+                bad |= (uint32_t)(
+                    ((int32_t)((uint32_t)xb[i2] << sh_fit) >> sh_fit)
+                    != xb[i2]);
+            int lfit = (npl < 4 && bad) ? 0 : 1;
+            for (int k = 0; k < npl; ++k) {
+                uint8_t* pk = pl + (size_t)k * F;
+                for (size_t i2 = 0; i2 < F; ++i2)
+                    pk[i2] = (uint8_t)((uint32_t)xb[i2] >> (8 * k));
+            }
+            for (int k = 0; k < npl; ++k)
+                for (size_t b = 0; b < nb_per; ++b) {
+                    size_t off = b * kMaxBlockSize;
+                    if (off >= F) break;
+                    size_t blen = F - off < kMaxBlockSize
+                                      ? F - off : kMaxBlockSize;
+                    histogram_runs(
+                        pl + (size_t)k * F + off, blen,
+                        hists_p2 + ((f * 4 + (size_t)k) * nb_per + b)
+                            * (size_t)kNumSyms);
+                }
+            return lfit;
+        };
+
+        auto encode_item = [&, planes_p2, hists_p2,
+                            scratch_p2](size_t i) {
+            size_t f = i / ipf;
+            size_t k = (i % ipf) / nb_per;
+            size_t b = i % nb_per;
+            size_t off = b * kMaxBlockSize;
+            size_t blen = F - off < kMaxBlockSize ? F - off
+                                                  : kMaxBlockSize;
+            const uint8_t* pl = planes_p2 + f * 4 * F + k * F + off;
+            const uint32_t* h = hists_p2
+                + ((f * 4 + k) * nb_per + b) * (size_t)kNumSyms;
+            size_t r = encode_block_hist(pl, blen, h,
+                                         scratch_p2 + i * bcap, bcap);
+            if (!r) rcs[i] = 1;
+            blens[i] = r;
+        };
+        auto enc_live = [&](size_t i) {
+            return (i % ipf) < (size_t)np * nb_per;
+        };
+
+        double iir_ms = 0.0;
+        auto worker = [&](int slot) {
+            if (slot == 0) {
+                // producer: the proven register-unrolled per-channel
+                // serial kernel, one FRAME at a time (state carries
+                // across frames exactly as one whole-span call — the
+                // recurrence sees the same sample sequence), writing
+                // the frame-channel-major layout preprocess reads
+                auto t0p = std::chrono::steady_clock::now();
+                for (size_t f = 0; f < nframes; ++f) {
+                    double* dst = yd_p + f * F;
+                    for (size_t j0 = 0; j0 < ch; j0 += 4) {
+                        size_t nch = ch - j0 < 4 ? ch - j0 : 4;
+                        const double* xs4[4];
+                        double *xz4[4], *yz4[4], *ys4[4];
+                        for (size_t c = 0; c < nch; ++c) {
+                            xs4[c] = xa + (j0 + c) * N + f * ns;
+                            xz4[c] = xz + (j0 + c) * (size_t)p;
+                            yz4[c] = yz + (j0 + c) * (size_t)p;
+                            ys4[c] = dst + (j0 + c) * ns;
+                        }
+                        iir_channels4(xs4, nch, ns, nc, dc, p, xz4,
+                                      yz4, opt, ys4);
+                    }
+                    filtered.store(f + 1, std::memory_order_release);
+                }
+                iir_ms = std::chrono::duration<double>(
+                    std::chrono::steady_clock::now() - t0p).count()
+                    * 1e3;
+            }
+            for (;;) {
+                size_t s = settled.load(std::memory_order_acquire);
+                while (s < nframes && pre_state[s].load(
+                           std::memory_order_acquire) == 2) {
+                    settled.compare_exchange_weak(s, s + 1);
+                    s = settled.load(std::memory_order_acquire);
+                }
+                // preprocess first: it UNLOCKS encode work, so
+                // draining it keeps the pool fed (encode has no
+                // downstream consumer)
+                bool worked = false;
+                size_t f = next_pre.load(std::memory_order_relaxed);
+                while (f < nframes && f < filtered.load(
+                           std::memory_order_acquire)) {
+                    if (next_pre.compare_exchange_weak(f, f + 1)) {
+                        auto w0 = std::chrono::steady_clock::now();
+                        int fit = preprocess_frame(f, np);
+                        if (prof)
+                            pre_ns.fetch_add(
+                                (long long)std::chrono::duration<
+                                    double, std::nano>(
+                                    std::chrono::steady_clock::now()
+                                    - w0).count());
+                        pre_state[f].store(fit ? 2 : 3,
+                                           std::memory_order_release);
+                        pre_done.fetch_add(1,
+                                           std::memory_order_acq_rel);
+                        worked = true;
+                        break;
+                    }
+                }
+                if (worked) continue;
+                size_t limit = s * ipf;
+                size_t e = next_enc.load(std::memory_order_relaxed);
+                while (e < limit) {
+                    if (next_enc.compare_exchange_weak(e, e + 1)) {
+                        if (enc_live(e)) {
+                            auto w0 = std::chrono::steady_clock::now();
+                            encode_item(e);
+                            if (prof)
+                                enc_ns.fetch_add(
+                                    (long long)std::chrono::duration<
+                                        double, std::nano>(
+                                        std::chrono::steady_clock::now()
+                                        - w0).count());
+                        }
+                        enc_done.fetch_add(1,
+                                           std::memory_order_acq_rel);
+                        worked = true;
+                        break;
+                    }
+                }
+                if (worked) continue;
+                if (pre_done.load(std::memory_order_acquire)
+                        == nframes) {
+                    size_t s2 = settled.load(std::memory_order_acquire);
+                    bool stalled = s2 >= nframes
+                        || pre_state[s2].load(
+                               std::memory_order_acquire) == 3;
+                    if (stalled
+                        && enc_done.load(std::memory_order_acquire)
+                               >= s2 * ipf)
+                        break;
+                }
+                std::this_thread::yield();
+            }
+        };
+        {
+            std::function<void(int)> slot = [&](int sl) { worker(sl); };
+            ThreadPool::inst().run(nthreads, slot);
+        }
+
+        size_t s_ok = settled.load();
+        for (size_t f = 0; f < s_ok; ++f) frame_planes[f] = np;
+        // verify-and-grow tail (rare: plane growth is a once-per-
+        // stream event): frames from the first non-fitting one redo
+        // preprocess+encode at the grown count, matching the
+        // reference's member-state semantics
+        // (signal_packer_xdelta_hzr.cpp:59-71)
+        size_t f0b = s_ok;
+        while (f0b < nframes) {
+            ++np;
+            if (np > 4) return -1;
+            std::vector<int> fit2(nframes, 1);
+            std::atomic<size_t> nf2(f0b);
+            {
+                size_t nleft = nframes - f0b;
+                size_t nt = (size_t)nthreads < nleft
+                                ? (size_t)nthreads : nleft;
+                std::function<void(int)> gs = [&](int) {
+                    size_t f;
+                    while ((f = nf2.fetch_add(1)) < nframes)
+                        fit2[f] = preprocess_frame(f, np);
+                };
+                ThreadPool::inst().run((int)nt, gs);
+            }
+            size_t fail = nframes;
+            for (size_t f = f0b; f < nframes; ++f)
+                if (!fit2[f]) { fail = f; break; }
+            for (size_t f = f0b; f < fail; ++f) frame_planes[f] = np;
+            std::vector<size_t> items2;
+            for (size_t f = f0b; f < fail; ++f)
+                for (int k = 0; k < np; ++k)
+                    for (size_t b = 0; b < nb_per; ++b)
+                        items2.push_back(f * ipf + (size_t)k * nb_per
+                                         + b);
+            if (!items2.empty()) {
+                std::atomic<size_t> ni2(0);
+                size_t nt = (size_t)nthreads < items2.size()
+                                ? (size_t)nthreads : items2.size();
+                std::function<void(int)> es = [&](int) {
+                    size_t q;
+                    while ((q = ni2.fetch_add(1)) < items2.size())
+                        encode_item(items2[q]);
+                };
+                ThreadPool::inst().run((int)nt, es);
+            }
+            f0b = fail;
+        }
+        for (size_t i = 0; i < (size_t)nframes * ipf; ++i)
+            if (rcs[i]) return -1;
+        if (prof)
+            fprintf(stderr,
+                    "rn_stream %-10s %.3f ms (core: pre %.3f enc %.3f)\n",
+                    "iir(solo)", iir_ms, pre_ns.load() / 1e6,
+                    enc_ns.load() / 1e6);
+        mark("pipe(f+p+e)");
+
+        size_t nb_per_a = nb_per;
+        for (size_t f = 0; f < nframes; ++f) {
+            uint8_t* dst = out + f * frame_stride;
+            size_t pos = 0;
+            dst[pos++] = 0;  // method byte (signal_packer_hzr.cpp:54)
+            for (int k = 0; k < frame_planes[f]; ++k) {
+                size_t chunk_start = pos;
+                pos += 4;
+                uint32_t total = (uint32_t)F;
+                if (pos + 4 > frame_stride) return -1;
+                memcpy(dst + pos, &total, 4);
+                pos += 4;
+                for (size_t b = 0; b < nb_per_a; ++b) {
+                    size_t i = f * ipf + (size_t)k * nb_per_a + b;
+                    if (pos + blens[i] > frame_stride) return -1;
+                    memcpy(dst + pos, scratch_p2 + i * bcap, blens[i]);
+                    pos += blens[i];
+                }
+                uint32_t clen = (uint32_t)(pos - chunk_start - 4);
+                memcpy(dst + chunk_start, &clen, 4);
+            }
+            frame_lens[f] = pos;
+        }
+        mark("assemble");
+        return np;
+    }
 
     // stage 1a — threads over SAMPLE ranges: one sequential pass over
     // the interleaved bytes, scattered to channel-major (per-channel

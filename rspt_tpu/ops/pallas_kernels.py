@@ -958,7 +958,21 @@ def _compact_tile_place(w, valid, out_ref, carry_ref, extra=(),
     rank dot, source search, and one-hot row masks are computed once);
     plane i lands at out_ref row offset row_offs[i] (row_offs[0] for
     `w`). Lets the merged decode placement emit paired
-    (position-meta, value) words for one compaction cost."""
+    (position-meta, value) words for one compaction cost.
+
+    Empty-tile gate: sparse planes (RLE-heavy high byte planes, thin
+    decode emission grids) have whole tiles with zero valid entries —
+    skip the rank dot / butterfly routing / one-hot place entirely
+    (carry unchanged == correct: the tile contributes 0)."""
+
+    @pl.when(jnp.any(valid != 0))
+    def _():
+        _compact_tile_place_body(w, valid, out_ref, carry_ref, extra,
+                                 row_offs)
+
+
+def _compact_tile_place_body(w, valid, out_ref, carry_ref, extra=(),
+                             row_offs=(0,)):
     lane = jax.lax.broadcasted_iota(jnp.int32, w.shape, 1)
     tri = _tri128()
     vr = jax.lax.dot_general(valid.astype(jnp.bfloat16), tri,

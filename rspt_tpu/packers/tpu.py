@@ -158,8 +158,10 @@ def _pass1_xdelta(ns: int, ch: int, bps: int, nr_planes: int,
         @jax.jit
         def f_fused(raw):
             enc = jops.native_to_i32(raw, ns, ch, bps).reshape(-1)
-            enc = jops.xor_encode(jops.offset32(
-                jops.delta_encode(enc), -128))
+            # fused VMEM tile kernel: one HBM read+write for the whole
+            # delta→offset→xor chain instead of the materialized
+            # elementwise stages (utils.cpp:193-236 semantics)
+            enc = pk.xdelta_preprocess_pallas(enc, interpret=interp_tok)
             enc = jax.lax.optimization_barrier(enc)
             # verify-and-grow check: enc fits in nr_planes signed bytes
             # (== the reference's plane_merge(plane_split) round-trip,

@@ -110,6 +110,28 @@ def main():
 
     add("tokenize_kernel", tokk_body)
 
+    def pre_xla_body(acc):
+        r_, a = jax.lax.optimization_barrier((raw, acc))
+        return a + s(_pre(r_)[::512])
+
+    add("pre_xla", pre_xla_body)
+
+    def pre_pallas_body(acc):
+        r_, a = jax.lax.optimization_barrier((raw, acc))
+        e = pk.xdelta_preprocess_pallas.__wrapped__(
+            jops.native_to_i32.__wrapped__(r_, n, ch, bps).reshape(-1))
+        return a + s(e[::512])
+
+    add("pre_pallas", pre_pallas_body)
+
+    def verify_body(acc):
+        e_, a = jax.lax.optimization_barrier((enc_dev, acc))
+        sh = jnp.int32(32 - 8 * planes)
+        ok = jnp.all(jnp.right_shift(jnp.left_shift(e_, sh), sh) == e_)
+        return a + ok.astype(jnp.float32)
+
+    add("verify", verify_body)
+
     def hist_body(acc):
         t_, a = jax.lax.optimization_barrier((tokw, acc))
         return a + s(jax_coder.hist_from_tokw(t_))
