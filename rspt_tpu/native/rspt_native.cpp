@@ -2140,29 +2140,23 @@ int rn_stream_filter_pack(const uint8_t* src, size_t ns, size_t nframes,
     // RSPT_STREAM_NOPIPE=1 forces the staged fallback (A/B tool).
     if (p > 0 && !std::getenv("RSPT_STREAM_NOPIPE")) {
         const int shift2 = (int)(32 - 8 * bps);
-        xall.resize((size_t)ch * N);   // channel-major doubles
-        double* const xa = xall.data();
-        {
+        // bps==4: the interleaved source IS little-endian int32s — the
+        // producer's strided kernel converts in-register, no convert
+        // stage and no materialized double span at all
+        const bool direct = bps == 4 && ((uintptr_t)src & 3) == 0;
+        double* xa = nullptr;
+        if (!direct) {
+            xall.resize((size_t)ch * N);   // channel-major doubles
+            xa = xall.data();
             auto cvt = [&](size_t t0, size_t t1) {
-                if (bps == 4) {
-                    for (size_t t = t0; t < t1; ++t) {
-                        const uint8_t* q = src + t * ch * 4;
-                        for (size_t j = 0; j < ch; ++j) {
-                            int32_t sv;
-                            memcpy(&sv, q + j * 4, 4);
-                            xa[j * N + t] = (double)sv;
-                        }
-                    }
-                } else {
-                    for (size_t t = t0; t < t1; ++t) {
-                        const uint8_t* q = src + t * ch * bps;
-                        for (size_t j = 0; j < ch; ++j) {
-                            uint32_t v = 0;
-                            for (size_t k = 0; k < bps; ++k)
-                                v |= (uint32_t)q[j * bps + k] << (8 * k);
-                            xa[j * N + t] =
-                                (double)((int32_t)(v << shift2) >> shift2);
-                        }
+                for (size_t t = t0; t < t1; ++t) {
+                    const uint8_t* q = src + t * ch * bps;
+                    for (size_t j = 0; j < ch; ++j) {
+                        uint32_t v = 0;
+                        for (size_t k = 0; k < bps; ++k)
+                            v |= (uint32_t)q[j * bps + k] << (8 * k);
+                        xa[j * N + t] =
+                            (double)((int32_t)(v << shift2) >> shift2);
                     }
                 }
             };
@@ -2284,20 +2278,30 @@ int rn_stream_filter_pack(const uint8_t* src, size_t ns, size_t nframes,
                 // recurrence sees the same sample sequence), writing
                 // the frame-channel-major layout preprocess reads
                 auto t0p = std::chrono::steady_clock::now();
+                const int32_t* srci = (const int32_t*)src;
                 for (size_t f = 0; f < nframes; ++f) {
                     double* dst = yd_p + f * F;
                     for (size_t j0 = 0; j0 < ch; j0 += 4) {
                         size_t nch = ch - j0 < 4 ? ch - j0 : 4;
-                        const double* xs4[4];
                         double *xz4[4], *yz4[4], *ys4[4];
                         for (size_t c = 0; c < nch; ++c) {
-                            xs4[c] = xa + (j0 + c) * N + f * ns;
                             xz4[c] = xz + (j0 + c) * (size_t)p;
                             yz4[c] = yz + (j0 + c) * (size_t)p;
                             ys4[c] = dst + (j0 + c) * ns;
                         }
-                        iir_channels4(xs4, nch, ns, nc, dc, p, xz4,
-                                      yz4, opt, ys4);
+                        if (direct) {
+                            const int32_t* xi4[4];
+                            for (size_t c = 0; c < nch; ++c)
+                                xi4[c] = srci + f * ns * ch + j0 + c;
+                            iir_channels4s(xi4, ch, nch, ns, nc, dc, p,
+                                           xz4, yz4, opt, ys4);
+                        } else {
+                            const double* xs4[4];
+                            for (size_t c = 0; c < nch; ++c)
+                                xs4[c] = xa + (j0 + c) * N + f * ns;
+                            iir_channels4(xs4, nch, ns, nc, dc, p,
+                                          xz4, yz4, opt, ys4);
+                        }
                     }
                     filtered.store(f + 1, std::memory_order_release);
                 }
