@@ -432,23 +432,32 @@ def _decode_kernel(ntc_ref, win_ref, l1lo_ref, l1hi_ref, lv1_ref,
                     deep = deep0 & ((ek & DEEP_BIT) != 0)
                     ent_ref[...] = ent
 
-                    @pl.when(jnp.any(deep))
+                    # levels 2-4 exist only when the tile has level-2
+                    # chunks — scalar-gate before paying the any()
+                    # cross-lane reduce (e.g. the ECG's 10-chunk
+                    # level-1 block has ZERO level-2 chunks)
+                    @pl.when(ntc_ref[t, 1] > 0)
                     def _():
-                        e2 = ent
-                        d2 = deep
-                        for k, lv_ref in enumerate((lv2_ref, lv3_ref,
-                                                    lv4_ref)):
-                            nb_ = pltpu.bitcast(
-                                (c0 >> u32(12 + 4 * k)) & u32(15),
-                                jnp.int32)
-                            idk = (e2 & 0xFFFF) * 16 + nb_
-                            ek2 = jnp.zeros(shape, jnp.int32)
-                            for p in range(lv_ref.shape[0]):
-                                g = gather128(lv_ref[p], idk & 127)
-                                ek2 = jnp.where((idk >> 7) == p, g, ek2)
-                            e2 = jnp.where(d2, ek2, e2)
-                            d2 = d2 & ((ek2 & DEEP_BIT) != 0)
-                        ent_ref[...] = e2
+
+                        @pl.when(jnp.any(deep))
+                        def _():
+                            e2 = ent
+                            d2 = deep
+                            for k, lv_ref in enumerate((lv2_ref,
+                                                        lv3_ref,
+                                                        lv4_ref)):
+                                nb_ = pltpu.bitcast(
+                                    (c0 >> u32(12 + 4 * k)) & u32(15),
+                                    jnp.int32)
+                                idk = (e2 & 0xFFFF) * 16 + nb_
+                                ek2 = jnp.zeros(shape, jnp.int32)
+                                for p in range(lv_ref.shape[0]):
+                                    g = gather128(lv_ref[p], idk & 127)
+                                    ek2 = jnp.where((idk >> 7) == p, g,
+                                                    ek2)
+                                e2 = jnp.where(d2, ek2, e2)
+                                d2 = d2 & ((ek2 & DEEP_BIT) != 0)
+                            ent_ref[...] = e2
 
             ent = ent_ref[...]
             sym = ent & 0x1FF
@@ -737,6 +746,11 @@ def _place_emissions(emis, steps_used, counts, block_first, out_off,
         ], axis=2)
         vc = place_compact_pallas(emis, steps_used[:, 0], meta,
                                   sc_rows, interpret=interpret)
+        # barrier: vc fans out to several consumers below (slices,
+        # max, wheres) — without it the TPU fusion pass can duplicate
+        # the whole upstream subgraph per consumer (measured ~2x the
+        # stage cost; CLAUDE.md scan-duplication rule)
+        vc = jax.lax.optimization_barrier(vc)
         flatm = vc[:sc_rows].reshape(1, -1)      # pos<<2 | len-1
         flatv = vc[sc_rows:].reshape(1, -1)      # merged bytes, LE
         live_f = flatv != 0   # literal bytes are never zero (RLE'd)

@@ -243,8 +243,8 @@ def _pass1_xdelta_batch(ns: int, ch: int, bps: int, nr_planes: int,
         def f_fused(raws):  # (batch, nwords) i32
             def pre(raw):
                 enc = jops.native_to_i32(raw, ns, ch, bps).reshape(-1)
-                enc = jops.xor_encode(jops.offset32(
-                    jops.delta_encode(enc), -128))
+                enc = pk.xdelta_preprocess_pallas(
+                    enc, interpret=interp_tok)
                 if nr_planes < 4:
                     sh = jnp.int32(32 - 8 * nr_planes)
                     ok = jnp.all(jnp.right_shift(

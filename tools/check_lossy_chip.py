@@ -75,6 +75,42 @@ def main():
     out["dct_inv_exact_frac"] = float((d_i == 0).mean())
     out["dct_inv_max_delta"] = int(d_i.max())
 
+    # --- serial-order compensated df32 (VERDICT r4 task 6): does a
+    # TwoSum chain in the REFERENCE's exact accumulation order close
+    # the ±1 LSB gap vs the serial-f64 kernel? (df32 carries ~49
+    # mantissa bits vs f64's 53 and rounds differently per step, so
+    # this measures whether those last bits ever cross a truncation
+    # boundary on real data.) 4 channels bound the O(n) scan cost.
+    ch_s = 4
+
+    def serial_fwd(xrow):
+        prods = xrow[:, None] * jnp.asarray(cos_t)   # (n terms, n out)
+
+        def step(carry, p):
+            s_, e_ = carry
+            t_ = s_ + p
+            bp = t_ - s_
+            err = (s_ - (t_ - bp)) + (p - bp)
+            return (t_, e_ + err), None
+
+        (s_, e_), _ = jax.lax.scan(
+            step, (jnp.zeros(n, jnp.float32), jnp.zeros(n, jnp.float32)),
+            prods)
+        kf_hi, kf_lo = jops._dct_exact_consts(n, quality)[2:4]
+        s2, e2 = jops._df32_mul(s_, e_, kf_hi, kf_lo)
+        return jops._df32_trunc(s2, e2)
+
+    t0s = time.perf_counter()
+    fwd_ser = np.asarray(jax.jit(
+        lambda x: jax.lax.map(serial_fwd, x))(
+        jnp.asarray(src[:ch_s]).astype(jnp.float32)))
+    t_serial = time.perf_counter() - t0s
+    d_s = np.abs(fwd_ser.astype(np.int64)
+                 - fwd_ref[:ch_s].astype(np.int64))
+    out["dct_fwd_serial2sum_exact_frac"] = float((d_s == 0).mean())
+    out["dct_fwd_serial2sum_max_delta"] = int(d_s.max())
+    out["dct_fwd_serial2sum_s_for_4ch"] = round(t_serial, 4)
+
     # packer-level: does device_transform=True reproduce the host
     # packer's reconstruction (and stream) on this data?
     from rspt_tpu.packers import tpu as tpack

@@ -241,6 +241,42 @@ def main():
 
     add("place_grid4(=x4)", mk_place_grid4(b1, sw1))
 
+    # ---- FULL pipeline bodies, interleaved: the honest single-vs-
+    # batch comparison (bench_tpu measures these in separate sections,
+    # so cross-section chip drift can fake anti-scaling) --------------
+    def mk_full(cfg):
+        bases, lut3, dbg, wog, gfirst = cfg["dev"]
+        t_rows, T, nrows = cfg["t_rows"], cfg["T"], cfg["nrows"]
+        splits = cfg["splits"]
+
+        def body(acc):
+            t_, a = jax.lax.optimization_barrier((cfg["tokw"], acc))
+            w = jax_coder._pack_tokens_flat2_impl(
+                t_, bases, lut3, dbg, wog, gfirst, t_rows=t_rows, T=T,
+                nrows_f=nrows, compact_splits=splits)
+            return a + s(w[::64])
+        return body
+
+    add("fullpack_x1", mk_full(b1))
+    add("fullpack_x4", mk_full(b4))
+
+    from rspt_tpu.packers.tpu import _fused_pass1_mode, _pass1_xdelta
+    fm = _fused_pass1_mode()
+    f1p, _ = _pass1_xdelta(n, ch, bps, planes, fmode=fm)
+    f4p, _ = _pass1_xdelta(n * 4, ch, bps, planes, fmode=fm)
+    raw1 = raw
+    raw4 = jax.device_put(np.frombuffer(native * 4, "<i4"))
+
+    def mk_pass1(fn, rw):
+        def body(acc):
+            r_, a = jax.lax.optimization_barrier((rw, acc))
+            sm, bl, tk = fn.__wrapped__(r_)
+            return a + s(sm) + s(tk[0][::32]) + s(tk[-1])
+        return body
+
+    add("pass1_x1", mk_pass1(f1p, raw1))
+    add("pass1_x4", mk_pass1(f4p, raw4))
+
     runners = {}
     for name, body in bodies.items():
         @jax.jit
@@ -259,9 +295,13 @@ def main():
                 float(run(jnp.float32(0), jnp.zeros(K)))
                 dt = time.perf_counter() - t0
                 best[name][K] = min(best[name][K], dt)
+    nbytes = len(native)
     for name in bodies:
         dt = max((best[name][9] - best[name][1]) / 8, 1e-7)
-        print(f"{name:20s} {dt*1e3:8.3f} ms", flush=True)
+        mult = 4 if "x4" in name or "grid4" in name else 1
+        gbps = mult * nbytes / dt / 1e9
+        print(f"{name:20s} {dt*1e3:8.3f} ms  {gbps:7.2f} GB/s(payload)",
+              flush=True)
 
 
 if __name__ == "__main__":
