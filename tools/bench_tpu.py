@@ -219,12 +219,18 @@ def main():
                     ba4, l34.reshape(ng_4, 3, 128),
                     dbits4[g2b_4].astype(np.int32),
                     ho4[g2b_4].astype(np.int32), gf_4))
+                # split compaction exactly as the production packer
+                # does — one monolithic launch at 4x pushes the
+                # compact output past the VMEM sweet spot (t_rows >
+                # 16384) and fakes anti-scaling
+                spl4 = jax_coder.compact_split_plan(hist4, ih4)
 
                 def x4_body(acc):
                     r_, a = jax.lax.optimization_barrier((raw4, acc))
                     sm, bl, tk = f4.__wrapped__(r_)
                     w = jax_coder._pack_tokens_flat2_impl(
-                        tk[0], *aa4, t_rows=tr4, T=T4, nrows_f=nrf4)
+                        tk[0], *aa4, t_rows=tr4, T=T4, nrows_f=nrf4,
+                        compact_splits=spl4)
                     return a + s(sm) + s(w)
 
                 t_x4 = loop_time(x4_body, iters=5, reps=3)
