@@ -69,6 +69,27 @@ def test_filtered_pipeline_matches_reference_style(cfg, rng):
     np.testing.assert_array_equal(got, want)
 
 
+def test_pipelined_native_frames_match_per_frame_path(cfg, rng):
+    """The fused native span pipeline (pipelined producer/consumer
+    overlap since r5) must emit container bytes identical to the
+    Python per-frame path: filter_span + per-block packer compress
+    (the reference's frame-by-frame usage, rspt_test.cpp:114-137)."""
+    b, a = design.create_filter_iir(
+        design.FilterKind.BUTTERWORTH, design.FilterType.BAND_PASS, 2,
+        cfg.sampling_rate, 0.4, 200.0)
+    cfg.filter_coeffs = (a, b)
+    data = make_stream(cfg, rng, 3)
+    enc_native = StreamingCodec(cfg)
+    frames_native = enc_native.push(data)
+
+    enc_py = StreamingCodec(cfg)
+    enc_py._try_fused_native = lambda span: False
+    frames_py = enc_py.push(data)
+    assert len(frames_native) == len(frames_py) == 3
+    assert [bytes(f) for f in frames_native] == \
+        [bytes(f) for f in frames_py]
+
+
 def test_state_checkpoint_resume(cfg, rng):
     data = make_stream(cfg, rng, 2)
     half = len(data) // 2
