@@ -45,7 +45,7 @@ data = rng.integers(0, 40, 8 * 1024 * 1024, dtype=np.int64).astype(np.uint8)
 mesh = make_mesh(jax.devices()[:nd])
 enc = ShardedHzrEncoder(mesh)
 stream = enc.encode(data)
-reps = 3
+reps = 5
 
 def best(fn):
     fn()
