@@ -569,65 +569,70 @@ def _decode_kernel(ntc_ref, win_ref, l1lo_ref, l1hi_ref, lv1_ref,
             return out[0], out[6], out[7], out[8]
         return out[0]
 
-    # alignment fixpoint: entry(s+1) = exit(s); after k sweeps the
-    # first k segments of every block are exact, so the cap guarantees
-    # correctness even without early convergence. Align sweeps are the
-    # CHEAP variant (no emission work) and record each lane's first
-    # K_VIS symbol starts; the trajectory-merge test then usually
-    # certifies convergence after ONE align sweep: lane 0's entry is
-    # exact, so by chain induction, if every lane's corrected entry
-    # (= its neighbor's exit) lies ON the trajectory the lane just
-    # swept (or equals the entry it swept from), every exit of that
-    # sweep — and hence every corrected entry — is exact. Decoding is
-    # deterministic from a bit position, so trajectories that touch
-    # coincide from there on. The old no-change criterion needed a
-    # whole extra sweep just to OBSERVE stability; the merge test
-    # certifies it from the sweep already run.
+    # alignment fixpoint by EMIT-SWEEP iteration: entry(s+1) = exit(s);
+    # after k sweeps the first k segments of every block are exact, so
+    # the cap guarantees correctness even without early convergence.
+    # Design history: rounds 2-4 ran cheap non-emitting ALIGN sweeps
+    # until a trajectory-merge test certified the entries, then one
+    # emitting sweep. Round-5 measurement inverted the cost model: the
+    # per-tile deep gates make an ALIGNED sweep ~4x cheaper than a
+    # MISALIGNED one (a wrong-phase peek is quasi-uniform over bit
+    # patterns and hits deep LUT prefixes constantly, while real
+    # symbol streams rarely do), emission work is a minor term, and
+    # the merge test never certified sweep 1 on real data (a
+    # mis-phased trajectory joins the true boundary sequence only
+    # after the corrected entry has passed). So: iterate the FULL
+    # emitting sweep until entries stop changing — typically one
+    # misaligned sweep + one aligned sweep whose no-change exit both
+    # proves convergence AND leaves the valid emissions in the ring
+    # (each sweep overwrites the previous sweep's rows; placement
+    # masks by the final steps count). The trusted-hints path still
+    # runs exactly one aligned sweep.
     ring_ref[...] = jnp.zeros((STEP_CHUNK, 8, 128), jnp.int32)
+
+    def do_emit_sweep(entry):
+        exits, counts, litv, steps = sweep(entry, emit=True)
+
+        @pl.when(steps % STEP_CHUNK != 0)   # tail flush
+        def _():
+            dma = pltpu.make_async_copy(
+                ring_ref,
+                emis_ref.at[t, pl.ds((steps // STEP_CHUNK) * STEP_CHUNK,
+                                     STEP_CHUNK)],
+                sem_ref)
+            dma.start()
+            dma.wait()
+
+        counts_ref[...] = counts
+        steps_ref[t, 0] = steps
+        steps_ref[t, 2] = jnp.sum((litv >> 12) & 0xFFF)
+        steps_ref[t, 3] = jnp.sum(litv & 0xFFF)
+        return exits
 
     def fcond(st):
         return st[1] & (st[2] < SEG_PER_BLOCK + 2)
 
     def fbody(st):
         entry, _, it = st
-        # clear the vis rows: a sweep shorter than K_VIS steps must not
-        # leave a previous sweep's trajectory in the merge test (zero
-        # never matches a live lane's entry — live entries are > 0)
-        ring_ref[pl.ds(0, K_VIS)] = jnp.zeros((K_VIS, 8, 128),
-                                              jnp.int32)
-        exits = sweep(entry, emit=False)
+        exits = do_emit_sweep(entry)
         nxt = pltpu.roll(exits, 1, 1)
         prev_row = pltpu.roll(exits, 1, 0)
         col0 = jnp.broadcast_to(prev_row[:, 127:128], shape)
         shifted = jnp.where(lane == 0, col0, nxt)
         new_entry = jnp.where(first, entry0, shifted)
-        merged = new_entry == entry
-        for k in range(K_VIS):
-            merged = merged | (new_entry == ring_ref[k])
-        return new_entry, jnp.any(~merged), it + 1
+        return new_entry, jnp.any(new_entry != entry), it + 1
 
-    entry, _, fp_iters = jax.lax.while_loop(
+    entry, changed, fp_iters = jax.lax.while_loop(
         fcond, fbody, (entry0, trust == 0, jnp.int32(0)))
 
-    # the single emitting sweep, from certified-exact (or trusted)
-    # entries; its ring/output stats are the valid ones
-    exits, counts, litv, steps = sweep(entry, emit=True)
-
-    @pl.when(steps % STEP_CHUNK != 0)   # tail flush
+    # trusted hints skip the loop entirely; a cap exit (pathological
+    # non-convergence, entries exact by the k-sweep induction but the
+    # last ring content emitted from the PREVIOUS iterate) re-emits
+    @pl.when((trust != 0) | changed)
     def _():
-        dma = pltpu.make_async_copy(
-            ring_ref,
-            emis_ref.at[t, pl.ds((steps // STEP_CHUNK) * STEP_CHUNK,
-                                 STEP_CHUNK)],
-            sem_ref)
-        dma.start()
-        dma.wait()
+        do_emit_sweep(entry)
 
-    counts_ref[...] = counts
-    steps_ref[t, 0] = steps
     steps_ref[t, 1] = fp_iters
-    steps_ref[t, 2] = jnp.sum((litv >> 12) & 0xFFF)
-    steps_ref[t, 3] = jnp.sum(litv & 0xFFF)
     entry_out_ref[...] = entry   # converged entries -> decode hints
 
 
