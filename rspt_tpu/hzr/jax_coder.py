@@ -586,7 +586,8 @@ def _pack_tokens_flat2_impl(tokw, bases, lut3, dbits_g, woff_g, gfirst,
                             t_rows: int, T: int, nrows_f: int,
                             interpret: bool = False,
                             compact_splits: tuple = (),
-                            gmeta=None, hint_rows: int = 0):
+                            gmeta=None, hint_rows: int = 0,
+                            fuse_place: bool = False):
     """Compacted flat pack: tokens of every HUFF block compacted to a
     dense group-aligned stream (3-4x fewer pack slots than the
     positional (nb, 64Ki) layout), then windows with per-group block
@@ -600,7 +601,8 @@ def _pack_tokens_flat2_impl(tokw, bases, lut3, dbits_g, woff_g, gfirst,
         ACC_ROWS, D_CLAMP, SUP_CHUNKS, compact_tokens_pallas,
         sidecar_entries_pallas, super_place_flat_pallas,
         token_group_windows_grouped_off_pallas,
-        token_group_windows_rows_pallas)
+        token_group_windows_rows_pallas,
+        token_windows_place_flat_pallas)
 
     if compact_splits:
         # large batches: split the compaction into block-range chunks so
@@ -622,6 +624,16 @@ def _pack_tokens_flat2_impl(tokw, bases, lut3, dbits_g, woff_g, gfirst,
         tokc = compact_tokens_pallas(tokw, bases, t_rows,
                                      interpret=interpret, r_ct=256)
     ngr = T // GROUP_TOK_FLAT
+    if not hint_rows and fuse_place and ngr > 0:
+        # fused windows+place (one kernel, SMEM bit-offset carry, no
+        # materialized w0/w1): measured SLOWER than the two-kernel
+        # pipeline on chip (interleaved A/B r5: 0.59 vs 0.21 ms at 1x,
+        # 1.83 vs 1.08 at 4x) — the sequential grid serializes the
+        # windows MXU prefix dots against placement, while separate
+        # kernels overlap. Kept as an off-by-default reference.
+        return token_windows_place_flat_pallas(
+            tokc, lut3, dbits_g, woff_g, gfirst, ng=ngr,
+            nrows=nrows_f, interpret=interpret)
     if hint_rows:
         flat = tokc.reshape(1, -1)[:, :T]
         w0, w1, cbase, clive, gtot, toff = \

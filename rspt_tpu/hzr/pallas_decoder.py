@@ -607,6 +607,9 @@ def _decode_kernel(ntc_ref, win_ref, l1lo_ref, l1hi_ref, lv1_ref,
         steps_ref[t, 0] = steps
         steps_ref[t, 2] = jnp.sum((litv >> 12) & 0xFFF)
         steps_ref[t, 3] = jnp.sum(litv & 0xFFF)
+        # max per-lane output count: lets placement drop the 4th
+        # transpose quarter when every packed (outc<<9|sym) < 2^24
+        steps_ref[t, 4] = jnp.max(counts)
         return exits
 
     def fcond(st):
@@ -651,7 +654,7 @@ def _run_kernel(ntc, win, l1lo, l1hi, lv1, lv2, lv3, lv4, entry, segend,
         out_shape=(
             jax.ShapeDtypeStruct((ntiles, MAX_STEPS, 8, 128), jnp.int32),
             jax.ShapeDtypeStruct((ntiles * 8, 128), jnp.int32),
-            jax.ShapeDtypeStruct((ntiles, 4), jnp.int32),
+            jax.ShapeDtypeStruct((ntiles, 5), jnp.int32),
             jax.ShapeDtypeStruct((ntiles * 8, 128), jnp.int32),
         ),
         grid=(ntiles,),
@@ -682,7 +685,7 @@ def _run_kernel(ntc, win, l1lo, l1hi, lv1, lv2, lv3, lv4, entry, segend,
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((8, 128), lambda t: (t, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((ntiles, 4), lambda t: (0, 0),
+            pl.BlockSpec((ntiles, 5), lambda t: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((8, 128), lambda t: (t, 0),
                          memory_space=pltpu.VMEM),
@@ -703,11 +706,11 @@ def _run_kernel(ntc, win, l1lo, l1hi, lv1, lv2, lv3, lv4, entry, segend,
 
 @functools.partial(jax.jit,
                    static_argnames=("s_eff", "nrows", "sc_rows",
-                                    "fused", "interpret"))
+                                    "fused", "interpret", "nq"))
 def _place_emissions(emis, steps_used, counts, block_first, out_off,
                      out_limit, lane_live, s_eff: int, nrows: int,
                      sc_rows: int = 0, fused: bool = False,
-                     interpret: bool = False):
+                     interpret: bool = False, nq: int = 4):
     """Emission entries -> output words + fallback scatter.
 
     block_first: (nlanes,) static index of each lane's block-first
@@ -750,7 +753,7 @@ def _place_emissions(emis, steps_used, counts, block_first, out_off,
             lane_live.astype(jnp.int32).reshape(ntiles, 8, 1, 128),
         ], axis=2)
         vc = place_compact_pallas(emis, steps_used[:, 0], meta,
-                                  sc_rows, interpret=interpret)
+                                  sc_rows, interpret=interpret, nq=nq)
         # barrier: vc fans out to several consumers below (slices,
         # max, wheres) — without it the TPU fusion pass can duplicate
         # the whole upstream subgraph per consumer (measured ~2x the
@@ -1397,11 +1400,12 @@ def decode_many(datas, interpret: bool = False, hints=None,
         sc_rows = -(-(-(-lit_total // 128) + 144) // 512) * 512
         if sc_rows > SC_ROWS_CAP or sc_rows * 128 * 2 > grid:
             sc_rows = 0  # no shrink / compaction output past VMEM cap
+    nq = 3 if int(steps_np[:, 4].max(initial=0)) < (1 << 15) else 4
     words = _place_emissions(
         emis, steps, counts, jnp.asarray(block_first),
         jnp.asarray(out_off_a), jnp.asarray(out_limit_a),
         jnp.asarray(lane_live), s_eff, nrows_out, sc_rows=sc_rows,
-        fused=fused, interpret=interpret)
+        fused=fused, interpret=interpret, nq=nq)
     words_np = np.asarray(words).reshape(-1)
     if words_np[-1] != 0:  # fallback overflow: pathological sparsity
         global overflow_fallbacks

@@ -904,6 +904,157 @@ def token_group_windows_grouped_off_pallas(tokc, lut3,
             gtot[0, :, 0, 0][None, :], off.reshape(1, ng * GROUP_TOK))
 
 
+def _tokw_winplace_kernel(dbg_ref, wog_ref, gfirst_ref, tokc_ref,
+                          lut_ref, out_ref, w0s, w1s, cbs, cls, gts,
+                          carry_ref):
+    """FUSED windows+place over the compacted token stream: one grid
+    step = one 8192-token group — build its chunk windows in VMEM
+    scratch (never materialized to HBM), derive the group's absolute
+    bit base from an SMEM running carry (replacing the XLA cumsum +
+    broadcast glue between the two kernels), and place its supers into
+    the shared flat output. The sequential TPU grid makes the global
+    exclusive bit scan a plain accumulator, and gfirst detects each
+    block's first group for the per-block bit restart.
+
+    Everything place needs stays COLUMN-major: the one-hot row
+    expansion contracts dim 0 of both operands (out[j,l] = Σ_c
+    x0T[c,j]·q[c,l]), so the per-chunk row indices never need a
+    transpose to lane-major form."""
+    g = pl.program_id(0)
+
+    @pl.when(g == 0)
+    def _():
+        out_ref[...] = jnp.zeros(out_ref.shape, jnp.int32)
+        carry_ref[0] = 0
+        carry_ref[1] = 0
+
+    w = tokc_ref[0]
+    R = w.shape[0]
+    lut = jnp.broadcast_to(lut_ref[...].reshape(1, 3, 1, 128),
+                           (1, 3, R, 128))
+    _windows_core(w & 511, jnp.right_shift(w, 13) & 16383,
+                  jnp.right_shift(w, 9) & 15,
+                  jnp.right_shift(w, 27) & 1, lut, w0s, w1s,
+                  cbs, cls, gts)
+
+    e_g = carry_ref[0]
+
+    @pl.when(gfirst_ref[g] == g)   # block's first group: bit restart
+    def _():
+        carry_ref[1] = e_g
+
+    gb = wog_ref[g] * 8 + dbg_ref[g] + (e_g - carry_ref[1])
+    carry_ref[0] = e_g + gts[0, 0, R - 1, 0]
+
+    u32 = jnp.uint32
+    nrows = out_ref.shape[1]
+    lane32 = jax.lax.broadcasted_iota(jnp.int32, (SUP_CHUNKS, 128), 1)
+    laneA = jax.lax.broadcasted_iota(jnp.int32, (ACC_ROWS, 128), 1)
+    laneS = jax.lax.broadcasted_iota(jnp.int32, (SUP_CHUNKS, ACC_ROWS),
+                                     1)
+    cb_col = cbs[0, 0]              # (R, 1) chunk base words
+    cl_col = cls[0, 0]
+    for s in range(R // SUP_CHUNKS):
+        sl = slice(s * SUP_CHUNKS, (s + 1) * SUP_CHUNKS)
+
+        @pl.when(jnp.any(cl_col[sl] > 0))
+        def _(s=s, sl=sl):
+            sbase = cbs[0, 0, s * SUP_CHUNKS, 0]     # scalar
+            d = jnp.clip(cb_col[sl] - sbase, 0, D_CLAMP)   # (SUP, 1)
+            t = d & 127
+            r0 = w0s[0, 0, sl, :]
+            r1 = w1s[0, 0, sl, :]
+            for k in (1, 2, 4, 8, 16, 32, 64):
+                m = (t & k) != 0
+                r0 = jnp.where(m, pltpu.roll(r0, k, 1), r0)
+                r1 = jnp.where(m, pltpu.roll(r1, k, 1), r1)
+            ge = lane32 >= t
+            s0 = jnp.where(ge, r0, 0)
+            s1 = jnp.where(ge, r1, r0)
+            s2 = jnp.where(ge, 0, r1)
+
+            rc = jnp.right_shift(d, 7)               # (SUP, 1)
+            x0T = (laneS == rc).astype(jnp.float32)  # (SUP, ACC)
+
+            def quarters(sp):
+                up = pltpu.bitcast(sp, u32)
+                return [pltpu.bitcast((up >> u32(8 * q)) & u32(0xFF),
+                                      jnp.int32).astype(jnp.float32)
+                        for q in range(4)]
+
+            q0 = quarters(s0)
+            q1 = quarters(s1)
+            q2 = quarters(s2)
+            dotT = functools.partial(
+                jax.lax.dot_general,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            acc = jnp.zeros((ACC_ROWS, 128), jnp.int32)
+            for q in range(4):
+                acc_q = (dotT(x0T, q0[q])
+                         + pltpu.roll(dotT(x0T, q1[q]), 1, 0)
+                         + pltpu.roll(dotT(x0T, q2[q]), 2, 0))
+                acc = acc | (acc_q.astype(jnp.int32) << (8 * q))
+
+            sb = gb & 31
+            au = pltpu.bitcast(acc, u32)
+            prev = pltpu.roll(acc, 1, 1)
+            prev = jnp.where(laneA == 0, pltpu.roll(prev, 1, 0), prev)
+            pu = pltpu.bitcast(prev, u32)
+            sbu = sb.astype(u32)
+            inv = ((32 - sb) & 31).astype(u32)
+            acc2 = pltpu.bitcast(
+                jnp.where(sb > 0, (au << sbu) | (pu >> inv), au),
+                jnp.int32)
+
+            b = jnp.clip(jnp.right_shift(gb, 5) + sbase, 0,
+                         (nrows - ACC_ROWS) * 128)
+            row0 = jnp.right_shift(b, 7)
+            r = b & 127
+            rot = pltpu.roll(acc2, r, 1)
+            los = jnp.where(laneA >= r, rot, 0)
+            his = jnp.where(laneA < r, rot, 0)
+            out_ref[0, pl.ds(row0, ACC_ROWS), :] += (
+                los + pltpu.roll(his, 1, 0))
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("ng", "nrows", "interpret"))
+def token_windows_place_flat_pallas(tokc, lut3, dbg, wog, gfirst,
+                                    ng: int, nrows: int,
+                                    interpret: bool = False):
+    """(t_rows, 128) compacted tokens -> (nrows, 128) flat payload
+    words in ONE kernel (see _tokw_winplace_kernel)."""
+    t3 = tokc[None]
+    out = pl.pallas_call(
+        _tokw_winplace_kernel,
+        out_shape=jax.ShapeDtypeStruct((1, nrows, 128), jnp.int32),
+        grid=(ng,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, R_TV, 128), lambda g: (0, g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, 128), lambda g: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, nrows, 128), lambda g: (0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((1, 1, R_TV, 128), jnp.int32),
+            pltpu.VMEM((1, 1, R_TV, 128), jnp.int32),
+            pltpu.VMEM((1, 1, R_TV, 1), jnp.int32),
+            pltpu.VMEM((1, 1, R_TV, 1), jnp.int32),
+            pltpu.VMEM((1, 1, R_TV, 1), jnp.int32),
+            pltpu.SMEM((2,), jnp.int32),
+        ],
+        interpret=interpret,
+    )(dbg.astype(jnp.int32), wog.astype(jnp.int32),
+      gfirst.astype(jnp.int32), t3, lut3)
+    return out[0]
+
+
 R_CT = 128     # token rows per compaction tile (16 Ki positions)
 CT_TACC = 136  # whole-tile accumulator rows (128-row tile spans <= 130)
 
@@ -1113,15 +1264,15 @@ def compact_tokens_pallas(tokw, bases, t_rows: int,
     return out[0]
 
 
-def _make_place_compact_kernel(sc_rows: int):
+def _make_place_compact_kernel(sc_rows: int, nq: int = 4):
     def kernel(steps_ref, emis_ref, meta_ref, out_ref, carry_ref):
         return _place_compact_kernel(steps_ref, emis_ref, meta_ref,
-                                     out_ref, carry_ref, sc_rows)
+                                     out_ref, carry_ref, sc_rows, nq)
     return kernel
 
 
 def _place_compact_kernel(steps_ref, emis_ref, meta_ref, out_ref,
-                          carry_ref, sc_rows: int):
+                          carry_ref, sc_rows: int, nq: int = 4):
     """Fused decode-placement compaction over the RAW emission grid.
 
     One grid step handles one (tile, sublane) 128-lane group: load the
@@ -1185,7 +1336,9 @@ def _place_compact_kernel(steps_ref, emis_ref, meta_ref, out_ref,
     for s in range(8):
         w = emis_ref[0, :, s, :]                 # (128 steps, 128 lanes)
         wt = jnp.zeros((128, 128), jnp.int32)
-        for q in range(4):
+        # nq=3 when the caller knows max outc < 2^15 (packed < 2^24):
+        # drops a quarter of the transpose MXU issues
+        for q in range(nq):
             tq = dotg(ident, quarter(w, q)).astype(jnp.int32)
             wt = wt | (tq << (8 * q))
         # wt[lane, step] = w[step, lane]
@@ -1234,9 +1387,9 @@ def _place_compact_kernel(steps_ref, emis_ref, meta_ref, out_ref,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("sc_rows", "interpret"))
+                   static_argnames=("sc_rows", "interpret", "nq"))
 def place_compact_pallas(emis, steps_used, meta, sc_rows: int,
-                         interpret: bool = False):
+                         interpret: bool = False, nq: int = 4):
     """Raw emission grid (ntiles, MAX_STEPS>=128, 8, 128) -> compacted
     (2*sc_rows, 128) placement words: rows [0, sc_rows) hold
     pos<<2|len-1 metadata, rows [sc_rows, 2*sc_rows) the up-to-4 merged
@@ -1252,7 +1405,7 @@ def place_compact_pallas(emis, steps_used, meta, sc_rows: int,
     literals, so the capacity bound holds a fortiori)."""
     ntiles = emis.shape[0]
     return pl.pallas_call(
-        _make_place_compact_kernel(sc_rows),
+        _make_place_compact_kernel(sc_rows, nq),
         out_shape=jax.ShapeDtypeStruct((1, 2 * sc_rows, 128), jnp.int32),
         grid=(ntiles,),
         in_specs=[
@@ -1573,42 +1726,70 @@ def _make_tokenize_kernel(nr_planes: int, nb_per: int, tail_len: int):
                             | (g[3] << 24))[:, :32]
 
             iszero = (byte == 0) & inblk
-            # last non-zero (or out-of-block) strictly before i
-            lnb = _tok_fscan_max(jnp.where(iszero, -1, idx), -1)
-            prev = pltpu.roll(lnb, 1, 1)
-            prev = jnp.where(lane == 0, pltpu.roll(prev, 1, 0), prev)
-            run_start = jnp.where(idx == 0, -1, prev) + 1
-            # first non-zero (or out-of-block) at/after i
-            fna = _tok_rscan_min(jnp.where(iszero, B_, idx), B_)
-            run_end = jnp.minimum(fna, limit) - 1
 
-            off = idx - run_start
-            is_cs = iszero & (off % _MZR == 0)
-            L = jnp.minimum(run_end - idx + 1, _MZR)
-            run_sym = jnp.where(
-                L == 1, 0, jnp.where(
-                    L == 2, 256, jnp.where(
-                        L <= 6, 257, jnp.where(
-                            L <= 22, 258, jnp.where(
-                                L <= 278, 259, 260)))))
-            run_extra = jnp.where(
-                L <= 2, 0, jnp.where(
-                    L <= 6, L - 3, jnp.where(
-                        L <= 22, L - 7, jnp.where(
-                            L <= 278, L - 23, L - 279))))
-            run_ebits = jnp.where(
-                L <= 2, 0, jnp.where(
-                    L <= 6, 2, jnp.where(
-                        L <= 22, 4, jnp.where(L <= 278, 8, 14))))
+            def emit_runs(run_start, run_end):
+                off = idx - run_start
+                is_cs = iszero & (off % _MZR == 0)
+                L = jnp.minimum(run_end - idx + 1, _MZR)
+                run_sym = jnp.where(
+                    L == 1, 0, jnp.where(
+                        L == 2, 256, jnp.where(
+                            L <= 6, 257, jnp.where(
+                                L <= 22, 258, jnp.where(
+                                    L <= 278, 259, 260)))))
+                run_extra = jnp.where(
+                    L <= 2, 0, jnp.where(
+                        L <= 6, L - 3, jnp.where(
+                            L <= 22, L - 7, jnp.where(
+                                L <= 278, L - 23, L - 279))))
+                run_ebits = jnp.where(
+                    L <= 2, 0, jnp.where(
+                        L <= 6, 2, jnp.where(
+                            L <= 22, 4, jnp.where(L <= 278, 8, 14))))
 
-            is_lit = (~iszero) & inblk
-            tval = is_lit | is_cs
-            sym = jnp.where(is_lit, byte,
-                            jnp.where(is_cs, run_sym, 0))
-            extra = jnp.where(is_cs, run_extra, 0)
-            ebits = jnp.where(is_cs, run_ebits, 0)
-            tokw_ref[p, 0] = (sym | (ebits << 9) | (extra << 13)
-                              | (tval.astype(jnp.int32) << 27))
+                is_lit = (~iszero) & inblk
+                tval = is_lit | is_cs
+                sym = jnp.where(is_lit, byte,
+                                jnp.where(is_cs, run_sym, 0))
+                extra = jnp.where(is_cs, run_extra, 0)
+                ebits = jnp.where(is_cs, run_ebits, 0)
+                tokw_ref[p, 0] = (sym | (ebits << 9) | (extra << 13)
+                                  | (tval.astype(jnp.int32) << 27))
+
+            # scan gates: the run-boundary scans (two lane+row doubling
+            # passes over the (512, 128) tile) are the kernel's largest
+            # cost, but an ALL-LITERAL slab (dense low planes) needs no
+            # run info at all, and an ALL-ZERO slab (RLE-saturated high
+            # planes / FILL content) has closed-form boundaries. Two
+            # cross-lane reduces buy skipping both scans on most real
+            # slabs.
+            z_any = jnp.any(iszero)
+            nz_any = jnp.any((byte != 0) & inblk)
+
+            @pl.when(jnp.logical_not(z_any))
+            def _():
+                # every in-block byte is a literal
+                tokw_ref[p, 0] = jnp.where(
+                    inblk, byte | jnp.int32(1 << 27), 0)
+
+            @pl.when(z_any & jnp.logical_not(nz_any))
+            def _():
+                # one all-zero run from 0 to limit-1
+                emit_runs(jnp.zeros_like(idx),
+                          jnp.broadcast_to(limit - 1, idx.shape))
+
+            @pl.when(z_any & nz_any)
+            def _():
+                # last non-zero (or out-of-block) strictly before i
+                lnb = _tok_fscan_max(jnp.where(iszero, -1, idx), -1)
+                prev = pltpu.roll(lnb, 1, 1)
+                prev = jnp.where(lane == 0, pltpu.roll(prev, 1, 0),
+                                 prev)
+                run_start = jnp.where(idx == 0, -1, prev) + 1
+                # first non-zero (or out-of-block) at/after i
+                fna = _tok_rscan_min(jnp.where(iszero, B_, idx), B_)
+                run_end = jnp.minimum(fna, limit) - 1
+                emit_runs(run_start, run_end)
 
     return kernel
 

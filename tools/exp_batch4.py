@@ -260,6 +260,22 @@ def main():
     add("fullpack_x1", mk_full(b1))
     add("fullpack_x4", mk_full(b4))
 
+    def mk_full_uf(cfg):
+        bases, lut3, dbg, wog, gfirst = cfg["dev"]
+        t_rows, T, nrows = cfg["t_rows"], cfg["T"], cfg["nrows"]
+        splits = cfg["splits"]
+
+        def body(acc):
+            t_, a = jax.lax.optimization_barrier((cfg["tokw"], acc))
+            w = jax_coder._pack_tokens_flat2_impl(
+                t_, bases, lut3, dbg, wog, gfirst, t_rows=t_rows, T=T,
+                nrows_f=nrows, compact_splits=splits, fuse_place=False)
+            return a + s(w[::64])
+        return body
+
+    add("fullpack_x1_unf", mk_full_uf(b1))
+    add("fullpack_x4_unf", mk_full_uf(b4))
+
     from rspt_tpu.packers.tpu import _fused_pass1_mode, _pass1_xdelta
     fm = _fused_pass1_mode()
     f1p, _ = _pass1_xdelta(n, ch, bps, planes, fmode=fm)

@@ -86,6 +86,29 @@ def main():
 
     add("full_enc", full_body)
 
+    def full_unfused_body(acc):
+        r_, a = jax.lax.optimization_barrier((raw, acc))
+        sm, bl, tk = f1.__wrapped__(r_)
+        w = jax_coder._pack_tokens_flat2_impl(
+            tk[0], bases_d, lut3_d, dbg_d, wog_d, gfirst_d,
+            t_rows=t_rows, T=T, nrows_f=nrows_f, fuse_place=False)
+        return a + s(sm) + s(tk[1]) + s(w)
+
+    add("full_enc_unfused", full_unfused_body)
+
+    from rspt_tpu.ops.pallas_kernels import (
+        token_windows_place_flat_pallas)
+    ngr_f = T // jax_coder.GROUP_TOK_FLAT
+
+    def winplace_body(acc):
+        t_, a = jax.lax.optimization_barrier((tokc_dev, acc))
+        w = token_windows_place_flat_pallas(
+            t_, lut3_d, dbg_d, wog_d, gfirst_d, ng=ngr_f,
+            nrows=nrows_f)
+        return a + s(w[::64])
+
+    add("winplace_fused", winplace_body)
+
     def tok_body(acc):
         r_, a = jax.lax.optimization_barrier((raw, acc))
         sm, bl, tk = f1.__wrapped__(r_)
