@@ -559,12 +559,13 @@ def _decode_kernel(ntc_ref, win_ref, l1lo_ref, l1hi_ref, lv1_ref,
                     wptr,
                     step + 1, active_n.astype(jnp.int32))
 
-        # 2x-unrolled body: the while cond's any() is a cross-lane
+        # 4x-unrolled body: the while cond's any() is a cross-lane
         # scalar reduce + sync (~170 ns measured); checking it every
-        # other step halves that cost for one masked no-op step per
-        # sweep (every step is fully `active`-masked, so running one
-        # extra is harmless).
-        out = jax.lax.while_loop(cond, lambda st: body(body(st)), st0)
+        # fourth step quarters that cost for up to three masked no-op
+        # steps per sweep (every step is fully `active`-masked, so
+        # running extras is harmless).
+        out = jax.lax.while_loop(
+            cond, lambda st: body(body(body(body(st)))), st0)
         if emit:
             return out[0], out[6], out[7], out[8]
         return out[0]
