@@ -88,22 +88,22 @@ class ShardedHzrDecoder:
 
         ndev = self.ndev
 
-        def make_emit(out_size: int):
-            pad = -(-out_size // ndev) * ndev
+        def make_emit(span: int):
+            # Blocks are assigned to shards in CONTIGUOUS stream-order
+            # runs (decode_many), so every shard's output bytes form
+            # one contiguous span: each shard emits into its own
+            # span-sized local buffer (out_bases arrive span-relative)
+            # and the stacked P(AXIS) output IS the result — no
+            # collective on the emit path at all (the old design wrote
+            # ndev FULL-size buffers and reduce-scattered them).
 
             def emit(words, l1, l2, l2_base, block_of_lane, entry,
                      seg_end, pbits, out_bases, out_limit):
-                buf = jnp.zeros(pad, jnp.uint8)
+                buf = jnp.zeros(span, jnp.uint8)
                 _, _, buf = jd._sweep_impl(
                     words, l1, l2, l2_base, block_of_lane, entry,
                     seg_end, pbits, out_bases, out_limit, buf, True)
-                # shards write disjoint output positions, so sum == OR
-                # and every byte has one writer (sums stay <= 255).
-                # reduce-SCATTER instead of all-reduce: each device
-                # keeps only the out/ndev slice it owns — half the
-                # collective traffic; the host reads the same bytes.
-                return jax.lax.psum_scatter(
-                    buf, AXIS, scatter_dimension=0, tiled=True)
+                return buf
 
             return jax.jit(jax.shard_map(
                 emit, mesh=mesh,
@@ -179,19 +179,27 @@ class ShardedHzrDecoder:
                         in huff]
         mark("luts")
 
-        # Bin-pack whole blocks onto shards (heaviest-first into the
-        # least-loaded shard, deterministic): a block's segment lanes
-        # never straddle a shard boundary, so the fixpoint carry chain
-        # stays shard-local and the sweep loop needs no collectives.
+        # Assign whole blocks to shards in CONTIGUOUS stream-order runs
+        # (balanced by cumulative segment count): a block's segment
+        # lanes never straddle a shard boundary, so the fixpoint carry
+        # chain stays shard-local — and since block output ranges are
+        # contiguous in stream order, each shard's emitted bytes form
+        # one contiguous span, which removes the emit collective
+        # entirely (see make_emit).
         seg_of_block = [max(1, -(-(h[1] - h[2]) // jd.SEG_BITS))
                         for h in huff]
         ndev = self.ndev
-        loads = [0] * ndev
-        shard_blocks = [[] for _ in range(ndev)]
-        for i in sorted(range(nb), key=lambda k: (-seg_of_block[k], k)):
-            d = min(range(ndev), key=lambda k: (loads[k], k))
-            shard_blocks[d].append(i)
-            loads[d] += seg_of_block[i]
+        csum = np.cumsum(seg_of_block)
+        total_segs = int(csum[-1])
+        cuts = [0]
+        for d in range(1, ndev):
+            i = int(np.searchsorted(csum, total_segs * d / ndev))
+            cuts.append(max(cuts[-1], min(i, nb)))
+        cuts.append(nb)
+        shard_blocks = [list(range(cuts[d], cuts[d + 1]))
+                        for d in range(ndev)]
+        loads = [sum(seg_of_block[i] for i in blks)
+                 for blks in shard_blocks]
         L = max(max(loads), 1)
         nl_pad = ndev * L
         lane_block = np.zeros(nl_pad, np.int32)
@@ -238,6 +246,21 @@ class ShardedHzrDecoder:
                 jnp.asarray(lane_pbits), jnp.asarray(dfirst))
             counts_np = np.asarray(counts)
         mark("fixpoint")
+        # per-shard contiguous output spans (block runs are contiguous
+        # in stream order); out bases/limits are SPAN-RELATIVE so each
+        # shard emits into its own local buffer — no emit collective
+        span_lo = np.zeros(ndev, np.int64)
+        span_hi = np.zeros(ndev, np.int64)
+        for d in range(ndev):
+            blks = shard_blocks[d]
+            if blks:
+                span_lo[d] = huff[blks[0]][3]
+                span_hi[d] = huff[blks[-1]][3] + huff[blks[-1]][4]
+            else:
+                span_lo[d] = span_hi[d] = 0
+        S = max(int((span_hi - span_lo).max()), 1)
+        shard_base = np.repeat(span_lo, L).astype(np.int64)
+
         out_bases = np.zeros(nl_pad, np.int32)
         out_limit = np.zeros(nl_pad, np.int32)
         for i, nseg in enumerate(seg_of_block):
@@ -247,17 +270,25 @@ class ShardedHzrDecoder:
             out_bases[sl:sl + nseg] = ooff + np.concatenate(
                 ([0], np.cumsum(c[:-1])))
             out_limit[sl:sl + nseg] = ooff + olen
+        out_bases = (out_bases - shard_base).astype(np.int32)
+        out_limit = np.maximum(out_limit - shard_base, 0).astype(
+            np.int32)
         mark("bases")
 
-        bufs = fns["make_emit"](max(total, 1))(
+        bufs = fns["make_emit"](S)(
             jnp.asarray(words), jnp.asarray(l1), jnp.asarray(l2),
             jnp.asarray(l2_base), jnp.asarray(lane_block), entry,
             jnp.asarray(lane_seg_end), jnp.asarray(lane_pbits),
             jnp.asarray(out_bases), jnp.asarray(out_limit))
-        emitted = np.asarray(bufs)[:total]
+        emitted = np.asarray(bufs).reshape(ndev, S)
         mark("emit")
-        for payload, pbits, dbits, ooff, olen, tree, _crc in huff:
-            out[ooff:ooff + olen] = emitted[ooff:ooff + olen]
+        # copy ONLY huff block ranges (COPY/FILL regions between them
+        # were written by the walk and must survive)
+        for d in range(ndev):
+            for i in shard_blocks[d]:
+                ooff, olen = huff[i][3], huff[i][4]
+                lo = int(ooff - span_lo[d])
+                out[ooff:ooff + olen] = emitted[d, lo:lo + olen]
         outs = [out[a:a + n].tobytes() for a, n in spans]
         mark("assemble")
         if prof:
