@@ -133,24 +133,39 @@ def main():
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     ncores = os.cpu_count() or 4
     results = {}
-    base = {}
-    for nd in [1, 2, 4, 8]:
-        cores = min(nd, ncores)
-        env = dict(os.environ)
-        env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
-                            + f" --xla_force_host_platform_device_count={nd}"
-                            ).strip()
-        code = WORKER.format(root=root, nd=nd)
-        cmd = ["taskset", "-c", f"0-{cores - 1}", sys.executable, "-c", code]
-        r = subprocess.run(cmd, env=env, capture_output=True, text=True,
-                           timeout=1800)
-        if r.returncode != 0:
-            print(f"{nd} devices failed: {r.stderr[-300:]}",
-                  file=sys.stderr)
-            continue
-        got = json.loads(r.stdout.strip().splitlines()[-1])
-        got["cores"] = cores
-        results[nd] = got
+    # INTERLEAVED rounds: the shared host's speed drifts between
+    # subprocess sweeps (a single sequential sweep showed 1.7x swings
+    # on one point across repeats), so each mesh size runs ROUNDS
+    # times interleaved and every throughput keeps its per-point best
+    # — min-of-N batched across the sweep, same methodology as the
+    # chip-side K-loop benches.
+    rounds = int(os.environ.get("RSPT_SCALING_ROUNDS", "3"))
+    for rnd in range(rounds):
+        for nd in [1, 2, 4, 8]:
+            cores = min(nd, ncores)
+            env = dict(os.environ)
+            env["XLA_FLAGS"] = (
+                env.get("XLA_FLAGS", "")
+                + f" --xla_force_host_platform_device_count={nd}"
+            ).strip()
+            code = WORKER.format(root=root, nd=nd)
+            cmd = ["taskset", "-c", f"0-{cores - 1}", sys.executable,
+                   "-c", code]
+            r = subprocess.run(cmd, env=env, capture_output=True,
+                               text=True, timeout=1800)
+            if r.returncode != 0:
+                print(f"{nd} devices failed: {r.stderr[-300:]}",
+                      file=sys.stderr)
+                continue
+            got = json.loads(r.stdout.strip().splitlines()[-1])
+            got["cores"] = cores
+            prev = results.get(nd)
+            if prev is None:
+                results[nd] = got
+            else:
+                for k, v in got.items():
+                    if isinstance(v, float):
+                        prev[k] = max(prev[k], v)
 
     KEYS = (("enc_gbps", "encode"),
             ("enc_dev_gbps", "encode_device_step"),
