@@ -141,6 +141,9 @@ def _load():
     lib.rspt_lz4_max_compressed.argtypes = [ll]
     lib.rspt_lz4_compress.restype = ll
     lib.rspt_lz4_compress.argtypes = [c_u8p, ll, c_u8p, ll]
+    lib.rspt_lz4_compress_hc.restype = ll
+    lib.rspt_lz4_compress_hc.argtypes = [c_u8p, ll, c_u8p, ll,
+                                         ctypes.c_int]
     lib.rspt_lz4_decompress.restype = ll
     lib.rspt_lz4_decompress.argtypes = [c_u8p, ll, c_u8p, ll]
     _LIB = lib
@@ -609,6 +612,22 @@ def lz4_compress(data) -> bytes:
     n = lib.rspt_lz4_compress(_p8(buf), buf.size, _p8(out), cap)
     if n <= 0:
         raise ValueError("lz4 compress failed")
+    return out[:n].tobytes()
+
+
+def lz4_compress_hc(data, depth: int = 256) -> bytes:
+    """Clean-room LZ4HC-class block compress: depth-bounded hash-chain
+    search + one-step lazy matching (same public block format — any
+    spec decoder reads it). Smaller output than the greedy path at a
+    few times the search cost."""
+    lib = _load()
+    buf = _u8(data)
+    cap = int(lib.rspt_lz4_max_compressed(buf.size))
+    out = np.empty(cap, dtype=np.uint8)
+    n = lib.rspt_lz4_compress_hc(_p8(buf), buf.size, _p8(out), cap,
+                                 int(depth))
+    if n <= 0:
+        raise ValueError("lz4 hc compress failed")
     return out[:n].tobytes()
 
 

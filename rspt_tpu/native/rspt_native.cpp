@@ -2874,6 +2874,153 @@ long long rspt_lz4_compress(const uint8_t* src, long long n_, uint8_t* dst,
     }
 }
 
+// High-compression variant (LZ4HC class): depth-bounded hash-CHAIN
+// candidate search with one-step lazy matching — the standard
+// chain+lazy design, written to the same public block format (any
+// spec-valid stream interoperates with any decoder). Bigger depth =
+// better parse = smaller output at more search cost; the greedy
+// single-probe compressor above stays the speed path.
+long long rspt_lz4_compress_hc(const uint8_t* src, long long n_,
+                               uint8_t* dst, long long cap_, int depth) {
+    using namespace lz4blk;
+    if (n_ < 0 || cap_ <= 0) return 0;
+    if (depth <= 0) depth = 256;
+    const size_t n = (size_t)n_;
+    uint8_t* op = dst;
+    uint8_t* const oend = dst + (size_t)cap_;
+    const uint8_t* ip = src;
+    const uint8_t* const iend = src + n;
+    const uint8_t* anchor = src;
+
+    auto emit_last = [&]() -> long long {
+        size_t lit = (size_t)(iend - anchor);
+        if ((size_t)(oend - op) < 1 + lit / 255 + 1 + lit) return 0;
+        size_t l = lit;
+        if (l >= 15) {
+            *op++ = 0xF0;
+            l -= 15;
+            while (l >= 255) {
+                *op++ = 255;
+                l -= 255;
+            }
+            *op++ = (uint8_t)l;
+        } else {
+            *op++ = (uint8_t)(l << 4);
+        }
+        std::memcpy(op, anchor, lit);
+        op += lit;
+        return (long long)(op - dst);
+    };
+
+    if (n <= kMfLimit) return emit_last();
+    const uint8_t* const mflimit = iend - kMfLimit;
+    const uint8_t* const matchlimit = iend - kLastLiterals;
+
+    std::vector<int32_t> head((size_t)1 << kHashLog, -1);
+    std::vector<int32_t> chain(n, -1);
+    auto insert = [&](const uint8_t* p) {
+        uint32_t h = hash4(rd32(p));
+        int32_t pos = (int32_t)(p - src);
+        if (head[h] == pos) return;  // no self-loops
+        chain[pos] = head[h];
+        head[h] = pos;
+    };
+    auto best_match = [&](const uint8_t* p,
+                          const uint8_t** bcand) -> size_t {
+        size_t best = 0;
+        int32_t cand = head[hash4(rd32(p))];
+        int d = depth;
+        while (cand >= 0 && d-- > 0) {
+            const uint8_t* cp = src + cand;
+            if ((size_t)(p - cp) > kMaxOffset) break;  // older = farther
+            if (rd32(cp) == rd32(p)) {
+                size_t len = kMinMatch + run_fwd(p + kMinMatch,
+                                                 cp + kMinMatch,
+                                                 matchlimit);
+                if (len > best) {
+                    best = len;
+                    *bcand = cp;
+                }
+            }
+            cand = chain[cand];
+        }
+        return best >= kMinMatch ? best : 0;
+    };
+
+    insert(ip);
+    ++ip;
+    while (ip <= mflimit) {
+        const uint8_t* cand = nullptr;
+        size_t mlen = best_match(ip, &cand);
+        if (!mlen) {
+            insert(ip);
+            ++ip;
+            continue;
+        }
+        // one-step lazy deferral: a strictly longer match starting one
+        // byte later buys more than the literal it costs
+        while (ip + 1 <= mflimit) {
+            insert(ip);
+            const uint8_t* cand2 = nullptr;
+            size_t m2 = best_match(ip + 1, &cand2);
+            if (m2 > mlen + 1) {
+                ++ip;
+                mlen = m2;
+                cand = cand2;
+            } else {
+                break;
+            }
+        }
+        while (ip > anchor && cand > src && ip[-1] == cand[-1]) {
+            --ip;
+            --cand;
+        }
+        size_t lit = (size_t)(ip - anchor);
+        size_t off = (size_t)(ip - cand);
+        size_t need = 1 + lit / 255 + 1 + lit + 2
+                      + (mlen - kMinMatch) / 255 + 1 + kLastLiterals + 2;
+        if ((size_t)(oend - op) < need) return 0;
+        uint8_t* token = op++;
+        size_t l = lit;
+        if (l >= 15) {
+            *token = 0xF0;
+            l -= 15;
+            while (l >= 255) {
+                *op++ = 255;
+                l -= 255;
+            }
+            *op++ = (uint8_t)l;
+        } else {
+            *token = (uint8_t)(l << 4);
+        }
+        std::memcpy(op, anchor, lit);
+        op += lit;
+        uint16_t off16 = (uint16_t)off;
+        std::memcpy(op, &off16, 2);
+        op += 2;
+        size_t m = mlen - kMinMatch;
+        if (m >= 15) {
+            *token |= 15;
+            m -= 15;
+            while (m >= 255) {
+                *op++ = 255;
+                m -= 255;
+            }
+            *op++ = (uint8_t)m;
+        } else {
+            *token |= (uint8_t)m;
+        }
+        // index every position the match covered (what makes HC find
+        // overlapping candidates the greedy single-slot table misses)
+        const uint8_t* p2 = ip + 1;
+        const uint8_t* stop = ip + mlen < mflimit ? ip + mlen : mflimit;
+        for (; p2 < stop; ++p2) insert(p2);
+        ip += mlen;
+        anchor = ip;
+    }
+    return emit_last();
+}
+
 // Bounds-checked decompressor (LZ4_decompress_safe class). Returns the
 // decoded size, or -1 on malformed input / overflow.
 long long rspt_lz4_decompress(const uint8_t* src, long long n_, uint8_t* dst,

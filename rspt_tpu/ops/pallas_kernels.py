@@ -1334,6 +1334,21 @@ def _place_compact_kernel(steps_ref, emis_ref, meta_ref, out_ref,
     # covers a whole tile: unroll its 8 sublane groups in lane order
     # (program order keeps the compaction carry sequential).
     for s in range(8):
+        # dead-group gate: groups whose 128 lanes are all padding
+        # (mt_all live column zero) contribute nothing — skip their
+        # transpose dots + merge scan (carry unchanged == correct)
+        @pl.when(jnp.any(mt_all[:, 3 * s + 2:3 * s + 3] > 0))
+        def _(s=s):
+            _place_compact_group(emis_ref, mt_all, steps_ref, out_ref,
+                                 carry_ref, sc_rows, nq, s, ci,
+                                 quarter, roll_left, dotg, ident)
+
+
+def _place_compact_group(emis_ref, mt_all, steps_ref, out_ref,
+                         carry_ref, sc_rows, nq, s, ci, quarter,
+                         roll_left, dotg, ident):
+    t = pl.program_id(0)
+    if True:
         w = emis_ref[0, :, s, :]                 # (128 steps, 128 lanes)
         wt = jnp.zeros((128, 128), jnp.int32)
         # nq=3 when the caller knows max outc < 2^15 (packed < 2^24):

@@ -39,20 +39,24 @@ PLANE_LZ4 = 0x40
 METHOD_MASK = 0x3F
 
 
-def plane_codec(use_lz4: bool, plane_len: int):
+def plane_codec(use_lz4: bool, plane_len: int, hc: bool = False):
     """(encode_plane, decode_plane) pair for a backend choice.
 
     hzr streams are self-framing (embedded total + CRC); LZ4 block
     streams are not, so the decoder closure binds the container-known
     plane length. Native LZ4 is preferred; the Python spec codec
-    (formats/lz4_block.py) is the fallback.
+    (formats/lz4_block.py) is the fallback. hc=True selects the
+    hash-chain/lazy high-compression matcher (the reference's dormant
+    lz4hc.c slot) — same block format, so decode is unchanged and
+    greedy/HC streams interoperate freely.
     """
     if not use_lz4:
         return hzr.encode, (lambda b: hzr.decode(b))
     try:
         from ..native import bindings as nb
         nb._load()
-        return nb.lz4_compress, (lambda b: nb.lz4_decompress(b, plane_len))
+        enc = nb.lz4_compress_hc if hc else nb.lz4_compress
+        return enc, (lambda b: nb.lz4_decompress(b, plane_len))
     except Exception:  # pragma: no cover - native build unavailable
         from ..formats import lz4_block
         return (lz4_block.compress,

@@ -118,6 +118,34 @@ class TestReferenceInterop:
                 assert nb.lz4_decompress(comp, len(data)) == data
                 assert lz4_block.decompress(comp, len(data)) == data
 
+    def test_hc_roundtrip_and_interop(self, ref, rng):
+        """Clean-room LZ4HC-class compressor (hash-chain + lazy): every
+        stream must decode through our native decoder, the Python spec
+        decoder, AND the reference's vendored lz4.c."""
+        for data in _cases(rng):
+            if not data:
+                continue
+            comp = nb.lz4_compress_hc(data)
+            assert nb.lz4_decompress(comp, len(data)) == data
+            assert lz4_block.decompress(comp, len(data)) == data
+            assert ref.lz4_decompress(comp, len(data)) == data
+
+    def test_hc_ratio(self, ref, real_ecg12):
+        """HC must never lose to our greedy matcher, and at default
+        depth must land within 20% of the reference's LZ4HC level 9 on
+        the real fixture planes (deeper chains close the rest:
+        depth 4096 measured BELOW ref HC9 on the sparse planes)."""
+        from rspt_tpu.ops import numpy_ops as nops
+        vals = np.frombuffer(real_ecg12, "<i4").astype(np.int32)
+        planes = nops.plane_split(vals, 4)
+        for k in range(4):
+            data = planes[k].tobytes()
+            hc = len(nb.lz4_compress_hc(data))
+            greedy = len(nb.lz4_compress(data))
+            refhc = len(ref.lz4_compress(data, hc=9))
+            assert hc <= greedy, (k, hc, greedy)
+            assert hc <= refhc * 1.20, (k, hc, refhc)
+
     def test_ratio_competitive_on_real_ecg(self, ref, real_ecg12):
         """The clean-room greedy encoder must not trail the reference's
         LZ4_compress_default by more than 2% on the real fixture planes."""
