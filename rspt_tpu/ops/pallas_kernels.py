@@ -1339,15 +1339,14 @@ def _place_compact_kernel(steps_ref, emis_ref, meta_ref, out_ref,
         # transpose dots + merge scan (carry unchanged == correct)
         @pl.when(jnp.any(mt_all[:, 3 * s + 2:3 * s + 3] > 0))
         def _(s=s):
-            _place_compact_group(emis_ref, mt_all, steps_ref, out_ref,
-                                 carry_ref, sc_rows, nq, s, ci,
-                                 quarter, roll_left, dotg, ident)
+            _place_compact_group(emis_ref, mt_all, steps_ref[t],
+                                 out_ref, carry_ref, sc_rows, nq, s,
+                                 ci, quarter, roll_left, dotg, ident)
 
 
-def _place_compact_group(emis_ref, mt_all, steps_ref, out_ref,
+def _place_compact_group(emis_ref, mt_all, steps_t, out_ref,
                          carry_ref, sc_rows, nq, s, ci, quarter,
                          roll_left, dotg, ident):
-    t = pl.program_id(0)
     if True:
         w = emis_ref[0, :, s, :]                 # (128 steps, 128 lanes)
         wt = jnp.zeros((128, 128), jnp.int32)
@@ -1365,7 +1364,7 @@ def _place_compact_group(emis_ref, mt_all, steps_ref, out_ref,
         sym = wt & 0x1FF
         outc = jax.lax.shift_right_logical(wt, 9)
         pos = base + outc
-        live = ((sym > 0) & (ci < steps_ref[t]) & (pos < lim)
+        live = ((sym > 0) & (ci < steps_t) & (pos < lim)
                 & (liv > 0))
 
         # ---- merge: literal runs are contiguous live spans within a
