@@ -110,12 +110,33 @@ class ShardedHzrDecoder:
                 in_specs=(rep, rep, rep, rep) + (P(AXIS),) * 6,
                 out_specs=P(AXIS), check_vma=False))
 
+        def make_emit_rs(out_size: int):
+            # legacy reduce-scatter emit (A/B reference, RSPT_DEC_EMIT=rs):
+            # every shard writes a FULL-size buffer at absolute offsets,
+            # then a psum_scatter merges them (disjoint writers: sum==OR)
+            pad = -(-out_size // ndev) * ndev
+
+            def emit(words, l1, l2, l2_base, block_of_lane, entry,
+                     seg_end, pbits, out_bases, out_limit):
+                buf = jnp.zeros(pad, jnp.uint8)
+                _, _, buf = jd._sweep_impl(
+                    words, l1, l2, l2_base, block_of_lane, entry,
+                    seg_end, pbits, out_bases, out_limit, buf, True)
+                return jax.lax.psum_scatter(
+                    buf, AXIS, scatter_dimension=0, tiled=True)
+
+            return jax.jit(jax.shard_map(
+                emit, mesh=mesh,
+                in_specs=(rep, rep, rep, rep) + (P(AXIS),) * 6,
+                out_specs=P(AXIS), check_vma=False))
+
         self._built = {
             "fixpoint": jax.jit(jax.shard_map(
                 fixpoint, mesh=mesh,
                 in_specs=(rep, rep, rep, rep) + (P(AXIS),) * 5,
                 out_specs=(P(AXIS), P(AXIS)), check_vma=False)),
             "make_emit": functools.lru_cache(maxsize=8)(make_emit),
+            "make_emit_rs": functools.lru_cache(maxsize=8)(make_emit_rs),
         }
         return self._built
 
@@ -270,25 +291,38 @@ class ShardedHzrDecoder:
             out_bases[sl:sl + nseg] = ooff + np.concatenate(
                 ([0], np.cumsum(c[:-1])))
             out_limit[sl:sl + nseg] = ooff + olen
-        out_bases = (out_bases - shard_base).astype(np.int32)
-        out_limit = np.maximum(out_limit - shard_base, 0).astype(
-            np.int32)
+        emit_mode = _os.environ.get("RSPT_DEC_EMIT", "span")
+        if emit_mode == "span":
+            out_bases = (out_bases - shard_base).astype(np.int32)
+            out_limit = np.maximum(out_limit - shard_base, 0).astype(
+                np.int32)
         mark("bases")
 
-        bufs = fns["make_emit"](S)(
-            jnp.asarray(words), jnp.asarray(l1), jnp.asarray(l2),
-            jnp.asarray(l2_base), jnp.asarray(lane_block), entry,
-            jnp.asarray(lane_seg_end), jnp.asarray(lane_pbits),
-            jnp.asarray(out_bases), jnp.asarray(out_limit))
-        emitted = np.asarray(bufs).reshape(ndev, S)
-        mark("emit")
-        # copy ONLY huff block ranges (COPY/FILL regions between them
-        # were written by the walk and must survive)
-        for d in range(ndev):
-            for i in shard_blocks[d]:
-                ooff, olen = huff[i][3], huff[i][4]
-                lo = int(ooff - span_lo[d])
-                out[ooff:ooff + olen] = emitted[d, lo:lo + olen]
+        if emit_mode == "span":
+            bufs = fns["make_emit"](S)(
+                jnp.asarray(words), jnp.asarray(l1), jnp.asarray(l2),
+                jnp.asarray(l2_base), jnp.asarray(lane_block), entry,
+                jnp.asarray(lane_seg_end), jnp.asarray(lane_pbits),
+                jnp.asarray(out_bases), jnp.asarray(out_limit))
+            emitted = np.asarray(bufs).reshape(ndev, S)
+            mark("emit")
+            # copy ONLY huff block ranges (COPY/FILL regions between
+            # them were written by the walk and must survive)
+            for d in range(ndev):
+                for i in shard_blocks[d]:
+                    ooff, olen = huff[i][3], huff[i][4]
+                    lo = int(ooff - span_lo[d])
+                    out[ooff:ooff + olen] = emitted[d, lo:lo + olen]
+        else:  # legacy reduce-scatter emit (A/B reference)
+            bufs = fns["make_emit_rs"](max(total, 1))(
+                jnp.asarray(words), jnp.asarray(l1), jnp.asarray(l2),
+                jnp.asarray(l2_base), jnp.asarray(lane_block), entry,
+                jnp.asarray(lane_seg_end), jnp.asarray(lane_pbits),
+                jnp.asarray(out_bases), jnp.asarray(out_limit))
+            emitted = np.asarray(bufs)[:total]
+            mark("emit")
+            for payload, pbits, dbits, ooff, olen, tree, _crc in huff:
+                out[ooff:ooff + olen] = emitted[ooff:ooff + olen]
         outs = [out[a:a + n].tobytes() for a, n in spans]
         mark("assemble")
         if prof:
