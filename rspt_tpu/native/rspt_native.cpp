@@ -2105,6 +2105,7 @@ int rn_stream_filter_pack(const uint8_t* src, size_t ns, size_t nframes,
                           int opt, int nr_planes_in, uint8_t* out,
                           size_t frame_stride, size_t* frame_lens,
                           int32_t* frame_planes, int nthreads) {
+    const bool auto_nt = nthreads <= 0;
     if (nthreads <= 0) nthreads = (int)std::thread::hardware_concurrency();
     const size_t N = ns * nframes;  // samples per channel in the span
     const size_t F = ch * ns;       // flat values per frame
@@ -2139,6 +2140,11 @@ int rn_stream_filter_pack(const uint8_t* src, size_t ns, size_t nframes,
     // identical: per-frame work is the same code on the same bytes.
     // RSPT_STREAM_NOPIPE=1 forces the staged fallback (A/B tool).
     if (p > 0 && !std::getenv("RSPT_STREAM_NOPIPE")) {
+        // auto mode: oversubscribe the pipeline pool — the producer
+        // thread is FP-latency-bound on the serial IIR and leaves
+        // bubbles the extra consumers fill (measured 637 -> 756 MB/s
+        // at 2x on the 4-core host; explicit nthreads is respected)
+        if (auto_nt) nthreads *= 2;
         const int shift2 = (int)(32 - 8 * bps);
         // bps==4: the interleaved source IS little-endian int32s — the
         // producer's strided kernel converts in-register, no convert
