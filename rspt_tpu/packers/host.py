@@ -57,12 +57,18 @@ class _PackerBase:
         self.cfg = PackerConfig(bytes_per_sample, nr_channels, nr_samples)
         self._encode_plane = encode_plane
         self._decode_plane = decode_plane
-        if plane_backend not in ("hzr", "lz4"):
+        if plane_backend not in ("hzr", "lz4", "lz4hc"):
             raise ValueError(f"unknown plane backend {plane_backend!r}")
         # LZ4 planes are marked in the method byte (container.PLANE_LZ4)
         # so decode dispatches without out-of-band knowledge — the live
         # version of the reference's commented-out LZ4 alternate.
-        self._plane_flag = container.PLANE_LZ4 if plane_backend == "lz4" else 0
+        # "lz4hc" selects the hash-chain/lazy matcher (same block
+        # format, same flag — streams interoperate with "lz4").
+        self._plane_flag = (container.PLANE_LZ4
+                            if plane_backend in ("lz4", "lz4hc") else 0)
+        if plane_backend == "lz4hc" and encode_plane is None:
+            self._encode_plane = container.plane_codec(
+                True, self.cfg.plane_len, hc=True)[0]
 
     @property
     def _method(self) -> int:

@@ -194,6 +194,25 @@ class TestContainerDispatch:
         with pytest.raises(ValueError):
             packers.new_hzr(4, 2, 512, engine="tpu", plane_backend="lz4")
 
+    def test_packer_lz4hc_backend(self, rng):
+        """plane_backend='lz4hc' streams carry the same 0x40 flag and
+        decode through the standard path (format interop), smaller or
+        equal to the greedy backend."""
+        from rspt_tpu.packers import host as hpack
+        ch, n = 3, 9000
+        sig = np.cumsum(rng.normal(0, 12, (ch, n)), axis=1).astype(
+            np.int32)
+        native = np.ascontiguousarray(sig.T).astype("<i4").tobytes()
+        p_hc = hpack.new_xdelta_hzr(4, ch, n, 3, plane_backend="lz4hc")
+        p_g = hpack.new_xdelta_hzr(4, ch, n, 3, plane_backend="lz4")
+        c_hc = p_hc.compress(native)
+        c_g = p_g.compress(native)
+        assert c_hc[0] & container.PLANE_LZ4
+        assert len(c_hc) <= len(c_g)
+        # decodes through the ordinary (greedy-constructed) packer too
+        out, _ = p_g.decompress(c_hc)
+        assert out == native
+
     def test_hzr_packer_lz4(self, rng):
         raw = rng.integers(-(1 << 20), 1 << 20, 2 * 512,
                            dtype=np.int32).tobytes()
