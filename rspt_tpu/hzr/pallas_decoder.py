@@ -1201,12 +1201,44 @@ def decode_many(datas, interpret: bool = False, hints=None,
         spans.append((total, sz))
         total += sz
     out = np.zeros(total, np.uint8)
+    # host tables: the native MT builder recovers trees + nibble LUTs
+    # straight from the payload bits (one batch call), so the Python
+    # per-block tree recovery + LUT build — formerly ~14 ms on the
+    # 1.64 MB ECG, 10x the device compute — never runs when the
+    # native library is available (light walk defers dbits to it too)
+    nat_tables = None
+    try:
+        from ..native import bindings as _nbind
+        _nbind._load()
+        nat_tables = _nbind
+    except Exception:
+        pass
     huff = []
-    for src, (gstart, ssize) in zip(srcs, spans):
-        _walk_stream(src, ssize, gstart, out, huff)
+    if nat_tables is not None:
+        from .jax_decoder import _walk_stream_light
+        for src, (gstart, ssize) in zip(srcs, spans):
+            _walk_stream_light(src, ssize, gstart, out, huff)
+    else:
+        for src, (gstart, ssize) in zip(srcs, spans):
+            _walk_stream(src, ssize, gstart, out, huff)
     if not huff:
         outs = [out[a:a + n].tobytes() for a, n in spans]
         return (outs, None) if return_hints else outs
+    if nat_tables is not None and huff:
+        _l1b, _lvb, _nsb, _dbb, _okb = nat_tables.declutnib_batch(
+            [h[0] for h in huff])
+        patched = []
+        for i, (p_, pb, _d, oo, ol, tr, crc) in enumerate(huff):
+            if _okb[i] == 0:
+                patched.append((p_, pb, int(_dbb[i]), oo, ol, tr, crc))
+            else:
+                # parse/cap overflow: recover in Python (such blocks
+                # route to the host decoder below anyway)
+                br = pyref._BitReader(memoryview(p_.tobytes()), 0,
+                                     p_.size)
+                tree = pyref._recover_tree(br)
+                patched.append((p_, pb, br.pos, oo, ol, tree, crc))
+        huff = patched
 
     # --- host: LUTs, fallback split, lane layout -------------------------
     # Device-vs-host routing is a COST heuristic, not a capability
@@ -1221,8 +1253,19 @@ def decode_many(datas, interpret: bool = False, hints=None,
     host_blocks = []
     dev = []  # (payload, pbits, dbits, out_off, olen, l1, levels, chunks)
     digest_parts = []
-    for payload, pbits, dbits, ooff, olen, tree, crc in huff:
-        lut = build_lut_nib(tree)
+    for bi_, (payload, pbits, dbits, ooff, olen, tree, crc) in \
+            enumerate(huff):
+        if nat_tables is not None and tree is None:
+            # native-built nibble LUTs (identical arrays to
+            # build_lut_nib — parity-asserted in tests)
+            ns = _nsb[bi_]
+            levels = [_lvb[bi_, k, :int(ns[k])].reshape(-1)
+                      for k in range(NIB_LEVELS)]
+            chunks = [-(-lv.size // 128) if lv.size else 0
+                      for lv in levels]
+            lut = (_l1b[bi_], levels, chunks)
+        else:
+            lut = build_lut_nib(tree)
         if lut is not None and sum(lut[2]) > dev_chunks:
             lut = None
         if lut is None:

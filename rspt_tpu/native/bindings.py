@@ -92,6 +92,11 @@ def _load():
         c_u8p, ctypes.POINTER(ctypes.c_int64),
         ctypes.POINTER(ctypes.c_int64), ctypes.c_int, c_i32p, c_i32p,
         ctypes.c_int, c_i32p, c_i32p, ctypes.c_int]
+    lib.rn_declutnib_batch.restype = ctypes.c_int
+    lib.rn_declutnib_batch.argtypes = [
+        c_u8p, ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_int, c_i32p, c_i32p,
+        c_i32p, c_i32p, c_i32p, ctypes.c_int, ctypes.c_int]
     lib.rn_iir_filter_array.restype = None
     lib.rn_iir_filter_array.argtypes = [
         ctypes.POINTER(ctypes.c_double), sz,
@@ -600,6 +605,32 @@ def decode_planes_mt(src, nplanes: int, plane_len: int,
     if rc:
         raise ValueError("plane decode failed")
     return planes, consumed.value
+
+
+def declutnib_batch(payloads, cap_slots: int = 512, nthreads: int = 0):
+    """Batched nibble-format decode LUTs (hzr/pallas_decoder.
+    build_lut_nib layout) recovered straight from HUFF payload bits in
+    C++ threads. Returns (l1 (nb,256) i32, lvls (nb,4,cap,16) i32,
+    nslots (nb,4) i32, dbits (nb,) i32, ok (nb,) i32 — ok[i] != 0
+    means that block needs the Python fallback / host routing)."""
+    lib = _load()
+    nb = len(payloads)
+    lens = np.array([p.size for p in payloads], np.int64)
+    offs = np.concatenate(([0], np.cumsum(lens)[:-1])).astype(np.int64)
+    buf = np.concatenate([np.ascontiguousarray(p, np.uint8).reshape(-1)
+                          for p in payloads]) if nb else \
+        np.zeros(0, np.uint8)
+    l1 = np.zeros((nb, 256), np.int32)
+    lvls = np.zeros((nb, 4, cap_slots, 16), np.int32)
+    nslots = np.zeros((nb, 4), np.int32)
+    dbits = np.zeros(nb, np.int32)
+    ok = np.zeros(nb, np.int32)
+    lib.rn_declutnib_batch(
+        _p8(buf), offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), nb,
+        _p32(l1), _p32(lvls), _p32(nslots), _p32(dbits), _p32(ok),
+        cap_slots, nthreads)
+    return l1, lvls, nslots, dbits, ok
 
 
 def lz4_compress(data) -> bytes:

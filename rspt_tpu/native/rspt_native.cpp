@@ -1056,6 +1056,94 @@ static int declut16_one(const uint8_t* payload, size_t plen, int32_t* l1,
     return n_deep;
 }
 
+// Nibble-format decode LUTs (hzr/pallas_decoder.build_lut_nib): 8-bit
+// root l1 (256 i32): leaf -> sym | bits<<16 (bits<=8; degenerate
+// single leaf consumes 1); deep -> (1<<30) | slot. Level-k slot = 16
+// i32: leaf -> sym | (8+4k+b)<<16; internal at the nibble boundary ->
+// (1<<30) | next-level slot. Returns 0, or -1 on parse error /
+// >24-bit code / slot-cap overflow (the caller routes such blocks to
+// the host decoder — consistent with the cost heuristic, which
+// rejects them anyway at any sane chunk cap).
+static int declutnib_one(const uint8_t* payload, size_t plen,
+                         int32_t* l1, int32_t* lvls, int32_t* nslots,
+                         int cap_slots, int32_t* dbits_out) {
+    BitReader br(payload, plen);
+    DecTree t;
+    int root = recover_tree(br, t);
+    if (root < 0) return -1;
+    *dbits_out =
+        (int32_t)(8 * (size_t)(br.p - payload) - (size_t)br.nbits);
+    for (int k = 0; k < 4; ++k) nslots[k] = 0;
+    std::function<int(int16_t, int)> walk_nib = [&](int16_t node,
+                                                    int lvl) -> int {
+        if (lvl >= 4) return -1;
+        if (nslots[lvl] >= cap_slots) return -1;
+        int sid = nslots[lvl]++;
+        int32_t* arr = lvls + ((size_t)lvl * cap_slots + sid) * 16;
+        std::function<bool(int16_t, uint32_t, int)> w =
+            [&](int16_t nd, uint32_t c, int b) -> bool {
+            if (t.sym[nd] >= 0) {
+                uint32_t step = 1u << b;
+                int32_t v = (int32_t)t.sym[nd]
+                            | ((8 + 4 * lvl + b) << 16);
+                for (uint32_t i = c; i < 16u; i += step) arr[i] = v;
+                return true;
+            }
+            if (b == 4) {
+                int s2 = walk_nib(nd, lvl + 1);
+                if (s2 < 0) return false;
+                arr[c] = (int32_t)((1u << 30) | (uint32_t)s2);
+                return true;
+            }
+            return w(t.child_a[nd], c, b + 1) &&
+                   w(t.child_b[nd], c | (1u << b), b + 1);
+        };
+        return w(node, 0, 0) ? sid : -1;
+    };
+    std::function<bool(int16_t, uint32_t, int)> walk =
+        [&](int16_t nd, uint32_t code, int bits) -> bool {
+        if (t.sym[nd] >= 0) {
+            int b = bits > 0 ? bits : 1;
+            uint32_t step = 1u << bits;
+            int32_t v = (int32_t)t.sym[nd] | (b << 16);
+            for (uint32_t c = code; c < 256u; c += step) l1[c] = v;
+            return true;
+        }
+        if (bits == 8) {
+            int sid = walk_nib(nd, 0);
+            if (sid < 0) return false;
+            l1[code] = (int32_t)((1u << 30) | (uint32_t)sid);
+            return true;
+        }
+        return walk(t.child_a[nd], code, bits + 1) &&
+               walk(t.child_b[nd], code | (1u << bits), bits + 1);
+    };
+    return walk((int16_t)root, 0, 0) ? 0 : -1;
+}
+
+extern "C" int rn_declutnib_batch(const uint8_t* buf, const int64_t* offs,
+                                  const int64_t* lens, int nb,
+                                  int32_t* l1s, int32_t* lvls,
+                                  int32_t* nslots, int32_t* dbits,
+                                  int32_t* ok, int cap_slots,
+                                  int nthreads) {
+    if (nthreads <= 0) nthreads = (int)std::thread::hardware_concurrency();
+    std::atomic<int> next(0);
+    auto work = [&](size_t, size_t) {
+        int i;
+        while ((i = next.fetch_add(1)) < nb) {
+            ok[i] = declutnib_one(
+                buf + offs[i], (size_t)lens[i], l1s + (size_t)i * 256,
+                lvls + (size_t)i * 4 * (size_t)cap_slots * 16,
+                nslots + (size_t)i * 4, cap_slots, dbits + i);
+        }
+    };
+    pool_ranges((size_t)(nthreads < nb ? nthreads : nb),
+                (size_t)(nthreads < nb ? nthreads : nb),
+                [&](size_t a, size_t b2) { work(a, b2); });
+    return 0;
+}
+
 // Batch declut16 over nb payload spans of one buffer, threaded.
 // l1s: nb*65536 i32 (caller-zeroed not required; fully overwritten
 // per leaf coverage... zero first anyway for safety on parse error),

@@ -165,3 +165,37 @@ def test_tier2_sparse_chunk_repack(rng):
     sidx = np.arange(8, 65536, 5000)             # tier-2 residual path
     super_sparse[sidx] = rng.integers(1, 255, sidx.size)
     roundtrip([dense, sparse, super_sparse])
+
+
+def test_native_nib_luts_match_python(rng):
+    """The native MT nibble-LUT builder (rn_declutnib_batch) must
+    reproduce build_lut_nib's arrays EXACTLY — decode_many trusts it
+    for device routing, dbits, and the kernel's gather tables."""
+    nb = pytest.importorskip("rspt_tpu.native.bindings")
+    from rspt_tpu.hzr.jax_decoder import _walk_stream
+
+    payloads = []
+    trees = []
+    dbits_py = []
+    for hi in (4, 16, 64, 200):    # deeper trees as the alphabet grows
+        vals = rng.integers(0, hi, 40000).astype(np.uint8)
+        vals[rng.random(40000) < 0.35] = 0     # zero runs -> RLE syms
+        st = pyref.encode(vals.tobytes())
+        src = np.frombuffer(st, np.uint8)
+        sz = int.from_bytes(src[:4].tobytes(), "little")
+        huff = []
+        _walk_stream(src, sz, 0, np.zeros(sz, np.uint8), huff)
+        for h in huff:
+            payloads.append(h[0])
+            trees.append(h[5])
+            dbits_py.append(h[2])
+    l1b, lvb, nsb, dbb, okb = nb.declutnib_batch(payloads)
+    assert len(payloads) >= 4
+    for i, tree in enumerate(trees):
+        py = pallas_decoder.build_lut_nib(tree)
+        assert okb[i] == 0
+        assert int(dbb[i]) == dbits_py[i]
+        np.testing.assert_array_equal(py[0], l1b[i])
+        for k in range(4):
+            lv = lvb[i, k, : int(nsb[i, k])].reshape(-1)
+            np.testing.assert_array_equal(py[1][k], lv)
